@@ -1,0 +1,494 @@
+"""Collection — the core DB object.
+
+API parity with the reference's Collection (/root/reference/collection.go):
+AddDocument / GetDocument / UpdateDocument / RemoveDocument / Search /
+GetAllIDs / ComputeStats / GetDocumentCount / Close, with the same option set
+(name, distance_method, dimension_count, quantization — collection.go:31-49)
+and the same search modes (collection.go:569-711):
+
+  * K == 0 and Radius == 0  -> paginated ID-ordered listing (lexicographic on
+    the decimal ID string — reference quirk, spanfile.go:541-547)
+  * precision "exact"       -> exhaustive fused scan, PercentSearched == 100
+  * precision "medium"      -> sketch-prefiltered scan (index/hamming.py)
+
+TPU-native structure: documents are durable in a host span log
+(core/storage.py) and live columnar in numpy arrays (core/columns.py) that
+mirror the device layout; searches upload the columns once per mutation
+generation and run entirely on device as matmul + top-k.  The reference's
+per-candidate disk-read-and-dequantize loop (collection.go:583-596) does not
+exist here — distance math never leaves the chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import threading
+import time
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..index import hamming
+from ..ops import distance as dist_ops
+from ..ops import quantize as qz
+from ..utils.rng import MyRandom, my_random
+
+EUCLIDEAN = 0
+COSINE = 1
+
+_METRIC_NAME = {EUCLIDEAN: "euclidean", COSINE: "cosine"}
+_METRIC_ID = {v: k for k, v in _METRIC_NAME.items()}
+
+FilterFn = Callable[[int, bytes], bool]
+
+# Minimum live docs before the sketch index calibrates/activates; below this a
+# "medium" search just scans (the reference's trees also degenerate to a scan
+# below the split threshold, lshtree.go:79-133).
+MIN_INDEX_SIZE = 256
+DEFAULT_SEARCH_BUDGET = 2048
+
+
+@dataclasses.dataclass
+class CollectionOptions:
+    """Mirrors reference CollectionOptions (collection.go:31-49)."""
+    name: str
+    distance_method: int = EUCLIDEAN
+    dimension_count: int = 0
+    quantization: int = 64
+    create_and_overwrite: bool = False
+    # TPU-native knobs (not in reference):
+    index_tables: int = hamming.DEFAULT_TABLES
+    index_bits_per_table: int = hamming.DEFAULT_BITS_PER_TABLE
+    search_budget: int = DEFAULT_SEARCH_BUDGET
+    index_seed: int = 0  # 0 = derive from global RNG at creation
+
+    def to_json(self) -> bytes:
+        return json.dumps({
+            "name": os.path.basename(self.name),
+            "distance_method": self.distance_method,
+            "dimension_count": self.dimension_count,
+            "quantization": self.quantization,
+            "index_tables": self.index_tables,
+            "index_bits_per_table": self.index_bits_per_table,
+            "search_budget": self.search_budget,
+            "index_seed": self.index_seed,
+        }).encode()
+
+    @staticmethod
+    def merge_from_json(opts: "CollectionOptions", raw: bytes) -> "CollectionOptions":
+        """Stored options override caller options (collection.go:241-252)."""
+        d = json.loads(raw)
+        out = dataclasses.replace(
+            opts,
+            distance_method=d.get("distance_method", opts.distance_method),
+            dimension_count=d.get("dimension_count", opts.dimension_count),
+            quantization=d.get("quantization", opts.quantization),
+        )
+        for f in ("index_tables", "index_bits_per_table", "search_budget",
+                  "index_seed"):
+            if f in d:
+                setattr(out, f, d[f])
+        return out
+
+
+@dataclasses.dataclass
+class Document:
+    id: int
+    vector: np.ndarray
+    metadata: bytes
+
+
+@dataclasses.dataclass
+class SearchArgs:
+    vector: Optional[Sequence[float]] = None
+    filter: Optional[FilterFn] = None
+    k: int = 0
+    radius: float = 0.0
+    offset: int = 0
+    limit: int = 0
+    precision: str = ""  # "" -> "medium" (collection.go:573-575)
+
+
+@dataclasses.dataclass
+class SearchResult:
+    id: int
+    metadata: bytes
+    distance: float
+
+
+@dataclasses.dataclass
+class SearchResults:
+    results: list[SearchResult]
+    percent_searched: float
+    search_time_ms: float = 0.0
+
+
+@dataclasses.dataclass
+class CollectionStats:
+    document_count: int
+    dimension_count: int
+    quantization: int
+    distance_method: str
+    storage_size: int
+    average_distance: float
+
+    def to_dict(self) -> dict:
+        return {
+            "document_count": self.document_count,
+            "dimension_count": self.dimension_count,
+            "quantization": self.quantization,
+            "distance_method": self.distance_method,
+            "storage_size": self.storage_size,
+            "average_distance": self.average_distance,
+        }
+
+
+class Collection:
+    def __init__(self, options: CollectionOptions, rng: Optional[MyRandom] = None):
+        from .storage import SpanLog  # local import to keep module load light
+
+        if options.quantization == 0:
+            options.quantization = 64
+        qz._check_bits(options.quantization)
+        self._rng = rng if rng is not None else my_random.fork()
+
+        if options.create_and_overwrite and os.path.exists(options.name):
+            os.remove(options.name)
+        existed = os.path.exists(options.name) and os.path.getsize(options.name) > 0
+        self.spanlog = SpanLog(options.name)
+        if existed and "" in self.spanlog:
+            raw = self.spanlog.read("")[0]
+            options = CollectionOptions.merge_from_json(options, raw)
+        else:
+            if options.index_seed == 0:
+                options.index_seed = int(self._rng.integers(1, 2**31 - 1))
+            self.spanlog.write("", [options.to_json()])
+        self.options = options
+        if options.dimension_count <= 0:
+            raise ValueError("dimension_count must be positive")
+
+        self._lock = threading.RLock()
+        self.index = hamming.SignHashIndex(
+            options.dimension_count, _METRIC_NAME[options.distance_method],
+            MyRandom(options.index_seed), options.index_tables,
+            options.index_bits_per_table)
+        from .columns import ColumnStore
+        self.columns = ColumnStore(options.dimension_count, options.quantization,
+                                   hash_words=self.index.words)
+        self._dev_version = -1
+        self._dev: dict | None = None
+        self._hashes_stale = False
+        self._closed = False
+
+        if existed:
+            self._replay()
+
+    # -- properties --------------------------------------------------------
+
+    @property
+    def dimension_count(self) -> int:
+        return self.options.dimension_count
+
+    @property
+    def quantization(self) -> int:
+        return self.options.quantization
+
+    @property
+    def metric(self) -> str:
+        return _METRIC_NAME[self.options.distance_method]
+
+    # -- open/replay -------------------------------------------------------
+
+    def _replay(self) -> None:
+        """Rebuild columnar store + index from the span log (stack 3.1 analog:
+        collection.go:297-311 — the index is derived data, never persisted)."""
+        ids, blobs, metas = [], [], []
+        for rec_id, streams in self.spanlog.iterate():
+            if rec_id == "":
+                continue
+            ids.append(int(rec_id))
+            metas.append(bytes(streams[0]))
+            blobs.append(np.frombuffer(streams[1], dtype=np.uint8))
+        if ids:
+            vectors = qz.unpack_vectors(np.stack(blobs), self.dimension_count,
+                                        self.quantization)
+            self.columns.put_many(np.asarray(ids, dtype=np.uint64), vectors,
+                                  metas)
+        self._rebuild_index()
+
+    def _rebuild_index(self) -> None:
+        n = len(self.columns)
+        if n == 0:
+            return
+        live = self.columns.live_rows()
+        vecs = qz.device_repr_to_float(self.columns.codes[live],
+                                       self.quantization)
+        if not self.index.calibrated and n >= MIN_INDEX_SIZE:
+            sample_rows = live if len(live) <= 1024 else \
+                self._rng.choice(live, size=1024, replace=False)
+            sample = qz.device_repr_to_float(self.columns.codes[sample_rows],
+                                             self.quantization)
+            self.index.calibrate(sample)
+        codes = self.index.encode_batch(np.float32(vecs))
+        self.columns.hashes[live] = codes
+        self.columns.version += 1
+        self._hashes_stale = False
+
+    # -- mutation ----------------------------------------------------------
+
+    def add_document(self, doc_id: int, vector: Sequence[float],
+                     metadata: bytes) -> None:
+        vector = np.asarray(vector, dtype=np.float64)
+        if vector.shape != (self.dimension_count,):
+            raise ValueError(
+                f"vector size {vector.shape} does not match collection "
+                f"dimension count {self.dimension_count}")
+        with self._lock:
+            packed = qz.pack_vector(vector, self.quantization)
+            self.spanlog.write(str(doc_id), [bytes(metadata), packed])
+            row = self.columns.put(int(doc_id), vector, bytes(metadata))
+            seen = qz.device_repr_to_float(self.columns.codes[row][None, :],
+                                           self.quantization)
+            if self.index.calibrated:
+                self.columns.set_hash(row, self.index.encode_np(seen)[0])
+            else:
+                self._hashes_stale = True
+
+    def add_documents(self, doc_ids: Sequence[int], vectors: np.ndarray,
+                      metadatas: Sequence[bytes]) -> None:
+        """Vectorized bulk insert — the TPU-native ingest path (packing,
+        column writes, and sketch encoding all happen batched)."""
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float64))
+        n = vectors.shape[0]
+        if vectors.shape[1] != self.dimension_count:
+            raise ValueError(
+                f"vector size {vectors.shape[1]} does not match collection "
+                f"dimension count {self.dimension_count}")
+        if not (len(doc_ids) == n == len(metadatas)):
+            raise ValueError("ids/vectors/metadatas length mismatch")
+        with self._lock:
+            packed = qz.pack_vectors(vectors, self.quantization)
+            self.spanlog.write_many(
+                [(str(int(doc_ids[i])), [bytes(metadatas[i]),
+                                         packed[i].tobytes()])
+                 for i in range(n)])
+            rows = self.columns.put_many(np.asarray(doc_ids, dtype=np.uint64),
+                                         vectors, [bytes(m) for m in metadatas])
+            if self.index.calibrated:
+                seen = qz.device_repr_to_float(self.columns.codes[rows],
+                                               self.quantization)
+                self.columns.hashes[rows] = self.index.encode_batch(
+                    np.float32(seen))
+            else:
+                self._hashes_stale = True
+
+    def get_document(self, doc_id: int) -> Document:
+        with self._lock:
+            if int(doc_id) not in self.columns:
+                raise KeyError(doc_id)
+            streams = self.spanlog.read(str(doc_id))
+            vector = qz.unpack_vector(streams[1], self.dimension_count,
+                                      self.quantization)
+            return Document(int(doc_id), vector, bytes(streams[0]))
+
+    def update_document(self, doc_id: int, metadata: bytes) -> None:
+        """Metadata-only update; the vector (and index entry) is unchanged
+        (collection.go:490-509)."""
+        with self._lock:
+            if int(doc_id) not in self.columns:
+                raise KeyError(doc_id)
+            streams = self.spanlog.read(str(doc_id))
+            self.spanlog.write(str(doc_id), [bytes(metadata), streams[1]])
+            self.columns.set_metadata(int(doc_id), bytes(metadata))
+
+    def remove_document(self, doc_id: int) -> None:
+        with self._lock:
+            if int(doc_id) not in self.columns:
+                raise KeyError(doc_id)
+            self.spanlog.remove(str(doc_id))
+            self.columns.remove(int(doc_id))
+
+    # -- device cache ------------------------------------------------------
+
+    def _device_state(self) -> dict:
+        """Upload columns to HBM if the mutation generation changed."""
+        if self._hashes_stale and len(self.columns) >= MIN_INDEX_SIZE:
+            self._rebuild_index()
+        if self._dev is None or self._dev_version != self.columns.version:
+            self._dev = {
+                "codes": jnp.asarray(self.columns.codes),
+                "norms": jnp.asarray(self.columns.norms),
+                "valid": jnp.asarray(self.columns.valid),
+                "hashes": jnp.asarray(self.columns.hashes),
+            }
+            self._dev_version = self.columns.version
+        return self._dev
+
+    # -- filters -----------------------------------------------------------
+
+    def _filter_mask(self, flt: Optional[FilterFn]) -> tuple[np.ndarray, int]:
+        """(bool mask over capacity rows, live-passing count)."""
+        valid = self.columns.valid.copy()
+        if flt is None:
+            return valid, int(valid.sum())
+        for row in self.columns.live_rows():
+            md = self.columns.metadata[row]
+            if not flt(int(self.columns.ids[row]), md if md is not None else b""):
+                valid[row] = False
+        return valid, int(valid.sum())
+
+    # -- search ------------------------------------------------------------
+
+    def search(self, args: SearchArgs) -> SearchResults:
+        t0 = time.perf_counter()
+        with self._lock:
+            res = self._search_locked(args)
+        res.search_time_ms = (time.perf_counter() - t0) * 1000.0
+        return res
+
+    def _search_locked(self, args: SearchArgs) -> SearchResults:
+        precision = args.precision or "medium"
+        n_records = len(self.columns)
+
+        # mode (a): list all in ID order (collection.go:633-668)
+        if args.k == 0 and args.radius == 0:
+            return self._list_mode(args, n_records)
+
+        if args.vector is None:
+            raise ValueError("search requires a vector when k or radius is set")
+        qvec = np.asarray(args.vector, dtype=np.float64)
+        if qvec.shape != (self.dimension_count,):
+            raise ValueError("query vector dimension mismatch")
+        if n_records == 0:
+            return SearchResults([], 0.0)
+
+        mask, n_passing = self._filter_mask(args.filter)
+        queries = jnp.asarray(np.float32(qvec)[None, :])
+        dev = self._device_state()
+        valid = jnp.asarray(mask)
+
+        use_index = (precision != "exact" and self.index.calibrated
+                     and n_records >= MIN_INDEX_SIZE)
+        if use_index:
+            budget = min(max(self.options.search_budget,
+                             4 * max(args.k, 1)), self.columns.capacity)
+            qcode = jnp.asarray(self.index.encode_np(np.float32(qvec)))
+            _, cand = hamming.hamming_candidates(
+                qcode, dev["hashes"], valid, budget, self.index.words)
+            searched = min(budget, n_passing)
+            if args.radius > 0:
+                dist, rows = hamming.rerank_topk(
+                    queries, dev["codes"], dev["norms"], valid, cand,
+                    self.quantization, self.metric, budget)
+                return self._radius_results(dist, rows, args.radius,
+                                            searched, n_records)
+            k = min(args.k, n_passing) if n_passing else 0
+            if k == 0:
+                return SearchResults([], self._pct(searched, n_records))
+            dist, rows = hamming.rerank_topk(
+                queries, dev["codes"], dev["norms"], valid, cand,
+                self.quantization, self.metric, k)
+            return self._knn_results(dist, rows, k, searched, n_records)
+
+        # exhaustive fused scan (mode (b), and small-N medium)
+        dists = dist_ops.score_block(queries, dev["codes"], dev["norms"],
+                                     valid, self.quantization, self.metric,
+                                     exact=(precision == "exact"))
+        searched = n_passing
+        if args.radius > 0:
+            row_d = np.asarray(dists[0])
+            hit = np.flatnonzero(row_d <= args.radius)
+            order = hit[np.argsort(row_d[hit], kind="stable")]
+            results = [self._mk_result(r, float(row_d[r])) for r in order]
+            return SearchResults(results, self._pct(searched, n_records))
+        k = min(args.k, n_passing)
+        if k == 0:
+            return SearchResults([], self._pct(searched, n_records))
+        dist, rows = dist_ops.top_k_smallest(dists, k)
+        return self._knn_results(dist, rows, k, searched, n_records)
+
+    # -- result assembly ---------------------------------------------------
+
+    def _pct(self, searched: int, n_records: int) -> float:
+        return 0.0 if n_records == 0 else searched / n_records * 100.0
+
+    def _mk_result(self, row: int, d: float) -> SearchResult:
+        md = self.columns.metadata[row]
+        return SearchResult(int(self.columns.ids[row]),
+                            md if md is not None else b"", d)
+
+    def _knn_results(self, dist, rows, k: int, searched: int,
+                     n_records: int) -> SearchResults:
+        dist = np.asarray(dist[0][:k])
+        rows = np.asarray(rows[0][:k])
+        results = [self._mk_result(int(r), float(d))
+                   for d, r in zip(dist, rows) if np.isfinite(d)]
+        return SearchResults(results, self._pct(searched, n_records))
+
+    def _radius_results(self, dist, rows, radius: float, searched: int,
+                        n_records: int) -> SearchResults:
+        dist = np.asarray(dist[0])
+        rows = np.asarray(rows[0])
+        keep = np.flatnonzero(np.isfinite(dist) & (dist <= radius))
+        results = [self._mk_result(int(rows[i]), float(dist[i])) for i in keep]
+        return SearchResults(results, self._pct(searched, n_records))
+
+    def _list_mode(self, args: SearchArgs, n_records: int) -> SearchResults:
+        results = []
+        skipped = 0
+        # lexicographic order on the decimal ID string: reference quirk
+        # (spanfile.go:541-547) preserved for pagination parity.
+        for rec_id in sorted(str(i) for i in self.columns.doc_ids()):
+            doc_id = int(rec_id)
+            md = self.columns.get_metadata(doc_id)
+            if args.filter is not None and not args.filter(doc_id, md):
+                continue
+            if skipped < args.offset:
+                skipped += 1
+                continue
+            results.append(SearchResult(doc_id, md, 0.0))
+            if args.limit and len(results) >= args.limit:
+                break
+        return SearchResults(results, 0.0)
+
+    # -- stats & misc ------------------------------------------------------
+
+    def get_document_count(self) -> int:
+        return len(self.columns)
+
+    def get_all_ids(self) -> list[int]:
+        return sorted(self.columns.doc_ids())
+
+    def compute_average_distance(self, samples: int = 100) -> float:
+        ids = self.columns.doc_ids()
+        if len(ids) < 2 or samples <= 0:
+            return 0.0
+        total, count = 0.0, 0
+        for _ in range(samples):
+            a, b = self._rng.choice(len(ids), size=2, replace=False)
+            va = self.columns.get_vector(ids[int(a)])
+            vb = self.columns.get_vector(ids[int(b)])
+            total += float(dist_ops.distance_np(va, vb, self.metric))
+            count += 1
+        return total / count if count else 0.0
+
+    def compute_stats(self) -> CollectionStats:
+        size, n = self.spanlog.stats()
+        return CollectionStats(
+            document_count=len(self.columns),
+            dimension_count=self.dimension_count,
+            quantization=self.quantization,
+            distance_method=self.metric,
+            storage_size=size,
+            average_distance=self.compute_average_distance(100),
+        )
+
+    def close(self) -> None:
+        with self._lock:
+            if not self._closed:
+                self.spanlog.close()
+                self._dev = None
+                self._closed = True

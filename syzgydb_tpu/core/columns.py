@@ -1,0 +1,153 @@
+"""Columnar in-memory document store.
+
+The TPU-native replacement for the reference's random-access span reads: all
+live vectors sit in flat, padded numpy arrays mirroring the device layout, so
+search is a dense scan and adding a document is an O(D) row write.  Rows are
+recycled from a free list after removals (the HBM analog of freemap.go's
+range reuse); `version` bumps on every mutation so the device cache knows to
+refresh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import distance as dist_ops
+from ..ops import quantize as qz
+
+_INITIAL_CAPACITY = 1024
+
+
+class ColumnStore:
+    def __init__(self, dims: int, quantization: int, hash_words: int = 0):
+        self.dims = dims
+        self.quantization = quantization
+        self.hash_words = hash_words
+        self.capacity = 0
+        self.size = 0  # high-water mark of used rows (rows < size may be dead)
+        self.version = 0
+        self._row_of: dict[int, int] = {}  # doc id -> row
+        self._free: list[int] = []
+        dt = qz.device_dtype(quantization)
+        self.codes = np.zeros((0, dims), dtype=dt)
+        self.norms = np.zeros((0,), dtype=np.float32)
+        self.ids = np.zeros((0,), dtype=np.uint64)
+        self.valid = np.zeros((0,), dtype=bool)
+        self.hashes = np.zeros((0, hash_words), dtype=np.uint32)
+        self.metadata: list[bytes | None] = []
+
+    # -- capacity ----------------------------------------------------------
+
+    def _grow(self, min_capacity: int) -> None:
+        new_cap = max(_INITIAL_CAPACITY, self.capacity)
+        while new_cap < min_capacity:
+            new_cap *= 2
+        if new_cap == self.capacity:
+            return
+
+        def pad(a: np.ndarray) -> np.ndarray:
+            out = np.zeros((new_cap,) + a.shape[1:], dtype=a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        self.codes = pad(self.codes)
+        self.norms = pad(self.norms)
+        self.ids = pad(self.ids)
+        self.valid = pad(self.valid)
+        self.hashes = pad(self.hashes)
+        self.metadata.extend([None] * (new_cap - self.capacity))
+        self.capacity = new_cap
+
+    # -- mutation ----------------------------------------------------------
+
+    def put(self, doc_id: int, vector: np.ndarray, metadata: bytes) -> int:
+        """Insert or replace the row for doc_id; returns the row index."""
+        row = self._row_of.get(doc_id)
+        if row is None:
+            if self._free:
+                row = self._free.pop()
+            else:
+                if self.size >= self.capacity:
+                    self._grow(self.size + 1)
+                row = self.size
+                self.size += 1
+            self._row_of[doc_id] = row
+        dev = qz.codes_to_device_repr(vector, self.quantization)[0]
+        self.codes[row] = dev
+        self.norms[row] = dist_ops.db_row_stats(dev[None, :], self.quantization)[0]
+        self.ids[row] = doc_id
+        self.valid[row] = True
+        self.metadata[row] = metadata
+        self.version += 1
+        return row
+
+    def put_many(self, doc_ids: np.ndarray, vectors: np.ndarray,
+                 metadatas: list[bytes]) -> np.ndarray:
+        """Vectorized bulk insert/replace; returns the row indices."""
+        n = len(doc_ids)
+        rows = np.empty(n, dtype=np.int64)
+        for i, doc_id in enumerate(doc_ids):
+            doc_id = int(doc_id)
+            row = self._row_of.get(doc_id)
+            if row is None:
+                if self._free:
+                    row = self._free.pop()
+                else:
+                    if self.size >= self.capacity:
+                        self._grow(self.size + max(1, n - i))
+                    row = self.size
+                    self.size += 1
+                self._row_of[doc_id] = row
+            rows[i] = row
+        dev = qz.codes_to_device_repr(vectors, self.quantization)
+        self.codes[rows] = dev
+        self.norms[rows] = dist_ops.db_row_stats(dev, self.quantization)
+        self.ids[rows] = np.asarray(doc_ids, dtype=np.uint64)
+        self.valid[rows] = True
+        for i, row in enumerate(rows):
+            self.metadata[row] = metadatas[i]
+        self.version += 1
+        return rows
+
+    def set_metadata(self, doc_id: int, metadata: bytes) -> None:
+        self.metadata[self._row_of[doc_id]] = metadata
+        self.version += 1
+
+    def set_hash(self, row: int, code_words: np.ndarray) -> None:
+        self.hashes[row] = code_words
+
+    def remove(self, doc_id: int) -> None:
+        row = self._row_of.pop(doc_id)
+        self.valid[row] = False
+        self.metadata[row] = None
+        self._free.append(row)
+        self.version += 1
+
+    # -- access ------------------------------------------------------------
+
+    def __contains__(self, doc_id: int) -> bool:
+        return doc_id in self._row_of
+
+    def __len__(self) -> int:
+        return len(self._row_of)
+
+    def row(self, doc_id: int) -> int:
+        return self._row_of[doc_id]
+
+    def get_metadata(self, doc_id: int) -> bytes:
+        md = self.metadata[self._row_of[doc_id]]
+        assert md is not None
+        return md
+
+    def get_vector(self, doc_id: int) -> np.ndarray:
+        """Dequantized vector as the device sees it (f64 for 4..32-bit is
+        exact; for 64-bit use the span log for full f64 precision)."""
+        row = self._row_of[doc_id]
+        return qz.device_repr_to_float(self.codes[row][None, :],
+                                       self.quantization)[0]
+
+    def doc_ids(self) -> list[int]:
+        return list(self._row_of.keys())
+
+    def live_rows(self) -> np.ndarray:
+        return np.flatnonzero(self.valid[: self.size])

@@ -1,0 +1,296 @@
+"""Durable host-side record log ("span log").
+
+Provides the same durability semantics as the reference's span file
+(/root/reference/spanfile.go) with a layout redesigned for a scan engine:
+
+* The reference uses a first-fit allocated, mmap'd file of checksummed spans so
+  it can serve *random reads* from disk (spanfile.go:398-497).  A TPU scan
+  engine instead rebuilds columnar in-memory/HBM arrays on open, so the disk
+  format here is a simple append-only log of checksummed records — sequential
+  writes, sequential recovery scan, periodic compaction.
+
+Durability semantics preserved from the reference:
+* Atomic superseding updates: a rewrite appends a new record with a higher
+  sequence number; recovery keeps the highest-sequence entry per record ID
+  (spanfile.go:333-341).
+* CRC32 per record; corrupted or truncated entries are skipped with a log line
+  and the scan resynchronizes on the next magic (spanfile.go:315-321).
+* Deletes are tombstone records (the reference marks spans FREE,
+  spanfile.go:364-396); compaction reclaims the space.
+* Flushing is OS-page-cache-level by default, matching the reference's no-op
+  msync (spanfile.go:868-872); pass ``sync=True`` for fsync-per-write.
+
+Record ID "" is reserved for collection options, as in the reference
+(collection.go:258-272).
+
+Binary layout (little-endian):
+    file   := "SYZL" u32(version=1) record*
+    record := "RC01" u32(body_len) body u32(crc32(body))
+    body   := u64(seq) u8(flags) u16(id_len) id u8(nstreams) (u32(len) bytes)*
+    flags  := bit0 = tombstone
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import struct
+import threading
+import zlib
+from dataclasses import dataclass
+from typing import Iterator
+
+log = logging.getLogger("syzgydb.storage")
+
+FILE_MAGIC = b"SYZL"
+REC_MAGIC = b"RC01"
+VERSION = 1
+_HDR = struct.Struct("<4sI")
+_REC_HDR = struct.Struct("<4sI")
+_FLAG_TOMBSTONE = 1
+
+
+@dataclass
+class _Entry:
+    seq: int
+    offset: int  # offset of record magic
+    length: int  # total record length on disk
+    live_bytes: int  # == length (for garbage accounting)
+
+
+def _encode_body(seq: int, flags: int, rec_id: str, streams: list[bytes]) -> bytes:
+    idb = rec_id.encode("utf-8")
+    parts = [struct.pack("<QBH", seq, flags, len(idb)), idb,
+             struct.pack("<B", len(streams))]
+    for s in streams:
+        parts.append(struct.pack("<I", len(s)))
+        parts.append(s)
+    return b"".join(parts)
+
+
+def _decode_body(body: bytes) -> tuple[int, int, str, list[bytes]]:
+    seq, flags, id_len = struct.unpack_from("<QBH", body, 0)
+    off = 11
+    rec_id = body[off:off + id_len].decode("utf-8")
+    off += id_len
+    (nstreams,) = struct.unpack_from("<B", body, off)
+    off += 1
+    streams = []
+    for _ in range(nstreams):
+        (slen,) = struct.unpack_from("<I", body, off)
+        off += 4
+        streams.append(body[off:off + slen])
+        off += slen
+    return seq, flags, rec_id, streams
+
+
+class SpanLog:
+    """Append-only durable record log with superseding-write recovery."""
+
+    def __init__(self, path: str, *, sync: bool = False,
+                 compact_min_garbage: int = 1 << 20):
+        self.path = path
+        self.sync = sync
+        self.compact_min_garbage = compact_min_garbage
+        self._lock = threading.RLock()
+        self._index: dict[str, _Entry] = {}
+        self._max_seq = 0
+        self._garbage = 0
+        new = not os.path.exists(path) or os.path.getsize(path) == 0
+        self._f = open(path, "a+b")
+        if new:
+            self._f.write(_HDR.pack(FILE_MAGIC, VERSION))
+            self._f.flush()
+        else:
+            self._recover()
+        self._f.seek(0, os.SEEK_END)
+
+    # -- recovery ----------------------------------------------------------
+
+    def _recover(self) -> None:
+        self._f.seek(0)
+        data = self._f.read()
+        if len(data) < _HDR.size or data[:4] != FILE_MAGIC:
+            raise ValueError(f"{self.path}: not a syzgydb-tpu span log")
+        pos = _HDR.size
+        best: dict[str, tuple[int, int, int, bool]] = {}  # id -> (seq, off, len, dead)
+        total = len(data)
+        while pos + _REC_HDR.size <= total:
+            magic, body_len = _REC_HDR.unpack_from(data, pos)
+            end = pos + _REC_HDR.size + body_len + 4
+            ok = magic == REC_MAGIC and end <= total
+            if ok:
+                body = data[pos + _REC_HDR.size:end - 4]
+                (crc,) = struct.unpack_from("<I", data, end - 4)
+                ok = zlib.crc32(body) == crc
+            if not ok:
+                # corrupted/truncated: resync on next record magic
+                nxt = data.find(REC_MAGIC, pos + 1)
+                log.warning("span log %s: skipping corrupt entry at offset %d",
+                            self.path, pos)
+                if nxt == -1:
+                    break
+                pos = nxt
+                continue
+            seq, flags, rec_id, _ = _decode_body(body)
+            prev = best.get(rec_id)
+            if prev is None or seq > prev[0]:
+                if prev is not None:
+                    self._garbage += prev[2]
+                best[rec_id] = (seq, pos, end - pos, bool(flags & _FLAG_TOMBSTONE))
+            else:
+                self._garbage += end - pos
+            self._max_seq = max(self._max_seq, seq)
+            pos = end
+        for rec_id, (seq, off, length, dead) in best.items():
+            if dead:
+                self._garbage += length
+            else:
+                self._index[rec_id] = _Entry(seq, off, length, length)
+
+    # -- primitives --------------------------------------------------------
+
+    def _append(self, flags: int, rec_id: str, streams: list[bytes]) -> _Entry:
+        self._max_seq += 1
+        body = _encode_body(self._max_seq, flags, rec_id, streams)
+        rec = _REC_HDR.pack(REC_MAGIC, len(body)) + body + struct.pack(
+            "<I", zlib.crc32(body))
+        self._f.seek(0, os.SEEK_END)
+        offset = self._f.tell()
+        self._f.write(rec)
+        self._f.flush()
+        if self.sync:
+            os.fsync(self._f.fileno())
+        return _Entry(self._max_seq, offset, len(rec), len(rec))
+
+    # -- public API --------------------------------------------------------
+
+    def write(self, rec_id: str, streams: list[bytes]) -> None:
+        with self._lock:
+            old = self._index.get(rec_id)
+            self._index[rec_id] = self._append(0, rec_id, streams)
+            if old is not None:
+                self._garbage += old.length
+            self._maybe_compact()
+
+    def write_many(self, items: list[tuple[str, list[bytes]]]) -> None:
+        """Bulk append: one buffered write + flush for the whole batch."""
+        with self._lock:
+            self._f.seek(0, os.SEEK_END)
+            offset = self._f.tell()
+            chunks = []
+            for rec_id, streams in items:
+                self._max_seq += 1
+                body = _encode_body(self._max_seq, 0, rec_id, streams)
+                rec = _REC_HDR.pack(REC_MAGIC, len(body)) + body + struct.pack(
+                    "<I", zlib.crc32(body))
+                old = self._index.get(rec_id)
+                if old is not None:
+                    self._garbage += old.length
+                self._index[rec_id] = _Entry(self._max_seq, offset, len(rec),
+                                             len(rec))
+                offset += len(rec)
+                chunks.append(rec)
+            self._f.write(b"".join(chunks))
+            self._f.flush()
+            if self.sync:
+                os.fsync(self._f.fileno())
+            self._maybe_compact()
+
+    def read(self, rec_id: str) -> list[bytes]:
+        with self._lock:
+            entry = self._index.get(rec_id)
+            if entry is None:
+                raise KeyError(rec_id)
+            self._f.seek(entry.offset)
+            rec = self._f.read(entry.length)
+            body = rec[_REC_HDR.size:-4]
+            _, _, rid, streams = _decode_body(body)
+            assert rid == rec_id
+            return streams
+
+    def remove(self, rec_id: str) -> None:
+        with self._lock:
+            entry = self._index.pop(rec_id, None)
+            if entry is None:
+                raise KeyError(rec_id)
+            tomb = self._append(_FLAG_TOMBSTONE, rec_id, [])
+            self._garbage += entry.length + tomb.length
+            self._maybe_compact()
+
+    def __contains__(self, rec_id: str) -> bool:
+        with self._lock:
+            return rec_id in self._index
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._index)
+
+    def ids(self) -> list[str]:
+        with self._lock:
+            return list(self._index.keys())
+
+    def record_count(self) -> int:
+        """Number of live records excluding the reserved "" options record."""
+        with self._lock:
+            n = len(self._index)
+            return n - 1 if "" in self._index else n
+
+    def stats(self) -> tuple[int, int]:
+        """(file_size_bytes, live_record_count_excluding_options)."""
+        with self._lock:
+            self._f.seek(0, os.SEEK_END)
+            return self._f.tell(), self.record_count()
+
+    def iterate(self, sorted_ids: bool = False) -> Iterator[tuple[str, list[bytes]]]:
+        """Yield (id, streams) for live records.
+
+        sorted_ids=True sorts lexicographically on the ID *string*, matching
+        the reference's IterateSortedRecords (spanfile.go:540-547) — note this
+        is decimal-string order for numeric IDs, a documented reference quirk.
+        """
+        with self._lock:
+            keys = self.ids()
+        if sorted_ids:
+            keys.sort()
+        for rec_id in keys:
+            try:
+                yield rec_id, self.read(rec_id)
+            except KeyError:
+                continue  # removed concurrently
+
+    # -- compaction --------------------------------------------------------
+
+    def _maybe_compact(self) -> None:
+        live = sum(e.length for e in self._index.values()) + _HDR.size
+        if self._garbage >= max(live, self.compact_min_garbage):
+            self.compact()
+
+    def compact(self) -> None:
+        """Rewrite live records into a fresh log; atomic rename over original."""
+        with self._lock:
+            tmp = self.path + ".compact"
+            with open(tmp, "wb") as out:
+                out.write(_HDR.pack(FILE_MAGIC, VERSION))
+                new_index: dict[str, _Entry] = {}
+                for rec_id, entry in self._index.items():
+                    streams = self.read(rec_id)
+                    body = _encode_body(entry.seq, 0, rec_id, streams)
+                    rec = _REC_HDR.pack(REC_MAGIC, len(body)) + body + struct.pack(
+                        "<I", zlib.crc32(body))
+                    new_index[rec_id] = _Entry(entry.seq, out.tell(), len(rec),
+                                               len(rec))
+                    out.write(rec)
+                out.flush()
+                os.fsync(out.fileno())
+            self._f.close()
+            os.replace(tmp, self.path)
+            self._f = open(self.path, "a+b")
+            self._index = new_index
+            self._garbage = 0
+
+    def close(self) -> None:
+        with self._lock:
+            if not self._f.closed:
+                self._f.flush()
+                self._f.close()

@@ -1,0 +1,172 @@
+"""Sign-projection Hamming index — the TPU-native ANN structure.
+
+Replaces the reference's forest of random-hyperplane LSH trees
+(/root/reference/lshtree.go).  The reference routes a query through 5 binary
+trees of hyperplanes with best-first pruning and a probe budget
+(lshtree.go:283-351).  A pointer tree is the wrong shape for a TPU, so the
+same statistical idea — random hyperplane sign tests — is flattened into two
+dense stages:
+
+1. **Sketch scan**: every vector is encoded once into `tables *
+   bits_per_table` hyperplane sign bits, packed into uint32 words (the 5
+   trees x tree-depth sign tests become 160 independent bits).  A query is
+   ranked against ALL N sketches by Hamming distance — a tiny
+   (N x words)-uint32 scan, ~26x less HBM traffic than touching the vectors.
+2. **Rerank**: the `budget` best sketch rows (the analog of the reference's
+   search_k probe budget, lshtree.go:286) are gathered and scored exactly with
+   the fused quantized-distance kernel; top-k of that is returned.
+
+PercentSearched = budget / N, mirroring the reference's points-visited metric
+(collection.go:700-710).
+
+Euclidean hashing adds data-calibrated offsets (median of projections over a
+sample) — the flat analog of the reference's data-dependent split planes
+(lshtree.go:201-211), but balanced by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import quantize as qz
+from ..utils.rng import MyRandom
+
+DEFAULT_TABLES = 5
+DEFAULT_BITS_PER_TABLE = 32
+
+
+def _pack_bits_np(bits: np.ndarray) -> np.ndarray:
+    """(N, total_bits) bool -> (N, words) uint32, LSB-first within a word."""
+    n, total = bits.shape
+    words = total // 32
+    shaped = bits.reshape(n, words, 32).astype(np.uint32)
+    weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))
+    return (shaped * weights[None, None, :]).sum(axis=-1, dtype=np.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _encode_device(vectors: jnp.ndarray, planes: jnp.ndarray,
+                   offsets: jnp.ndarray) -> jnp.ndarray:
+    """(N, D) f32 -> (N, words) uint32 packed sign bits (device)."""
+    proj = jnp.dot(vectors, planes, preferred_element_type=jnp.float32)
+    bits = (proj - offsets[None, :]) > 0.0
+    n, total = bits.shape
+    words = total // 32
+    shaped = bits.reshape(n, words, 32).astype(jnp.uint32)
+    weights = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(shaped * weights[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("budget", "words"))
+def hamming_candidates(qcodes: jnp.ndarray, db_hashes: jnp.ndarray,
+                       valid: jnp.ndarray, budget: int, words: int):
+    """Top-`budget` rows by Hamming distance of packed sketches.
+
+    qcodes: (Q, words) uint32; db_hashes: (N, words) uint32; valid: (N,) bool.
+    Returns (ham (Q, budget) int32, idx (Q, budget) int32).
+    Accumulates per word to avoid materializing (Q, N, words).
+    """
+    q = qcodes.astype(jnp.uint32)
+    n = db_hashes.shape[0]
+    ham = jnp.zeros((q.shape[0], n), dtype=jnp.int32)
+    for w in range(words):  # static, small (typically 5)
+        x = jnp.bitwise_xor(q[:, w][:, None], db_hashes[None, :, w])
+        ham = ham + jax.lax.population_count(x).astype(jnp.int32)
+    big = jnp.int32(1 << 30)
+    ham = jnp.where(valid[None, :], ham, big)
+    neg, idx = jax.lax.top_k(-ham, budget)
+    return -neg, idx
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "metric", "k"))
+def rerank_topk(queries: jnp.ndarray, codes: jnp.ndarray, norms: jnp.ndarray,
+                valid: jnp.ndarray, cand: jnp.ndarray, bits: int, metric: str,
+                k: int):
+    """Exact distances on gathered candidates, then top-k.
+
+    queries (Q, D) f32; cand (Q, C) int32 rows into codes/norms.
+    Returns (dist (Q, k) f32 ascending, rows (Q, k) int32).
+    """
+    ccodes = jnp.take(codes, cand, axis=0)        # (Q, C, D)
+    cnorms = jnp.take(norms, cand, axis=0)        # (Q, C)
+    cvalid = jnp.take(valid, cand, axis=0)        # (Q, C)
+    if bits in (32, 64):
+        dots = jnp.einsum("qd,qcd->qc", queries, ccodes.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+    else:
+        scale, offset = qz.affine_constants(bits)
+        raw = jnp.einsum("qd,qcd->qc", queries.astype(jnp.bfloat16)
+                         if bits in (4, 8) else queries,
+                         ccodes.astype(jnp.bfloat16 if bits in (4, 8)
+                                       else jnp.float32),
+                         preferred_element_type=jnp.float32)
+        qsum = jnp.sum(queries, axis=-1, keepdims=True)
+        dots = scale * raw + offset * qsum
+    if metric == "euclidean":
+        qn = jnp.sum(queries * queries, axis=-1, keepdims=True)
+        dist = jnp.sqrt(jnp.maximum(qn - 2.0 * dots + cnorms, 0.0))
+    else:
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
+        vn = jnp.sqrt(cnorms)
+        denom = qn * vn
+        cos = jnp.where(denom > 0.0, dots / jnp.where(denom > 0.0, denom, 1.0),
+                        1.0)
+        dist = jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / jnp.pi
+        dist = jnp.where((qn == 0.0) | (vn == 0.0), 1.0, dist)
+    dist = jnp.where(cvalid, dist, jnp.inf)
+    kk = min(k, dist.shape[1])
+    neg, pos = jax.lax.top_k(-dist, kk)
+    rows = jnp.take_along_axis(cand, pos, axis=1)
+    return -neg, rows
+
+
+class SignHashIndex:
+    """Host-side wrapper owning the projection planes and calibration state."""
+
+    def __init__(self, dims: int, metric: str, rng: MyRandom,
+                 tables: int = DEFAULT_TABLES,
+                 bits_per_table: int = DEFAULT_BITS_PER_TABLE):
+        self.dims = dims
+        self.metric = metric
+        self.tables = tables
+        self.bits_per_table = bits_per_table
+        self.total_bits = tables * bits_per_table
+        assert self.total_bits % 32 == 0
+        self.words = self.total_bits // 32
+        planes = rng.standard_normal((dims, self.total_bits))
+        planes /= np.linalg.norm(planes, axis=0, keepdims=True)
+        self.planes = np.float32(planes)
+        self.offsets = np.zeros((self.total_bits,), dtype=np.float32)
+        self.calibrated = metric != "euclidean"  # cosine: origin planes, done
+        self._rng = rng
+
+    # -- encoding ----------------------------------------------------------
+
+    def encode_np(self, vectors: np.ndarray) -> np.ndarray:
+        """Host path for single/few vectors at insert time."""
+        v = np.atleast_2d(np.float32(vectors))
+        proj = v @ self.planes
+        return _pack_bits_np((proj - self.offsets[None, :]) > 0.0)
+
+    def encode_batch(self, vectors_f32: np.ndarray) -> np.ndarray:
+        """Device path for bulk (re)encoding; returns host uint32 array."""
+        out = _encode_device(jnp.asarray(np.float32(np.atleast_2d(vectors_f32))),
+                             jnp.asarray(self.planes),
+                             jnp.asarray(self.offsets))
+        return np.asarray(out)
+
+    # -- calibration -------------------------------------------------------
+
+    def calibrate(self, sample_vectors: np.ndarray) -> None:
+        """Set per-plane offsets to the median projection of a data sample
+        (euclidean only): balanced flat analog of lshtree.go's data-dependent
+        split planes."""
+        if self.metric != "euclidean":
+            return
+        proj = np.float32(np.atleast_2d(sample_vectors)) @ self.planes
+        self.offsets = np.float32(np.median(proj, axis=0))
+        self.calibrated = True

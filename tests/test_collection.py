@@ -1,0 +1,243 @@
+"""Collection integration tests, mirroring the reference's collection_test.go
+coverage: CRUD + persistence + reopen, exact-vs-medium recall comparison with
+seeded RNG (collection_test.go:23-103), exhaustive-search completeness
+(collection_test.go:549-612), and 4-bit end-to-end search
+(collection_test.go:614-667)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from syzgydb_tpu import (Collection, CollectionOptions, SearchArgs, COSINE,
+                         EUCLIDEAN)
+
+
+def make_collection(path, dims=4, metric=EUCLIDEAN, quant=64, **kw):
+    return Collection(CollectionOptions(
+        name=path, distance_method=metric, dimension_count=dims,
+        quantization=quant, create_and_overwrite=True, index_seed=12345, **kw))
+
+
+def test_add_get_update_remove(tmp_collection_path):
+    c = make_collection(tmp_collection_path)
+    vec = [0.1, 0.2, 0.3, 0.4]
+    c.add_document(7, vec, b'{"tag":"a"}')
+    doc = c.get_document(7)
+    assert doc.id == 7
+    np.testing.assert_array_equal(doc.vector, np.array(vec))
+    assert doc.metadata == b'{"tag":"a"}'
+
+    c.update_document(7, b'{"tag":"b"}')
+    assert c.get_document(7).metadata == b'{"tag":"b"}'
+    np.testing.assert_array_equal(c.get_document(7).vector, np.array(vec))
+
+    c.remove_document(7)
+    with pytest.raises(KeyError):
+        c.get_document(7)
+    assert c.get_document_count() == 0
+    c.close()
+
+
+def test_dimension_mismatch_rejected(tmp_collection_path):
+    c = make_collection(tmp_collection_path, dims=4)
+    with pytest.raises(ValueError):
+        c.add_document(1, [1.0, 2.0], b"{}")
+    c.close()
+
+
+def test_persistence_and_reopen(tmp_collection_path, rng):
+    c = make_collection(tmp_collection_path, dims=8, quant=32)
+    vecs = rng.uniform(-1, 1, size=(20, 8))
+    for i in range(20):
+        c.add_document(i, vecs[i], json.dumps({"i": i}).encode())
+    c.remove_document(3)
+    c.update_document(5, b'{"i": 555}')
+    c.close()
+
+    c2 = Collection(CollectionOptions(name=tmp_collection_path,
+                                      dimension_count=8))
+    # stored options override caller's (collection.go:241-252)
+    assert c2.quantization == 32
+    assert c2.get_document_count() == 19
+    assert 3 not in c2.columns
+    assert c2.get_document(5).metadata == b'{"i": 555}'
+    np.testing.assert_array_equal(c2.get_document(5).vector,
+                                  np.float64(np.float32(vecs[5])))
+    c2.close()
+
+
+def test_exhaustive_search_complete(tmp_collection_path, rng):
+    """Exhaustive search returns true top-k with PercentSearched == 100."""
+    c = make_collection(tmp_collection_path, dims=16, metric=EUCLIDEAN)
+    vecs = rng.uniform(-1, 1, size=(300, 16))
+    c.add_documents(list(range(300)), vecs, [b"{}"] * 300)
+    q = rng.uniform(-1, 1, size=16)
+    res = c.search(SearchArgs(vector=q, k=10, precision="exact"))
+    assert res.percent_searched == pytest.approx(100.0)
+    d = np.sqrt(((vecs - q) ** 2).sum(axis=1))
+    want = set(np.argsort(d)[:10])
+    got = {r.id for r in res.results}
+    assert got == want
+    # ascending distance order
+    dists = [r.distance for r in res.results]
+    assert dists == sorted(dists)
+    c.close()
+
+
+def test_medium_vs_exact_recall(tmp_collection_path, rng):
+    """Seeded exact-vs-approx comparison (collection_test.go:23-103 analog):
+    medium search must find most of the true top-10 while scanning <100%."""
+    n, d = 5000, 32
+    c = make_collection(tmp_collection_path, dims=d, metric=COSINE, quant=32)
+    vecs = rng.standard_normal((n, d))
+    c.add_documents(list(range(n)), vecs, [b"{}"] * n)
+    recalls = []
+    for t in range(5):
+        q = rng.standard_normal(d)
+        exact = c.search(SearchArgs(vector=q, k=10, precision="exact"))
+        approx = c.search(SearchArgs(vector=q, k=10))
+        assert approx.percent_searched < 100.0
+        exact_ids = {r.id for r in exact.results}
+        approx_ids = {r.id for r in approx.results}
+        recalls.append(len(exact_ids & approx_ids) / 10)
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_euclidean_medium_recall(tmp_collection_path, rng):
+    n, d = 4000, 16
+    c = make_collection(tmp_collection_path, dims=d, metric=EUCLIDEAN, quant=32)
+    vecs = rng.standard_normal((n, d))
+    c.add_documents(list(range(n)), vecs, [b"{}"] * n)
+    recalls = []
+    for t in range(5):
+        q = rng.standard_normal(d)
+        exact = c.search(SearchArgs(vector=q, k=10, precision="exact"))
+        approx = c.search(SearchArgs(vector=q, k=10))
+        recalls.append(len({r.id for r in exact.results} &
+                           {r.id for r in approx.results}) / 10)
+    assert np.mean(recalls) >= 0.7, recalls
+    c.close()
+
+
+def test_4bit_quantization_search(tmp_collection_path, rng):
+    """4-bit end-to-end search (collection_test.go:614-667 analog)."""
+    n, d = 500, 8
+    c = make_collection(tmp_collection_path, dims=d, metric=EUCLIDEAN, quant=4)
+    vecs = rng.uniform(-1, 1, size=(n, d))
+    c.add_documents(list(range(n)), vecs, [b"{}"] * n)
+    q = vecs[42]
+    res = c.search(SearchArgs(vector=q, k=5, precision="exact"))
+    assert 42 in {r.id for r in res.results}
+    c.close()
+
+
+def test_radius_search(tmp_collection_path):
+    c = make_collection(tmp_collection_path, dims=2, metric=EUCLIDEAN)
+    pts = [(0.0, 0.0), (0.1, 0.0), (0.0, 0.2), (0.5, 0.5), (0.9, 0.9)]
+    for i, p in enumerate(pts):
+        c.add_document(i, list(p), b"{}")
+    res = c.search(SearchArgs(vector=[0.0, 0.0], radius=0.25,
+                              precision="exact"))
+    assert {r.id for r in res.results} == {0, 1, 2}
+    dists = [r.distance for r in res.results]
+    assert dists == sorted(dists)
+    c.close()
+
+
+def test_list_mode_pagination(tmp_collection_path):
+    """K=0, Radius=0 lists IDs in lexicographic decimal-string order with
+    offset/limit (collection.go:633-668; spanfile.go:541-547 quirk)."""
+    c = make_collection(tmp_collection_path, dims=2)
+    for i in [1, 2, 10, 100, 20]:
+        c.add_document(i, [0.0, 0.0], json.dumps({"id": i}).encode())
+    res = c.search(SearchArgs())
+    assert [r.id for r in res.results] == [1, 10, 100, 2, 20]
+    res = c.search(SearchArgs(offset=1, limit=2))
+    assert [r.id for r in res.results] == [10, 100]
+    c.close()
+
+
+def test_filtered_search(tmp_collection_path, rng):
+    c = make_collection(tmp_collection_path, dims=4)
+    for i in range(50):
+        c.add_document(i, rng.uniform(-1, 1, 4),
+                       json.dumps({"even": i % 2 == 0}).encode())
+
+    def only_even(doc_id, md):
+        return json.loads(md)["even"]
+
+    res = c.search(SearchArgs(vector=[0.0] * 4, k=10, filter=only_even,
+                              precision="exact"))
+    assert len(res.results) == 10
+    assert all(r.id % 2 == 0 for r in res.results)
+    # filtered docs are not counted as searched (PointIgnored semantics)
+    assert res.percent_searched == pytest.approx(50.0)
+    c.close()
+
+
+def test_stats(tmp_collection_path, rng):
+    c = make_collection(tmp_collection_path, dims=4, metric=COSINE, quant=8)
+    for i in range(10):
+        c.add_document(i, rng.uniform(-1, 1, 4), b"{}")
+    st = c.compute_stats()
+    assert st.document_count == 10
+    assert st.dimension_count == 4
+    assert st.quantization == 8
+    assert st.distance_method == "cosine"
+    assert st.storage_size > 0
+    assert 0.0 < st.average_distance <= 1.0
+    c.close()
+
+
+def test_get_all_ids(tmp_collection_path):
+    c = make_collection(tmp_collection_path, dims=2)
+    for i in [5, 1, 3]:
+        c.add_document(i, [0.0, 0.0], b"{}")
+    assert c.get_all_ids() == [1, 3, 5]
+    c.close()
+
+
+def test_reopen_rebuilds_index_deterministically(tmp_collection_path, rng):
+    """Index is derived data rebuilt on open (collection.go:297-311); with a
+    stored index seed, medium search gives identical results after reopen."""
+    n, d = 1000, 16
+    c = make_collection(tmp_collection_path, dims=d, metric=COSINE, quant=32)
+    vecs = rng.standard_normal((n, d))
+    c.add_documents(list(range(n)), vecs, [b"{}"] * n)
+    q = rng.standard_normal(d)
+    before = [(r.id, r.distance) for r in
+              c.search(SearchArgs(vector=q, k=10)).results]
+    c.close()
+    c2 = Collection(CollectionOptions(name=tmp_collection_path,
+                                      dimension_count=d))
+    after = [(r.id, r.distance) for r in
+             c2.search(SearchArgs(vector=q, k=10)).results]
+    assert [i for i, _ in before] == [i for i, _ in after]
+    c2.close()
+
+
+def test_empty_collection_search(tmp_collection_path):
+    c = make_collection(tmp_collection_path, dims=2)
+    res = c.search(SearchArgs(vector=[0.0, 0.0], k=5))
+    assert res.results == []
+    assert res.percent_searched == 0.0
+    c.close()
+
+
+def test_batch_insert_equivalent(tmp_collection_path, rng):
+    """add_documents and add_document produce identical persisted state."""
+    c = make_collection(tmp_collection_path, dims=4, quant=8)
+    vecs = rng.uniform(-1, 1, size=(20, 4))
+    c.add_documents(list(range(10)), vecs[:10],
+                    [json.dumps({"i": i}).encode() for i in range(10)])
+    for i in range(10, 20):
+        c.add_document(i, vecs[i], json.dumps({"i": i}).encode())
+    c.close()
+    c2 = Collection(CollectionOptions(name=tmp_collection_path,
+                                      dimension_count=4))
+    assert c2.get_document_count() == 20
+    for i in range(20):
+        doc = c2.get_document(i)
+        assert json.loads(doc.metadata)["i"] == i
+    c2.close()

@@ -1,0 +1,158 @@
+"""Span log durability tests, modeled on the reference's spanfile suite
+(spanfile_test.go) including the randomized shadow-model batch test with
+close/reopen after every batch (spanfile_test.go:327-429)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from syzgydb_tpu.core.storage import SpanLog, FILE_MAGIC
+
+
+def test_create_write_read(tmp_path):
+    p = str(tmp_path / "log.dat")
+    log = SpanLog(p)
+    log.write("a", [b"meta", b"vec"])
+    assert log.read("a") == [b"meta", b"vec"]
+    assert "a" in log
+    log.close()
+
+
+def test_persistence_across_reopen(tmp_path):
+    p = str(tmp_path / "log.dat")
+    log = SpanLog(p)
+    log.write("1", [b"m1", b"v1"])
+    log.write("2", [b"m2", b"v2"])
+    log.write("1", [b"m1b", b"v1b"])  # superseding update
+    log.close()
+    log2 = SpanLog(p)
+    assert log2.read("1") == [b"m1b", b"v1b"]
+    assert log2.read("2") == [b"m2", b"v2"]
+    assert len(log2) == 2
+    log2.close()
+
+
+def test_remove_is_durable(tmp_path):
+    p = str(tmp_path / "log.dat")
+    log = SpanLog(p)
+    log.write("1", [b"x"])
+    log.write("2", [b"y"])
+    log.remove("1")
+    log.close()
+    log2 = SpanLog(p)
+    assert "1" not in log2
+    assert log2.read("2") == [b"y"]
+    log2.close()
+
+
+def test_invalid_magic_rejected(tmp_path):
+    p = str(tmp_path / "bad.dat")
+    with open(p, "wb") as f:
+        f.write(b"XXXX" + b"\x00" * 100)
+    with pytest.raises(ValueError):
+        SpanLog(p)
+
+
+def test_corrupted_record_skipped(tmp_path):
+    """Flip a byte inside a record body; recovery must skip just that record
+    (spanfile_test.go:66-115 analog)."""
+    p = str(tmp_path / "log.dat")
+    log = SpanLog(p)
+    log.write("1", [b"payload-one-000000000"])
+    off_2 = os.path.getsize(p)
+    log.write("2", [b"payload-two-111111111"])
+    log.close()
+    data = bytearray(open(p, "rb").read())
+    data[off_2 + 20] ^= 0xFF  # corrupt record 2's body
+    open(p, "wb").write(bytes(data))
+    log2 = SpanLog(p)
+    assert log2.read("1") == [b"payload-one-000000000"]
+    assert "2" not in log2
+    log2.close()
+
+
+def test_truncated_tail_tolerated(tmp_path):
+    p = str(tmp_path / "log.dat")
+    log = SpanLog(p)
+    log.write("1", [b"aaaa"])
+    log.write("2", [b"bbbb"])
+    log.close()
+    size = os.path.getsize(p)
+    with open(p, "r+b") as f:
+        f.truncate(size - 3)  # crash mid-write of record 2
+    log2 = SpanLog(p)
+    assert log2.read("1") == [b"aaaa"]
+    assert "2" not in log2
+    log2.close()
+
+
+def test_sorted_iteration_is_lexicographic(tmp_path):
+    """IterateSortedRecords sorts on the ID *string* (spanfile.go:541-547)."""
+    p = str(tmp_path / "log.dat")
+    log = SpanLog(p)
+    for i in [2, 10, 1, 100]:
+        log.write(str(i), [b"x"])
+    ids = [rec_id for rec_id, _ in log.iterate(sorted_ids=True)]
+    assert ids == ["1", "10", "100", "2"]
+    log.close()
+
+
+def test_compaction_preserves_data(tmp_path):
+    p = str(tmp_path / "log.dat")
+    log = SpanLog(p, compact_min_garbage=1)
+    for i in range(50):
+        log.write("k", [b"v%d" % i])  # forces many superseded entries
+    log.compact()
+    assert log.read("k") == [b"v49"]
+    log.close()
+    log2 = SpanLog(p)
+    assert log2.read("k") == [b"v49"]
+    log2.close()
+
+
+def test_batch_operations_shadow_model(tmp_path):
+    """10k randomized ops in batches of 100 against a shadow dict, reopening
+    the file after every batch — the strongest reference storage test
+    (spanfile_test.go:327-429)."""
+    p = str(tmp_path / "log.dat")
+    rng = np.random.default_rng(7)
+    shadow: dict[str, bytes] = {}
+    log = SpanLog(p)
+    n_ops = 10_000
+    batch = 100
+    for start in range(0, n_ops, batch):
+        for _ in range(batch):
+            op = rng.integers(0, 3)
+            key = str(rng.integers(0, 500))
+            if op == 0 or key not in shadow:  # create/update
+                val = rng.integers(0, 256, size=int(rng.integers(1, 64))) \
+                    .astype(np.uint8).tobytes()
+                log.write(key, [val])
+                shadow[key] = val
+            elif op == 1:  # update
+                val = rng.integers(0, 256, size=32).astype(np.uint8).tobytes()
+                log.write(key, [val])
+                shadow[key] = val
+            else:  # delete
+                log.remove(key)
+                del shadow[key]
+        log.close()
+        log = SpanLog(p)
+        assert set(log.ids()) == set(shadow.keys())
+        for k, v in shadow.items():
+            assert log.read(k) == [v]
+    log.close()
+
+
+def test_stats(tmp_path):
+    p = str(tmp_path / "log.dat")
+    log = SpanLog(p)
+    log.write("", [b"options"])  # reserved options record not counted
+    log.write("1", [b"x"])
+    log.write("2", [b"y"])
+    size, n = log.stats()
+    assert n == 2
+    assert size == os.path.getsize(p)
+    log.close()
