@@ -1,0 +1,181 @@
+"""Sharded search kernels: shard_map over the device mesh.
+
+Pattern (SURVEY.md §2.2): vectors are sharded along N over the 'data' mesh
+axis and optionally along D over 'feature'.  Each device computes distances
+for its rows (feature-partial dots are psum'd over 'feature' — the
+tensor-parallel analog), keeps a local top-k, and the tiny (ndev * k)
+per-device winners are concatenated and merged by a final top-k — the
+vector-DB equivalent of a reduce-scatter'd ensemble.  All collectives ride
+ICI; nothing touches the host until the final k rows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import quantize as qz
+from .mesh import DATA_AXIS, FEATURE_AXIS
+
+
+def _local_dots(queries, codes, bits, precision):
+    """Feature-partial dot(q, dequant(v)) with psum over the feature axis.
+
+    queries: (Q, D_local) f32; codes: (N_local, D_local).
+    Returns (Q, N_local) f32 full-D dots.
+    """
+    if bits in (32, 64):
+        raw = jax.lax.dot_general(
+            queries, codes.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        return jax.lax.psum(raw, FEATURE_AXIS)
+    scale, offset = qz.affine_constants(bits)
+    if precision is None and bits in (4, 8):
+        lhs, rhs = queries.astype(jnp.bfloat16), codes.astype(jnp.bfloat16)
+    else:
+        lhs, rhs = queries, codes.astype(jnp.float32)
+    raw = jax.lax.dot_general(
+        lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    raw = jax.lax.psum(raw, FEATURE_AXIS)
+    qsum = jax.lax.psum(jnp.sum(queries, axis=-1, keepdims=True), FEATURE_AXIS)
+    return scale * raw + offset * qsum
+
+
+def _local_distances(queries, codes, norms, valid, bits, metric, exact):
+    precision = jax.lax.Precision.HIGHEST if exact else None
+    dots = _local_dots(queries, codes, bits, precision)
+    qn2 = jax.lax.psum(jnp.sum(queries * queries, axis=-1, keepdims=True),
+                       FEATURE_AXIS)
+    if metric == "euclidean":
+        dist = jnp.sqrt(jnp.maximum(qn2 - 2.0 * dots + norms[None, :], 0.0))
+    else:
+        qn = jnp.sqrt(qn2)
+        vn = jnp.sqrt(norms)[None, :]
+        denom = qn * vn
+        cos = jnp.where(denom > 0.0, dots / jnp.where(denom > 0.0, denom, 1.0),
+                        1.0)
+        dist = jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / jnp.pi
+        dist = jnp.where((qn == 0.0) | (vn == 0.0), 1.0, dist)
+    return jnp.where(valid[None, :], dist, jnp.inf)
+
+
+def _merge_topk(vals, gidx, k):
+    """(Q, ndev*k) concatenated per-device winners -> global top-k."""
+    neg, pos = jax.lax.top_k(-vals, k)
+    return -neg, jnp.take_along_axis(gidx, pos, axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "bits", "metric", "k", "exact"))
+def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, *,
+                       bits: int, metric: str, k: int, exact: bool = False):
+    """Exhaustive sharded scan -> (dist (Q, k), global row ids (Q, k))."""
+
+    def local(q, c, nrm, v):
+        dist = _local_distances(q, c, nrm, v, bits, metric, exact)
+        kk = min(k, dist.shape[1])
+        neg, idx = jax.lax.top_k(-dist, kk)
+        shift = jax.lax.axis_index(DATA_AXIS) * c.shape[0]
+        return -neg, (idx + shift).astype(jnp.int32)
+
+    vals, gidx = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, FEATURE_AXIS), P(DATA_AXIS, FEATURE_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        check_vma=False,
+    )(queries, codes, norms, valid)
+    return _merge_topk(vals, gidx, min(k, vals.shape[1]))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "bits", "metric", "exact"))
+def sharded_scores(mesh: Mesh, queries, codes, norms, valid, *,
+                   bits: int, metric: str, exact: bool = False):
+    """Full (Q, N) distance matrix, N-sharded on device (for radius mode)."""
+
+    def local(q, c, nrm, v):
+        return _local_distances(q, c, nrm, v, bits, metric, exact)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, FEATURE_AXIS), P(DATA_AXIS, FEATURE_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(None, DATA_AXIS),
+        check_vma=False,
+    )(queries, codes, norms, valid)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "bits", "metric", "k",
+                                    "local_budget", "words"))
+def sharded_ann_topk(mesh: Mesh, qcodes, queries, codes, norms, hashes, valid,
+                     *, bits: int, metric: str, k: int, local_budget: int,
+                     words: int):
+    """Sharded sketch-prefilter + rerank.
+
+    Each device ranks its rows by Hamming distance of the packed sketches,
+    redoes exact distances on its `local_budget` best, and returns its local
+    top-k; winners are concatenated and merged.  Total candidate budget =
+    local_budget * data_shards.
+    """
+
+    def local(qc, q, c, nrm, h, v):
+        n_local = c.shape[0]
+        ham = jnp.zeros((qc.shape[0], n_local), dtype=jnp.int32)
+        for w in range(words):
+            x = jnp.bitwise_xor(qc[:, w][:, None], h[None, :, w])
+            ham = ham + jax.lax.population_count(x).astype(jnp.int32)
+        ham = jnp.where(v[None, :], ham, jnp.int32(1 << 30))
+        budget = min(local_budget, n_local)
+        _, cand = jax.lax.top_k(-ham, budget)                 # (Q, B)
+        ccodes = jnp.take(c, cand, axis=0)                    # (Q, B, D_l)
+        cnorms = jnp.take(nrm, cand, axis=0)
+        cvalid = jnp.take(v, cand, axis=0)
+        if bits in (32, 64):
+            raw = jnp.einsum("qd,qbd->qb", q, ccodes.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+            dots = jax.lax.psum(raw, FEATURE_AXIS)
+        else:
+            scale, offset = qz.affine_constants(bits)
+            cast = jnp.bfloat16 if bits in (4, 8) else jnp.float32
+            raw = jnp.einsum("qd,qbd->qb",
+                             q.astype(cast) if bits in (4, 8) else q,
+                             ccodes.astype(cast),
+                             preferred_element_type=jnp.float32)
+            raw = jax.lax.psum(raw, FEATURE_AXIS)
+            qsum = jax.lax.psum(jnp.sum(q, axis=-1, keepdims=True),
+                                FEATURE_AXIS)
+            dots = scale * raw + offset * qsum
+        qn2 = jax.lax.psum(jnp.sum(q * q, axis=-1, keepdims=True),
+                           FEATURE_AXIS)
+        if metric == "euclidean":
+            dist = jnp.sqrt(jnp.maximum(qn2 - 2.0 * dots + cnorms, 0.0))
+        else:
+            qn = jnp.sqrt(qn2)
+            vn = jnp.sqrt(cnorms)
+            denom = qn * vn
+            cos = jnp.where(denom > 0.0,
+                            dots / jnp.where(denom > 0.0, denom, 1.0), 1.0)
+            dist = jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / jnp.pi
+            dist = jnp.where((qn == 0.0) | (vn == 0.0), 1.0, dist)
+        dist = jnp.where(cvalid, dist, jnp.inf)
+        kk = min(k, dist.shape[1])
+        neg, pos = jax.lax.top_k(-dist, kk)
+        shift = jax.lax.axis_index(DATA_AXIS) * n_local
+        rows = jnp.take_along_axis(cand, pos, axis=1) + shift
+        return -neg, rows.astype(jnp.int32)
+
+    vals, gidx = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, FEATURE_AXIS), P(DATA_AXIS, FEATURE_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        check_vma=False,
+    )(qcodes, queries, codes, norms, hashes, valid)
+    return _merge_topk(vals, gidx, min(k, vals.shape[1]))

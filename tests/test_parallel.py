@@ -1,0 +1,99 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh: sharded search must
+agree with the single-device oracle for every mesh shape and quantization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from syzgydb_tpu.index.hamming import SignHashIndex
+from syzgydb_tpu.ops import distance as dist_ops
+from syzgydb_tpu.ops import quantize as qz
+from syzgydb_tpu.parallel import mesh as mesh_mod
+from syzgydb_tpu.parallel import search as psearch
+from syzgydb_tpu.utils.rng import MyRandom
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def _setup(rng, n=512, d=32, bits=8):
+    db = rng.uniform(-1, 1, size=(n, d))
+    codes = qz.codes_to_device_repr(db, bits)
+    norms = dist_ops.db_row_stats(codes, bits)
+    valid = np.ones(n, dtype=bool)
+    queries = np.float32(rng.uniform(-1, 1, size=(4, d)))
+    return db, codes, norms, valid, queries
+
+
+@pytest.mark.parametrize("data,feature", [(8, 1), (4, 2), (2, 4), (4, 1)])
+@pytest.mark.parametrize("bits", [8, 32])
+def test_sharded_exact_matches_single_device(rng, data, feature, bits):
+    m = mesh_mod.make_mesh(mesh_mod.MeshConfig(data=data, feature=feature),
+                           jax.devices()[: data * feature])
+    db, codes, norms, valid, queries = _setup(rng, bits=bits)
+    k = 10
+    sd_dist, sd_idx = psearch.sharded_exact_topk(
+        m, jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
+        jnp.asarray(valid), bits=bits, metric="euclidean", k=k, exact=True)
+    ref = dist_ops.score_block(jnp.asarray(queries), jnp.asarray(codes),
+                               jnp.asarray(norms), jnp.asarray(valid),
+                               bits, "euclidean", exact=True)
+    ref_dist, ref_idx = dist_ops.top_k_smallest(ref, k)
+    np.testing.assert_allclose(np.asarray(sd_dist), np.asarray(ref_dist),
+                               atol=1e-5)
+    assert set(np.asarray(sd_idx)[0].tolist()) == \
+        set(np.asarray(ref_idx)[0].tolist())
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_sharded_scores_full_matrix(rng, metric):
+    m = mesh_mod.make_mesh(mesh_mod.MeshConfig(data=4, feature=2),
+                           jax.devices()[:8])
+    db, codes, norms, valid, queries = _setup(rng, n=256, bits=32)
+    got = np.asarray(psearch.sharded_scores(
+        m, jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
+        jnp.asarray(valid), bits=32, metric=metric, exact=True))
+    want = np.asarray(dist_ops.score_block(
+        jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
+        jnp.asarray(valid), 32, metric, exact=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sharded_ann_recall(rng):
+    m = mesh_mod.make_mesh(mesh_mod.MeshConfig(data=8, feature=1))
+    n, d, bits, k = 2048, 32, 8, 10
+    db, codes, norms, valid, queries = _setup(rng, n=n, d=d, bits=bits)
+    index = SignHashIndex(d, "euclidean", MyRandom(99))
+    index.calibrate(db[:1024])
+    hashes = index.encode_batch(np.float32(db))
+    qcodes = index.encode_np(queries)
+
+    dist, rows = psearch.sharded_ann_topk(
+        m, jnp.asarray(qcodes), jnp.asarray(queries), jnp.asarray(codes),
+        jnp.asarray(norms), jnp.asarray(hashes), jnp.asarray(valid),
+        bits=bits, metric="euclidean", k=k, local_budget=64,
+        words=index.words)
+    ref = dist_ops.score_block(jnp.asarray(queries), jnp.asarray(codes),
+                               jnp.asarray(norms), jnp.asarray(valid),
+                               bits, "euclidean", exact=True)
+    _, ref_idx = dist_ops.top_k_smallest(ref, k)
+    recalls = [
+        len(set(np.asarray(rows)[q].tolist()) &
+            set(np.asarray(ref_idx)[q].tolist())) / k
+        for q in range(queries.shape[0])]
+    assert np.mean(recalls) >= 0.6, recalls
+    # distances ascending per query
+    dd = np.asarray(dist)
+    assert all((np.diff(dd[q]) >= -1e-6).all() for q in range(dd.shape[0]))
+
+
+def test_invalid_rows_never_returned(rng):
+    m = mesh_mod.make_mesh(mesh_mod.MeshConfig(data=8, feature=1))
+    db, codes, norms, valid, queries = _setup(rng, n=128, bits=32)
+    valid[::2] = False
+    _, rows = psearch.sharded_exact_topk(
+        m, jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
+        jnp.asarray(valid), bits=32, metric="euclidean", k=20, exact=True)
+    assert all(r % 2 == 1 for r in np.asarray(rows).ravel())
