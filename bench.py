@@ -1,0 +1,113 @@
+"""Headline benchmark (BASELINE.json north-star config 2):
+
+    1M x 384-d, cosine, 8-bit quantization, top-10 — QPS/chip + recall@10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+vs_baseline: the reference (smhanov/syzgydb) publishes no numbers and no Go
+toolchain exists in this image (BASELINE.md), so the baseline is a measured
+host-side float32 NumPy/BLAS exhaustive scan of the same workload on this
+machine — a *stronger* baseline than the reference's per-record
+decode+distance Go loop, so the reported ratio is conservative.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from syzgydb_tpu.index.hamming import SignHashIndex
+    from syzgydb_tpu.ops import distance as dist_ops
+    from syzgydb_tpu.ops import quantize as qz
+    from syzgydb_tpu.utils.rng import MyRandom
+
+    n, d, bits, metric, k, q_batch = 1_000_000, 384, 8, "cosine", 10, 64
+    rng = np.random.default_rng(12345)
+
+    db = rng.standard_normal((n, d), dtype=np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    queries = db[rng.integers(0, n, size=q_batch)] + \
+        0.1 * rng.standard_normal((q_batch, d), dtype=np.float32)
+
+    codes_np = qz.codes_to_device_repr(db, bits)
+    norms_np = dist_ops.db_row_stats(codes_np, bits)
+    valid_np = np.ones(n, dtype=bool)
+
+    codes = jnp.asarray(codes_np)
+    norms = jnp.asarray(norms_np)
+    valid = jnp.asarray(valid_np)
+    qdev = jnp.asarray(queries)
+
+    index = SignHashIndex(d, metric, MyRandom(7))
+    hashes = jnp.asarray(index.encode_batch(db))
+    qcodes = jnp.asarray(index.encode_np(queries))
+    budget = 16384
+
+    from syzgydb_tpu.index.hamming import hamming_candidates, rerank_topk
+
+    @jax.jit
+    def ann_step(qdev, qcodes):
+        _, cand = hamming_candidates(qcodes, hashes, valid, budget,
+                                     index.words)
+        return rerank_topk(qdev, codes, norms, valid, cand, bits, metric, k)
+
+    @jax.jit
+    def exact_step(qdev):
+        dist = dist_ops.score_block(qdev, codes, norms, valid, bits, metric,
+                                    exact=False)
+        return dist_ops.top_k_smallest(dist, k)
+
+    # warmup/compile
+    jax.block_until_ready(ann_step(qdev, qcodes))
+    jax.block_until_ready(exact_step(qdev))
+
+    def timeit(fn, reps=5):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_ann = timeit(lambda: ann_step(qdev, qcodes))
+    t_exact = timeit(lambda: exact_step(qdev))
+    qps_ann = q_batch / t_ann
+    qps_exact = q_batch / t_exact
+
+    # recall@10 of the ANN path vs the device exact scan
+    ed, eidx = exact_step(qdev)
+    ad, aidx = ann_step(qdev, qcodes)
+    eidx, aidx = np.asarray(eidx), np.asarray(aidx)
+    recall = float(np.mean([
+        len(set(eidx[i].tolist()) & set(aidx[i].tolist())) / k
+        for i in range(q_batch)]))
+
+    # host NumPy/BLAS baseline on a 100k subsample, scaled to 1M
+    sub = 100_000
+    host_db = db[:sub]
+    t0 = time.perf_counter()
+    sims = queries @ host_db.T
+    sims /= np.linalg.norm(queries, axis=1, keepdims=True)
+    np.argpartition(sims, -k, axis=1)[:, -k:]
+    t_host = (time.perf_counter() - t0) * (n / sub)
+    qps_host = q_batch / t_host
+
+    print(json.dumps({
+        "metric": "qps_per_chip_1Mx384d_cosine_8bit_top10",
+        "value": round(qps_ann, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(qps_ann / qps_host, 2),
+        "recall_at_10": round(recall, 4),
+        "qps_exact_scan": round(qps_exact, 2),
+        "percent_searched": round(budget / n * 100, 2),
+        "baseline_host_numpy_qps": round(qps_host, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,9 +75,16 @@ def db_row_stats(device_codes: np.ndarray, bits: int) -> np.ndarray:
     """Per-row squared norm of the *dequantized* vectors, f32 (N,).
 
     Computed host-side once per ingested batch; uploaded alongside the codes.
+    Chunked to keep the working set small (see quantize._CHUNK_ROWS).
     """
-    v = qz.device_repr_to_float(device_codes, bits)
-    return np.float32(np.sum(v * v, axis=-1))
+    device_codes = np.atleast_2d(device_codes)
+    n = device_codes.shape[0]
+    out = np.empty((n,), dtype=np.float32)
+    step = qz._CHUNK_ROWS
+    for s in range(0, n, step):
+        v = qz.device_repr_to_float(device_codes[s:s + step], bits)
+        out[s:s + step] = np.sum(v * v, axis=-1)
+    return out
 
 
 def _code_matmul(queries: jnp.ndarray, codes: jnp.ndarray, bits: int,

@@ -109,8 +109,15 @@ def pack_vector(vector: np.ndarray, bits: int) -> bytes:
 def pack_vectors(vectors: np.ndarray, bits: int) -> np.ndarray:
     """Vectorized pack of (N, D) float64 -> (N, vector_byte_size) uint8."""
     _check_bits(bits)
-    vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float64))
+    vectors = np.atleast_2d(np.asarray(vectors))
     n, dims = vectors.shape
+    if n > _CHUNK_ROWS:
+        out = np.empty((n, vector_byte_size(bits, dims)), dtype=np.uint8)
+        for s in range(0, n, _CHUNK_ROWS):
+            out[s:s + _CHUNK_ROWS] = pack_vectors(vectors[s:s + _CHUNK_ROWS],
+                                                  bits)
+        return out
+    vectors = np.asarray(vectors, dtype=np.float64)
     codes = quantize_np(vectors, bits)
     if bits == 4:
         padded = np.zeros((n, dims + (dims % 2)), dtype=np.uint8)
@@ -198,17 +205,27 @@ def device_dtype(bits: int):
     return {4: np.int8, 8: np.int8, 16: np.int16, 32: np.float32, 64: np.float32}[bits]
 
 
+# Bulk host transforms run chunked: on sandboxed single-core hosts first-touch
+# page faults dominate, so reusing a small working set beats one giant pass.
+_CHUNK_ROWS = 16384
+
+
 def codes_to_device_repr(vectors: np.ndarray, bits: int) -> np.ndarray:
     """float64 (N, D) -> the array uploaded to HBM (centered int codes or f32)."""
     _check_bits(bits)
-    vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float64))
+    vectors = np.atleast_2d(np.asarray(vectors))
     if bits in (32, 64):
         # 64-bit keeps f64 exactness on the host; device computes in f32.
-        return np.float32(vectors)
-    codes = quantize_np(vectors, bits)
+        return np.asarray(vectors, dtype=np.float32)
+    n = vectors.shape[0]
     half = (_MAXINT[bits] + 1) // 2
-    centered = codes.astype(np.int64) - half
-    return centered.astype(device_dtype(bits))
+    out = np.empty(vectors.shape, dtype=device_dtype(bits))
+    for s in range(0, n, _CHUNK_ROWS):
+        chunk = np.asarray(vectors[s:s + _CHUNK_ROWS], dtype=np.float64)
+        codes = quantize_np(chunk, bits)
+        out[s:s + _CHUNK_ROWS] = (codes.astype(np.int64) - half).astype(
+            device_dtype(bits))
+    return out
 
 
 def device_repr_to_float(device_codes: np.ndarray, bits: int) -> np.ndarray:

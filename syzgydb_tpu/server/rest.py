@@ -1,0 +1,428 @@
+"""REST API server.
+
+Endpoint/JSON parity with the reference server (rest.go + main.go):
+
+  POST   /api/v1/collections                     create (name, vector_size,
+                                                 quantization, distance_function)
+  GET    /api/v1/collections                     list w/ stats, doc-count desc
+  GET    /api/v1/collections/{c}                 stats
+  DELETE /api/v1/collections/{c}                 delete (200 even if missing,
+                                                 rest.go:190-195)
+  GET    /api/v1/collections/{c}/ids             all document ids
+  POST   /api/v1/collections/{c}/records         bulk insert (array body;
+                                                 text->vector via one batched
+                                                 embed_text call, rest.go:221-292)
+  PUT    /api/v1/collections/{c}/records/{id}/metadata
+  DELETE /api/v1/collections/{c}/records/{id}
+  GET|POST /api/v1/collections/{c}/search        -> {results, percent_searched,
+                                                 search_time, embedding_time}
+
+Collections live as {data_folder}/{name}.dat; startup re-opens every *.dat
+(main.go:16-34).  Responses gzip when the client accepts it (rest.go:25-38);
+static files served from html_root.  Implementation is stdlib http.server —
+the compute path is on-device, the HTTP layer just routes.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import io
+import json
+import logging
+import mimetypes
+import os
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from ..core.collection import (Collection, CollectionOptions, SearchArgs,
+                               COSINE, EUCLIDEAN)
+from .. import build_filter
+from . import config, embedding
+
+log = logging.getLogger("syzgydb.rest")
+
+_GZIP_TYPES = ("application/json", "text", "text/html", "text/css",
+               "application/javascript", "image/svg+xml")
+
+
+class Server:
+    """Collection registry (rest.go:20-23)."""
+
+    def __init__(self, data_folder: Optional[str] = None):
+        self.collections: dict[str, Collection] = {}
+        self.mutex = threading.Lock()
+        self.data_folder = data_folder or config.global_config.data_folder
+
+    def collection_file(self, name: str) -> str:
+        return os.path.join(self.data_folder, name + ".dat")
+
+    @staticmethod
+    def file_to_collection_name(path: str) -> str:
+        base = os.path.basename(path)
+        return base[:-4] if base.endswith(".dat") else base
+
+    def get(self, name: str) -> Optional[Collection]:
+        with self.mutex:
+            return self.collections.get(name)
+
+    def stats_with_name(self, name: str, coll: Collection) -> dict:
+        d = coll.compute_stats().to_dict()
+        d["name"] = name
+        return d
+
+
+def _open_existing(path: str) -> CollectionOptions:
+    # dimension_count comes from the stored options record; pass a
+    # placeholder that merge_from_json overrides (collection.go:241-252)
+    return CollectionOptions(name=path, dimension_count=1)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "syzgydb-tpu/0.1"
+    srv: Server  # injected
+
+    # -- plumbing ----------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # route through logging
+        log.info("%s " + fmt, self.address_string(), *args)
+
+    def _body(self) -> bytes:
+        length = int(self.headers.get("Content-Length") or 0)
+        return self.rfile.read(length) if length else b""
+
+    def _respond(self, code: int, payload, pretty: bool = False,
+                 content_type: str = "application/json") -> None:
+        if isinstance(payload, (dict, list)):
+            body = json.dumps(payload, indent=2 if pretty else None).encode()
+            body += b"\n"
+        elif isinstance(payload, str):
+            body = payload.encode()
+        else:
+            body = payload
+        accept = self.headers.get("Accept-Encoding", "")
+        use_gzip = "gzip" in accept and any(
+            content_type.startswith(t) for t in _GZIP_TYPES) and len(body) > 200
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        if use_gzip:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb") as gz:
+                gz.write(body)
+            body = buf.getvalue()
+            self.send_header("Content-Encoding", "gzip")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, message: str, code: int) -> None:
+        log.warning("Error: %s, Status Code: %d", message, code)
+        self._respond(code, message + "\n", content_type="text/plain")
+
+    # -- routing -----------------------------------------------------------
+
+    def _route(self) -> None:
+        path = self.path.split("?")[0].rstrip()
+        parts = path.split("/")
+        try:
+            if path == "/api/v1/collections":
+                return self._handle_collections()
+            if path.startswith("/api/v1/collections/"):
+                if path.endswith("/records") and self.command == "POST":
+                    return self._handle_insert(parts)
+                if "/records/" in path and self.command == "PUT":
+                    return self._handle_update_metadata(parts)
+                if "/records/" in path and self.command == "DELETE":
+                    return self._handle_delete_record(parts)
+                if path.endswith("/search") and self.command in ("GET", "POST"):
+                    return self._handle_search(parts)
+                return self._handle_collection(parts)
+            if self.command == "GET":
+                return self._serve_static(path)
+            self._error("Not found", 404)
+        except BrokenPipeError:
+            pass
+        except Exception as exc:  # robustness: surface as 500, keep serving
+            log.exception("handler error")
+            self._error(f"Internal error: {exc}", 500)
+
+    do_GET = do_POST = do_PUT = do_DELETE = _route
+
+    # -- handlers ----------------------------------------------------------
+
+    def _handle_collections(self) -> None:
+        if self.command == "POST":
+            try:
+                req = json.loads(self._body())
+            except json.JSONDecodeError:
+                return self._error("Invalid request body", 400)
+            name = req.get("name", "")
+            dm = req.get("distance_function", "")
+            if dm == "euclidean":
+                method = EUCLIDEAN
+            elif dm == "cosine":
+                method = COSINE
+            else:
+                return self._error("Invalid distance method", 400)
+            with self.srv.mutex:
+                if name in self.srv.collections:
+                    return self._error("Collection already exists", 400)
+                try:
+                    coll = Collection(CollectionOptions(
+                        name=self.srv.collection_file(name),
+                        distance_method=method,
+                        dimension_count=int(req.get("vector_size", 0)),
+                        quantization=int(req.get("quantization", 0) or 64)))
+                except Exception as exc:
+                    return self._error(
+                        f"Failed to create collection: {exc}", 500)
+                self.srv.collections[name] = coll
+            return self._respond(201, {
+                "message": "Collection created successfully.",
+                "collection_name": name})
+        if self.command == "GET":
+            with self.srv.mutex:
+                items = list(self.srv.collections.items())
+            infos = [self.srv.stats_with_name(n, c) for n, c in items]
+            infos.sort(key=lambda d: -d["document_count"])
+            return self._respond(200, infos, pretty=True)
+        self._error("Method not allowed", 405)
+
+    def _get_collection(self, parts) -> Optional[tuple[str, Collection]]:
+        if len(parts) < 5:
+            self._error("Invalid path", 400)
+            return None
+        name = parts[4]
+        coll = self.srv.get(name)
+        if coll is None:
+            if self.command == "DELETE":
+                self._respond(200, {"message": "Collection did not exist."})
+                return None
+            self._error("Collection not found", 404)
+            return None
+        return name, coll
+
+    def _handle_collection(self, parts) -> None:
+        got = self._get_collection(parts)
+        if got is None:
+            return
+        name, coll = got
+        if self.command == "GET":
+            if len(parts) == 6 and parts[5] == "ids":
+                return self._respond(200, coll.get_all_ids())
+            return self._respond(200, self.srv.stats_with_name(name, coll))
+        if self.command == "DELETE":
+            with self.srv.mutex:
+                self.srv.collections.pop(name, None)
+            coll.close()
+            try:
+                os.remove(self.srv.collection_file(name))
+            except FileNotFoundError:
+                pass
+            return self._respond(200,
+                                 {"message": "Collection deleted successfully."})
+        self._error("Method not allowed", 405)
+
+    def _handle_insert(self, parts) -> None:
+        got = self._get_collection(parts)
+        if got is None:
+            return
+        _, coll = got
+        try:
+            records = json.loads(self._body())
+            assert isinstance(records, list)
+        except (json.JSONDecodeError, AssertionError):
+            return self._error("Invalid request body", 400)
+
+        texts, text_idx = [], []
+        for i, rec in enumerate(records):
+            if rec.get("text") and rec.get("vector") is None:
+                text_idx.append(i)
+                texts.append(rec["text"])
+        if texts:
+            try:
+                # one batched call; inserts don't populate the cache
+                # (rest.go:262, embedding.go:29-48)
+                vectors = embedding.embed_text(texts, False)
+            except Exception as exc:
+                return self._error(
+                    f"Failed to convert text to vector: {exc}", 500)
+            for j, i in enumerate(text_idx):
+                records[i]["vector"] = vectors[j]
+
+        ids, vecs, metas = [], [], []
+        for rec in records:
+            if rec.get("vector") is None:
+                return self._error("Either vector or text must be provided",
+                                   400)
+            ids.append(int(rec.get("id", 0)))
+            vecs.append(rec["vector"])
+            metas.append(json.dumps(rec.get("metadata") or {}).encode())
+        try:
+            coll.add_documents(ids, vecs, metas)
+        except ValueError as exc:
+            return self._error(str(exc), 400)
+        self._respond(201, {"message": "Records inserted successfully."})
+
+    def _handle_update_metadata(self, parts) -> None:
+        got = self._get_collection(parts)
+        if got is None:
+            return
+        _, coll = got
+        try:
+            doc_id = int(parts[-2])
+        except ValueError:
+            return self._error("Invalid record ID", 400)
+        try:
+            body = json.loads(self._body())
+            metadata = json.dumps(body.get("metadata") or {}).encode()
+        except json.JSONDecodeError:
+            return self._error("Invalid request body", 400)
+        try:
+            coll.update_document(doc_id, metadata)
+        except KeyError:
+            return self._error("Record not found", 404)
+        self._respond(200, {"message": "Metadata updated successfully.",
+                            "id": doc_id})
+
+    def _handle_delete_record(self, parts) -> None:
+        got = self._get_collection(parts)
+        if got is None:
+            return
+        _, coll = got
+        try:
+            doc_id = int(parts[6])
+        except (IndexError, ValueError):
+            return self._error("Invalid record ID", 400)
+        try:
+            coll.remove_document(doc_id)
+        except KeyError:
+            return self._error("Record not found", 404)
+        self._respond(200, {"message": "Record deleted successfully.",
+                            "id": doc_id})
+
+    def _handle_search(self, parts) -> None:
+        got = self._get_collection(parts)
+        if got is None:
+            return
+        _, coll = got
+        args = SearchArgs()
+        text = ""
+        filter_str = ""
+        if self.command == "GET":
+            from urllib.parse import parse_qs, urlparse
+            q = parse_qs(urlparse(self.path).query)
+
+            def one(key, default=""):
+                return q.get(key, [default])[0]
+            args.offset = int(one("offset") or 0)
+            args.limit = int(one("limit") or 0)
+            args.radius = float(one("radius") or 0)
+            args.k = int(one("k") or 0)
+            args.precision = one("precision")
+            text = one("text")
+            filter_str = one("filter")
+            # NOTE: GET cannot pass a vector — reference quirk (rest.go:401-409)
+        else:
+            try:
+                req = json.loads(self._body())
+            except json.JSONDecodeError:
+                return self._error("Invalid request body", 400)
+            args.vector = req.get("vector")
+            args.offset = int(req.get("offset") or 0)
+            args.limit = int(req.get("limit") or 0)
+            args.radius = float(req.get("radius") or 0)
+            args.k = int(req.get("k") or 0)
+            args.precision = req.get("precision") or ""
+            text = req.get("text") or ""
+            filter_str = req.get("filter") or ""
+
+        if filter_str:
+            try:
+                args.filter = build_filter(filter_str)
+            except Exception as exc:
+                return self._error(f"Invalid filter query: {exc}", 400)
+
+        embedding_ms = 0
+        if text:
+            t0 = time.perf_counter()
+            try:
+                # searches use the cache (rest.go:441)
+                vectors = embedding.embed_text([text], True)
+            except Exception as exc:
+                return self._error(
+                    f"Failed to convert text to vector: {exc}", 500)
+            args.vector = vectors[0]
+            embedding_ms = int((time.perf_counter() - t0) * 1000)
+
+        t0 = time.perf_counter()
+        try:
+            results = coll.search(args)
+        except ValueError as exc:
+            return self._error(str(exc), 400)
+        search_ms = int((time.perf_counter() - t0) * 1000)
+
+        out = []
+        for r in results.results:
+            try:
+                md = json.loads(r.metadata) if r.metadata else {}
+            except json.JSONDecodeError:
+                log.warning("Error decoding metadata for ID %d", r.id)
+                continue
+            out.append({"id": r.id, "metadata": md, "distance": r.distance})
+        self._respond(200, {
+            "results": out,
+            "percent_searched": results.percent_searched,
+            "search_time": search_ms,
+            "embedding_time": embedding_ms,
+        })
+
+    # -- static files ------------------------------------------------------
+
+    def _serve_static(self, path: str) -> None:
+        root = config.global_config.html_root
+        if not root:
+            return self._error("Not found", 404)
+        rel = path.lstrip("/") or "index.html"
+        full = os.path.realpath(os.path.join(root, rel))
+        if not full.startswith(os.path.realpath(root)):
+            return self._error("Forbidden", 403)
+        if os.path.isdir(full):
+            full = os.path.join(full, "index.html")
+        if not os.path.isfile(full):
+            return self._error("Not found", 404)
+        ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+        with open(full, "rb") as f:
+            self._respond(200, f.read(), content_type=ctype)
+
+
+def make_server(data_folder: Optional[str] = None,
+                load_existing: bool = True) -> Server:
+    srv = Server(data_folder)
+    if load_existing:
+        for path in glob.glob(os.path.join(srv.data_folder, "*.dat")):
+            name = srv.file_to_collection_name(path)
+            log.info("Loading collection from file: %s", path)
+            srv.collections[name] = Collection(_open_existing(path))
+    return srv
+
+
+def run_server(srv: Optional[Server] = None,
+               host_port: Optional[str] = None) -> None:
+    """RunServer analog (main.go:10-63); blocks."""
+    srv = srv or make_server()
+    hp = host_port or config.global_config.syzgy_host
+    host, _, port = hp.rpartition(":")
+    handler = type("BoundHandler", (_Handler,), {"srv": srv})
+    httpd = ThreadingHTTPServer((host or "0.0.0.0", int(port)), handler)
+    log.info("Starting server on %s", hp)
+    httpd.serve_forever()
+
+
+def make_http_server(srv: Server, host: str = "127.0.0.1",
+                     port: int = 0) -> ThreadingHTTPServer:
+    """Non-blocking variant for tests; returns the bound server object."""
+    handler = type("BoundHandler", (_Handler,), {"srv": srv})
+    return ThreadingHTTPServer((host, port), handler)

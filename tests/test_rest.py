@@ -1,0 +1,266 @@
+"""REST API tests mirroring rest_test.go: handler-level coverage with a mock
+embedder (the reference swaps the package-level embedText var —
+rest_test.go:331-343; we swap server.embedding.embed_text)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from syzgydb_tpu.server import config as cfg_mod
+from syzgydb_tpu.server import embedding as emb_mod
+from syzgydb_tpu.server import rest as rest_mod
+
+
+def mock_embed(texts, use_cache):
+    """Deterministic fake embedding: hash of text -> 4-d unit-ish vector."""
+    out = []
+    for t in texts:
+        h = abs(hash(t))
+        out.append([((h >> (8 * i)) % 256) / 256.0 for i in range(4)])
+    return out
+
+
+@pytest.fixture
+def server(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        cfg_mod, "global_config",
+        cfg_mod.Config(data_folder=str(tmp_path), html_root=""))
+    monkeypatch.setattr(emb_mod, "embed_text", mock_embed)
+    srv = rest_mod.make_server(str(tmp_path))
+    httpd = rest_mod.make_http_server(srv)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+    for c in srv.collections.values():
+        c.close()
+
+
+def req(base, method, path, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    r = urllib.request.Request(base + path, data=data, method=method,
+                               headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(r) as resp:
+            return resp.status, json.loads(resp.read() or b"null")
+    except urllib.error.HTTPError as exc:
+        return exc.code, exc.read().decode()
+
+
+def make_coll(base, name="test", dims=4, quant=8, dist="cosine"):
+    return req(base, "POST", "/api/v1/collections", {
+        "name": name, "vector_size": dims, "quantization": quant,
+        "distance_function": dist})
+
+
+def test_create_list_info_delete_collection(server):
+    code, body = make_coll(server)
+    assert code == 201
+    assert body["collection_name"] == "test"
+
+    # duplicate -> 400
+    code, _ = make_coll(server)
+    assert code == 400
+
+    # invalid distance -> 400
+    code, _ = req(server, "POST", "/api/v1/collections",
+                  {"name": "x", "vector_size": 4, "quantization": 8,
+                   "distance_function": "manhattan"})
+    assert code == 400
+
+    code, listing = req(server, "GET", "/api/v1/collections")
+    assert code == 200
+    assert [c["name"] for c in listing] == ["test"]
+    assert listing[0]["quantization"] == 8
+
+    code, info = req(server, "GET", "/api/v1/collections/test")
+    assert code == 200
+    assert info["dimension_count"] == 4
+    assert info["distance_method"] == "cosine"
+
+    code, body = req(server, "DELETE", "/api/v1/collections/test")
+    assert code == 200
+    # deleting a missing collection still returns 200 (rest.go:190-195)
+    code, body = req(server, "DELETE", "/api/v1/collections/test")
+    assert code == 200
+    assert body["message"] == "Collection did not exist."
+
+    code, _ = req(server, "GET", "/api/v1/collections/test")
+    assert code == 404
+
+
+def test_insert_search_roundtrip(server):
+    make_coll(server, dims=4)
+    records = [{"id": i, "vector": [i / 10, 0.5, -0.5, 0.1],
+                "metadata": {"tag": f"t{i}"}} for i in range(20)]
+    code, _ = req(server, "POST", "/api/v1/collections/test/records", records)
+    assert code == 201
+
+    code, res = req(server, "POST", "/api/v1/collections/test/search",
+                    {"vector": [0.05, 0.5, -0.5, 0.1], "k": 3})
+    assert code == 200
+    assert len(res["results"]) == 3
+    assert "percent_searched" in res and "search_time" in res \
+        and "embedding_time" in res
+    assert res["results"][0]["metadata"]["tag"].startswith("t")
+    d = [r["distance"] for r in res["results"]]
+    assert d == sorted(d)
+
+
+def test_insert_with_text_embedding(server):
+    make_coll(server, dims=4)
+    code, _ = req(server, "POST", "/api/v1/collections/test/records",
+                  [{"id": 1, "text": "hello world", "metadata": {}}])
+    assert code == 201
+    code, res = req(server, "POST", "/api/v1/collections/test/search",
+                    {"text": "hello world", "k": 1})
+    assert code == 200
+    assert res["results"][0]["id"] == 1
+    assert res["results"][0]["distance"] < 1e-3
+
+
+def test_insert_requires_vector_or_text(server):
+    make_coll(server, dims=4)
+    code, msg = req(server, "POST", "/api/v1/collections/test/records",
+                    [{"id": 1, "metadata": {}}])
+    assert code == 400
+    # single-object body (not array) rejected (rest.go:238-245 quirk)
+    code, _ = req(server, "POST", "/api/v1/collections/test/records",
+                  {"id": 1, "vector": [0, 0, 0, 0]})
+    assert code == 400
+
+
+def test_update_and_delete_record(server):
+    make_coll(server, dims=4)
+    req(server, "POST", "/api/v1/collections/test/records",
+        [{"id": 5, "vector": [0.1, 0.2, 0.3, 0.4], "metadata": {"a": "1"}}])
+
+    code, body = req(server, "PUT",
+                     "/api/v1/collections/test/records/5/metadata",
+                     {"metadata": {"a": "2"}})
+    assert code == 200 and body["id"] == 5
+    code, res = req(server, "POST", "/api/v1/collections/test/search",
+                    {"k": 1, "vector": [0.1, 0.2, 0.3, 0.4]})
+    assert res["results"][0]["metadata"] == {"a": "2"}
+
+    code, _ = req(server, "PUT",
+                  "/api/v1/collections/test/records/99/metadata",
+                  {"metadata": {}})
+    assert code == 404
+
+    code, body = req(server, "DELETE", "/api/v1/collections/test/records/5")
+    assert code == 200
+    code, _ = req(server, "DELETE", "/api/v1/collections/test/records/5")
+    assert code == 404
+
+
+def test_ids_endpoint(server):
+    make_coll(server, dims=4)
+    req(server, "POST", "/api/v1/collections/test/records",
+        [{"id": i, "vector": [0, 0, 0, 0.1]} for i in (3, 1, 2)])
+    code, ids = req(server, "GET", "/api/v1/collections/test/ids")
+    assert code == 200
+    assert ids == [1, 2, 3]
+
+
+def test_filtered_search(server):
+    make_coll(server, dims=4)
+    recs = [{"id": i, "vector": [i / 20, 0.1, 0.1, 0.1],
+             "metadata": {"kind": "even" if i % 2 == 0 else "odd"}}
+            for i in range(10)]
+    req(server, "POST", "/api/v1/collections/test/records", recs)
+    code, res = req(server, "POST", "/api/v1/collections/test/search",
+                    {"vector": [0.0, 0.1, 0.1, 0.1], "k": 20,
+                     "filter": "kind == 'odd'"})
+    assert code == 200
+    assert len(res["results"]) == 5
+    assert all(r["id"] % 2 == 1 for r in res["results"])
+    # invalid filter -> 400
+    code, _ = req(server, "POST", "/api/v1/collections/test/search",
+                  {"vector": [0, 0, 0, 0], "k": 1, "filter": "=="})
+    assert code == 400
+
+
+def test_pagination_list_mode(server):
+    """limit/offset matrix over the ID-ordered listing (rest_test.go:140-148)."""
+    make_coll(server, dims=4)
+    req(server, "POST", "/api/v1/collections/test/records",
+        [{"id": i, "vector": [0, 0, 0, 0.1]} for i in range(1, 6)])
+    for offset, limit, want in [
+        (0, 2, [1, 2]),
+        (2, 2, [3, 4]),
+        (4, 2, [5]),
+        (0, 0, [1, 2, 3, 4, 5]),
+    ]:
+        code, res = req(server, "POST", "/api/v1/collections/test/search",
+                        {"offset": offset, "limit": limit})
+        assert code == 200
+        assert [r["id"] for r in res["results"]] == want
+
+
+def test_search_get_method(server):
+    make_coll(server, dims=4)
+    req(server, "POST", "/api/v1/collections/test/records",
+        [{"id": 1, "text": "alpha"}])
+    code, res = req(server, "GET",
+                    "/api/v1/collections/test/search?text=alpha&k=1")
+    assert code == 200
+    assert res["results"][0]["id"] == 1
+
+
+def test_search_on_missing_collection(server):
+    code, _ = req(server, "POST", "/api/v1/collections/none/search",
+                  {"k": 1, "vector": [0, 0, 0, 0]})
+    assert code == 404
+
+
+def test_persistence_across_server_restart(server, tmp_path):
+    make_coll(server, dims=4)
+    req(server, "POST", "/api/v1/collections/test/records",
+        [{"id": 7, "vector": [0.1, 0.2, 0.3, 0.4], "metadata": {"x": "y"}}])
+    srv2 = rest_mod.make_server(str(tmp_path))
+    assert "test" in srv2.collections
+    assert srv2.collections["test"].get_document(7).metadata == b'{"x": "y"}'
+    for c in srv2.collections.values():
+        c.close()
+
+
+def test_embedding_cache_lru():
+    cache = emb_mod.LRUCache(capacity=2)
+    cache.put("a", [1.0])
+    cache.put("b", [2.0])
+    assert cache.get("a") == [1.0]
+    cache.put("c", [3.0])  # evicts LRU ("b")
+    assert cache.get("b") is None
+    assert cache.get("a") == [1.0]
+    assert cache.get("c") == [3.0]
+
+
+def test_search_uses_cache_inserts_dont(server, monkeypatch):
+    calls = []
+
+    def counting_embed(texts, use_cache):
+        calls.append((tuple(texts), use_cache))
+        if use_cache:
+            cached = [emb_mod.embedding_cache.get(t) for t in texts]
+            if all(c is not None for c in cached):
+                return cached
+        out = mock_embed(texts, use_cache)
+        if use_cache:
+            for t, e in zip(texts, out):
+                emb_mod.embedding_cache.put(t, e)
+        return out
+
+    monkeypatch.setattr(emb_mod, "embed_text", counting_embed)
+    make_coll(server, dims=4)
+    req(server, "POST", "/api/v1/collections/test/records",
+        [{"id": 1, "text": "q"}])
+    assert calls[-1][1] is False  # inserts bypass the cache
+    req(server, "POST", "/api/v1/collections/test/search",
+        {"text": "q", "k": 1})
+    assert calls[-1][1] is True  # searches use it

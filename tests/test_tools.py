@@ -1,0 +1,100 @@
+"""Export/Import round-trip and dump tests (dump_test.go:11-297 analog)."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from syzgydb_tpu import Collection, CollectionOptions, SearchArgs, COSINE
+from syzgydb_tpu.tools.dump import dump_index, export_json, import_json
+
+
+@pytest.mark.parametrize("quant", [64, 32, 8])
+def test_export_import_roundtrip(tmp_path, rng, quant):
+    src = str(tmp_path / "src.dat")
+    dst = str(tmp_path / "dst.dat")
+    c = Collection(CollectionOptions(
+        name=src, distance_method=COSINE, dimension_count=6,
+        quantization=quant, create_and_overwrite=True, index_seed=5))
+    vecs = rng.uniform(-1, 1, size=(25, 6))
+    c.add_documents(list(range(25)), vecs,
+                    [json.dumps({"i": i, "tag": ["a", "b"]}).encode()
+                     for i in range(25)])
+
+    buf = io.StringIO()
+    export_json(c, buf)
+    exported = json.loads(buf.getvalue())
+    assert exported["collection"]["quantization"] == quant
+    assert len(exported["records"]) == 25
+
+    c2 = import_json(dst, io.StringIO(buf.getvalue()))
+    assert c2.quantization == quant
+    assert c2.metric == "cosine"
+    assert c2.get_document_count() == 25
+    for i in range(25):
+        d1, d2 = c.get_document(i), c2.get_document(i)
+        # vectors go through a float JSON round-trip; quantized values match
+        np.testing.assert_allclose(d2.vector, d1.vector, atol=1e-12)
+        assert json.loads(d2.metadata) == json.loads(d1.metadata)
+
+    # reopen the imported collection from disk
+    c2.close()
+    c3 = Collection(CollectionOptions(name=dst, dimension_count=6))
+    assert c3.get_document_count() == 25
+    c3.close()
+    c.close()
+
+
+def test_export_empty_collection(tmp_path):
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "e.dat"), dimension_count=3,
+        create_and_overwrite=True))
+    buf = io.StringIO()
+    export_json(c, buf)
+    data = json.loads(buf.getvalue())
+    assert data["records"] == []
+    c.close()
+
+
+def test_dump_index_output(tmp_path, rng):
+    p = str(tmp_path / "d.dat")
+    c = Collection(CollectionOptions(name=p, dimension_count=3,
+                                     create_and_overwrite=True))
+    c.add_document(1, [0.1, 0.2, 0.3], b'{"x": 1}')
+    c.add_document(2, [0.4, 0.5, 0.6], b'{}')
+    c.remove_document(2)
+    c.close()
+    buf = io.StringIO()
+    dump_index(p, buf)
+    out = buf.getvalue()
+    assert "magic=SYZL" in out
+    assert "id=''" in out          # options record
+    assert "id='1'" in out
+    assert "TOMBSTONE" in out      # deletion marker for id 2
+    assert "BAD" not in out        # all CRCs valid
+
+
+def test_cli_dump_export_import(tmp_path, rng, capsys):
+    from syzgydb_tpu.tools.cli import main
+    src = str(tmp_path / "src.dat")
+    c = Collection(CollectionOptions(name=src, dimension_count=3,
+                                     create_and_overwrite=True))
+    c.add_document(1, [0.1, 0.2, 0.3], b'{"x": 1}')
+    c.close()
+
+    assert main(["--dump", src, "--data-folder", str(tmp_path)]) == 0
+    assert "RECORD" in capsys.readouterr().out
+
+    assert main(["--export", src, "--data-folder", str(tmp_path)]) == 0
+    exported = capsys.readouterr().out
+    assert json.loads(exported)["records"][0]["id"] == 1
+
+    exp_file = tmp_path / "exp.json"
+    exp_file.write_text(exported)
+    dst = str(tmp_path / "dst.dat")
+    assert main(["--import", str(exp_file), "--output", dst,
+                 "--data-folder", str(tmp_path)]) == 0
+    c2 = Collection(CollectionOptions(name=dst, dimension_count=3))
+    assert c2.get_document_count() == 1
+    c2.close()
