@@ -42,6 +42,24 @@ from typing import Iterator
 
 log = logging.getLogger("syzgydb.storage")
 
+
+def _native_scan(data: bytes):
+    """Native recovery scan; None -> pure-Python fallback."""
+    try:
+        from ..native import scan
+        return scan(data)
+    except Exception:
+        return None
+
+
+def _native_encode_batch(first_seq: int, flags: int, ids: list[bytes],
+                         streams: list[list[bytes]]):
+    try:
+        from ..native import encode_batch
+        return encode_batch(first_seq, flags, ids, streams)
+    except Exception:
+        return None
+
 FILE_MAGIC = b"SYZL"
 REC_MAGIC = b"RC01"
 VERSION = 1
@@ -112,6 +130,26 @@ class SpanLog:
         data = self._f.read()
         if len(data) < _HDR.size or data[:4] != FILE_MAGIC:
             raise ValueError(f"{self.path}: not a syzgydb-tpu span log")
+        entries = _native_scan(data[_HDR.size:])
+        if entries is not None:
+            best: dict[str, tuple[int, int, int, bool]] = {}
+            for off, length, seq, flags, rec_id in entries:
+                off += _HDR.size
+                prev = best.get(rec_id)
+                if prev is None or seq > prev[0]:
+                    if prev is not None:
+                        self._garbage += prev[2]
+                    best[rec_id] = (seq, off, length,
+                                    bool(flags & _FLAG_TOMBSTONE))
+                else:
+                    self._garbage += length
+                self._max_seq = max(self._max_seq, seq)
+            for rec_id, (seq, off, length, dead) in best.items():
+                if dead:
+                    self._garbage += length
+                else:
+                    self._index[rec_id] = _Entry(seq, off, length, length)
+            return
         pos = _HDR.size
         best: dict[str, tuple[int, int, int, bool]] = {}  # id -> (seq, off, len, dead)
         total = len(data)
@@ -174,10 +212,30 @@ class SpanLog:
             self._maybe_compact()
 
     def write_many(self, items: list[tuple[str, list[bytes]]]) -> None:
-        """Bulk append: one buffered write + flush for the whole batch."""
+        """Bulk append: one buffered write + flush for the whole batch.
+        Uses the native C++ encoder when available (native/spanlog_core.cpp)."""
         with self._lock:
             self._f.seek(0, os.SEEK_END)
             offset = self._f.tell()
+            native = _native_encode_batch(self._max_seq + 1, 0,
+                                          [i.encode("utf-8") for i, _ in items],
+                                          [s for _, s in items])
+            if native is not None:
+                buf, offs, lens = native
+                for i, (rec_id, _) in enumerate(items):
+                    self._max_seq += 1
+                    old = self._index.get(rec_id)
+                    if old is not None:
+                        self._garbage += old.length
+                    self._index[rec_id] = _Entry(self._max_seq,
+                                                 offset + int(offs[i]),
+                                                 int(lens[i]), int(lens[i]))
+                self._f.write(buf)
+                self._f.flush()
+                if self.sync:
+                    os.fsync(self._f.fileno())
+                self._maybe_compact()
+                return
             chunks = []
             for rec_id, streams in items:
                 self._max_seq += 1
