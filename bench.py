@@ -66,13 +66,13 @@ def main() -> None:
     jax.block_until_ready(ann_step(qdev, qcodes))
     jax.block_until_ready(exact_step(qdev))
 
-    def timeit(fn, reps=5):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn())
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def timeit(fn, reps=20):
+        # time a whole block of reps to amortize dispatch + tunnel latency
+        jax.block_until_ready(fn())
+        t0 = time.perf_counter()
+        out = [fn() for _ in range(reps)]
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
 
     t_ann = timeit(lambda: ann_step(qdev, qcodes))
     t_exact = timeit(lambda: exact_step(qdev))

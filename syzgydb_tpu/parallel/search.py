@@ -133,7 +133,11 @@ def sharded_ann_topk(mesh: Mesh, qcodes, queries, codes, norms, hashes, valid,
             ham = ham + jax.lax.population_count(x).astype(jnp.int32)
         ham = jnp.where(v[None, :], ham, jnp.int32(1 << 30))
         budget = min(local_budget, n_local)
-        _, cand = jax.lax.top_k(-ham, budget)                 # (Q, B)
+        if budget > 128:
+            _, cand = jax.lax.approx_min_k(ham.astype(jnp.float32), budget,
+                                           recall_target=0.95)
+        else:
+            _, cand = jax.lax.top_k(-ham, budget)             # (Q, B)
         ccodes = jnp.take(c, cand, axis=0)                    # (Q, B, D_l)
         cnorms = jnp.take(nrm, cand, axis=0)
         cvalid = jnp.take(v, cand, axis=0)
