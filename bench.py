@@ -44,14 +44,16 @@ def main() -> None:
     qdev = jnp.asarray(queries)
 
     index = SignHashIndex(d, metric, MyRandom(7))
-    hashes = jnp.asarray(index.encode_batch(db))
+    # encode sketches straight from the HBM-resident codes: nothing large
+    # ever crosses the (slow) device<->host link
+    hashes = index.encode_codes_device(codes, bits)
     qcodes = jnp.asarray(index.encode_np(queries))
-    budget = 16384
 
     from syzgydb_tpu.index.hamming import hamming_candidates, rerank_topk
+    import functools
 
-    @jax.jit
-    def ann_step(qdev, qcodes):
+    @functools.partial(jax.jit, static_argnames=("budget",))
+    def ann_step(qdev, qcodes, budget):
         _, cand = hamming_candidates(qcodes, hashes, valid, budget,
                                      index.words)
         return rerank_topk(qdev, codes, norms, valid, cand, bits, metric, k)
@@ -62,10 +64,6 @@ def main() -> None:
                                     exact=False)
         return dist_ops.top_k_smallest(dist, k)
 
-    # warmup/compile
-    jax.block_until_ready(ann_step(qdev, qcodes))
-    jax.block_until_ready(exact_step(qdev))
-
     def timeit(fn, reps=20):
         # time a whole block of reps to amortize dispatch + tunnel latency
         jax.block_until_ready(fn())
@@ -74,18 +72,27 @@ def main() -> None:
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / reps
 
-    t_ann = timeit(lambda: ann_step(qdev, qcodes))
     t_exact = timeit(lambda: exact_step(qdev))
-    qps_ann = q_batch / t_ann
     qps_exact = q_batch / t_exact
+    _, eidx = exact_step(qdev)
+    eidx = np.asarray(eidx)
 
-    # recall@10 of the ANN path vs the device exact scan
-    ed, eidx = exact_step(qdev)
-    ad, aidx = ann_step(qdev, qcodes)
-    eidx, aidx = np.asarray(eidx), np.asarray(aidx)
-    recall = float(np.mean([
-        len(set(eidx[i].tolist()) & set(aidx[i].tolist())) / k
-        for i in range(q_batch)]))
+    def recall_of(aidx):
+        return float(np.mean([
+            len(set(eidx[i].tolist()) & set(aidx[i].tolist())) / k
+            for i in range(q_batch)]))
+
+    # budget sweep: report the fastest config reaching recall@10 >= 0.90
+    sweep = []
+    for budget in (2048, 8192, 16384):
+        t = timeit(lambda: ann_step(qdev, qcodes, budget))
+        _, aidx = ann_step(qdev, qcodes, budget)
+        sweep.append({"budget": budget, "qps": q_batch / t,
+                      "recall": recall_of(np.asarray(aidx))})
+    good = [s for s in sweep if s["recall"] >= 0.90]
+    chosen = max(good, key=lambda s: s["qps"]) if good else \
+        max(sweep, key=lambda s: s["recall"])
+    qps_ann, recall, budget = chosen["qps"], chosen["recall"], chosen["budget"]
 
     # host NumPy/BLAS baseline on a 100k subsample, scaled to 1M
     sub = 100_000
@@ -106,6 +113,8 @@ def main() -> None:
         "qps_exact_scan": round(qps_exact, 2),
         "percent_searched": round(budget / n * 100, 2),
         "baseline_host_numpy_qps": round(qps_host, 2),
+        "budget_sweep": [{k2: round(v, 4) for k2, v in s.items()}
+                         for s in sweep],
     }))
 
 

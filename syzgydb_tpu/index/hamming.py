@@ -167,10 +167,26 @@ class SignHashIndex:
 
     def encode_batch(self, vectors_f32: np.ndarray) -> np.ndarray:
         """Device path for bulk (re)encoding; returns host uint32 array."""
-        out = _encode_device(jnp.asarray(np.float32(np.atleast_2d(vectors_f32))),
-                             jnp.asarray(self.planes),
-                             jnp.asarray(self.offsets))
-        return np.asarray(out)
+        return np.asarray(self.encode_batch_device(vectors_f32))
+
+    def encode_batch_device(self, vectors_f32) -> jnp.ndarray:
+        """Bulk encode, result stays on device (device->host transfers can be
+        orders of magnitude slower than compute on tunneled TPU setups)."""
+        return _encode_device(jnp.asarray(vectors_f32, dtype=jnp.float32),
+                              jnp.asarray(self.planes),
+                              jnp.asarray(self.offsets))
+
+    def encode_codes_device(self, device_codes, bits: int) -> jnp.ndarray:
+        """Encode directly from the HBM-resident quantized codes: dequantize
+        on device, project, pack — no float copy of the DB ever leaves HBM."""
+        codes = jnp.asarray(device_codes)
+        if bits in (32, 64):
+            vecs = codes.astype(jnp.float32)
+        else:
+            scale, offset = qz.affine_constants(bits)
+            vecs = codes.astype(jnp.float32) * scale + offset
+        return _encode_device(vecs, jnp.asarray(self.planes),
+                              jnp.asarray(self.offsets))
 
     # -- calibration -------------------------------------------------------
 

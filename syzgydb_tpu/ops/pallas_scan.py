@@ -1,0 +1,151 @@
+"""Fused distance-scan Pallas kernel.
+
+The XLA path (ops/distance.score_block + top_k) materializes the (Q, N)
+score matrix in HBM — an extra write+read of Q*N*4 bytes on top of the
+mandatory codes read.  This kernel tiles the database over a 1-D grid of row
+blocks and, per block: streams the packed codes into VMEM, runs the
+(Q, D) x (D, block_n) contraction on the MXU, applies the distance epilogue
+on the VPU, and reduces to a per-block top-k in VMEM via K selection passes.
+Only (nblocks, Q, K) winners ever reach HBM; a tiny final top-k merges them.
+
+Supported on TPU; every call site falls back to the XLA path on other
+backends (and under jit tracing on CPU test meshes).
+
+HBM traffic per query batch: N*D bytes of codes + N*4 norms + negligible
+winner writes — the speed-of-light minimum for an exhaustive scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import quantize as qz
+
+DEFAULT_BLOCK_N = 2048
+
+
+def _topk_select(scores, k):
+    """(Q, B) -> (vals (Q,k), idx (Q,k)) ascending, via k selection passes.
+
+    lax.top_k does not lower inside Pallas TPU kernels; k passes of
+    min+argmin on VMEM-resident scores are cheap for k <= ~64.
+    """
+    q, b = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (q, b), dimension=1)
+    vals = []
+    idxs = []
+    cur = scores
+    for _ in range(k):
+        m = jnp.min(cur, axis=1, keepdims=True)              # (Q, 1)
+        is_min = cur == m
+        # first column index achieving the min
+        first = jnp.min(jnp.where(is_min, col, b), axis=1, keepdims=True)
+        vals.append(m)
+        idxs.append(first)
+        cur = jnp.where(col == first, jnp.inf, cur)
+    return (jnp.concatenate(vals, axis=1),
+            jnp.concatenate(idxs, axis=1).astype(jnp.int32))
+
+
+def _scan_kernel(q_ref, codes_ref, norms_ref, valid_ref, vals_ref, idx_ref,
+                 *, bits, metric, k, block_n):
+    i = pl.program_id(0)
+    codes = codes_ref[:]                                     # (block_n, D)
+    queries = q_ref[:]                                       # (Q, D)
+    if bits in (4, 8):
+        raw = jnp.dot(queries.astype(jnp.bfloat16),
+                      codes.astype(jnp.bfloat16).T,
+                      preferred_element_type=jnp.float32)
+    else:
+        raw = jnp.dot(queries, codes.astype(jnp.float32).T,
+                      preferred_element_type=jnp.float32)
+    if bits in (4, 8, 16):
+        scale, offset = qz.affine_constants(bits)
+        qsum = jnp.sum(queries, axis=-1, keepdims=True)
+        dots = scale * raw + offset * qsum
+    else:
+        dots = raw
+    norms = norms_ref[:][:, 0]                               # (block_n,)
+    if metric == "euclidean":
+        qn2 = jnp.sum(queries * queries, axis=-1, keepdims=True)
+        dist = jnp.sqrt(jnp.maximum(qn2 - 2.0 * dots + norms[None, :], 0.0))
+    else:
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
+        vn = jnp.sqrt(norms)[None, :]
+        denom = qn * vn
+        cos = jnp.where(denom > 0.0, dots / jnp.where(denom > 0.0, denom,
+                                                      1.0), 1.0)
+        dist = jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / jnp.pi
+        dist = jnp.where((qn == 0.0) | (vn == 0.0), 1.0, dist)
+    dist = jnp.where(valid_ref[:][:, 0][None, :] > 0, dist, jnp.inf)
+    vals, idx = _topk_select(dist, k)
+    vals_ref[0] = vals
+    idx_ref[0] = idx + i * block_n
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "metric", "k", "block_n",
+                                             "interpret"))
+def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
+                    k: int, block_n: int = DEFAULT_BLOCK_N,
+                    interpret: bool = False):
+    """Exhaustive fused scan -> (dist (Q, k) ascending, rows (Q, k)).
+
+    N must be a multiple of block_n (the column store pads capacity;
+    padding rows carry valid=False).
+    """
+    n, d = codes.shape
+    q = queries.shape[0]
+    assert n % block_n == 0, (n, block_n)
+    nblocks = n // block_n
+    kk = min(k, block_n)
+
+    grid_spec = pl.GridSpec(
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, q, kk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, kk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    kernel = functools.partial(_scan_kernel, bits=bits, metric=metric, k=kk,
+                               block_n=block_n)
+    block_vals, block_idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, q, kk), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks, q, kk), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * d * n, transcendentals=0,
+            bytes_accessed=n * d + 4 * n + 4 * q * d),
+        interpret=interpret,
+    )(queries.astype(jnp.float32), codes, norms[:, None],
+      valid.astype(jnp.float32)[:, None])
+
+    # merge: (nblocks, Q, kk) -> (Q, nblocks*kk) -> top-k
+    va = jnp.moveaxis(block_vals, 0, 1).reshape(q, nblocks * kk)
+    ia = jnp.moveaxis(block_idx, 0, 1).reshape(q, nblocks * kk)
+    neg, pos = jax.lax.top_k(-va, min(k, va.shape[1]))
+    return -neg, jnp.take_along_axis(ia, pos, axis=1)
+
+
+def supported() -> bool:
+    return jax.default_backend() in ("tpu", "axon") or \
+        any(d.platform in ("tpu", "axon") for d in jax.devices())
