@@ -12,9 +12,14 @@ decode+distance Go loop, so the reported ratio is conservative.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -29,15 +34,30 @@ def main() -> None:
     n, d, bits, metric, k, q_batch = 1_000_000, 384, 8, "cosine", 10, 64
     rng = np.random.default_rng(12345)
 
-    db = rng.standard_normal((n, d), dtype=np.float32)
-    db /= np.linalg.norm(db, axis=1, keepdims=True)
-    queries = db[rng.integers(0, n, size=q_batch)] + \
-        0.1 * rng.standard_normal((q_batch, d), dtype=np.float32)
-
-    codes_np = qz.codes_to_device_repr(db, bits)
-    norms_np = dist_ops.db_row_stats(codes_np, bits)
+    import os
+    cache = f"/tmp/syzgydb_bench_{n}x{d}_{bits}b.npz"
+    if os.path.exists(cache):
+        _log("bench: loading cached dataset")
+        blob = np.load(cache)
+        db, queries = blob["db"], blob["queries"]
+        codes_np, norms_np = blob["codes"], blob["norms"]
+    else:
+        _log("bench: generating data")
+        db = rng.standard_normal((n, d), dtype=np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        queries = db[rng.integers(0, n, size=q_batch)] + \
+            0.1 * rng.standard_normal((q_batch, d), dtype=np.float32)
+        _log("bench: quantizing")
+        codes_np = qz.codes_to_device_repr(db, bits)
+        norms_np = dist_ops.db_row_stats(codes_np, bits)
+        try:
+            np.savez(cache, db=db, queries=queries, codes=codes_np,
+                     norms=norms_np)
+        except OSError:
+            pass  # disk-constrained host: just regenerate next time
     valid_np = np.ones(n, dtype=bool)
 
+    _log("bench: uploading")
     codes = jnp.asarray(codes_np)
     norms = jnp.asarray(norms_np)
     valid = jnp.asarray(valid_np)
@@ -46,19 +66,23 @@ def main() -> None:
     index = SignHashIndex(d, metric, MyRandom(7))
     # encode sketches straight from the HBM-resident codes: nothing large
     # ever crosses the (slow) device<->host link
+    _log("bench: encoding sketches on device")
     hashes = index.encode_codes_device(codes, bits)
+    jax.block_until_ready(hashes)
+    _log("bench: sketches done")
     qcodes = jnp.asarray(index.encode_np(queries))
 
     from syzgydb_tpu.index.hamming import hamming_candidates, rerank_topk
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("budget",))
+    # NOTE: deliberately NOT wrapped in an outer jit — the inner functions
+    # are jitted already, and re-jitting the fused program triggers a
+    # pathologically slow local XLA compile on this single-core host.
     def ann_step(qdev, qcodes, budget):
         _, cand = hamming_candidates(qcodes, hashes, valid, budget,
                                      index.words)
         return rerank_topk(qdev, codes, norms, valid, cand, bits, metric, k)
 
-    @jax.jit
     def exact_step(qdev):
         dist = dist_ops.score_block(qdev, codes, norms, valid, bits, metric,
                                     exact=False)
@@ -72,7 +96,9 @@ def main() -> None:
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / reps
 
+    _log("bench: timing exact scan")
     t_exact = timeit(lambda: exact_step(qdev))
+    _log(f"bench: exact {t_exact*1000:.1f}ms/batch")
     qps_exact = q_batch / t_exact
     _, eidx = exact_step(qdev)
     eidx = np.asarray(eidx)
@@ -85,6 +111,7 @@ def main() -> None:
     # budget sweep: report the fastest config reaching recall@10 >= 0.90
     sweep = []
     for budget in (2048, 8192, 16384):
+        _log(f"bench: timing ann budget={budget}")
         t = timeit(lambda: ann_step(qdev, qcodes, budget))
         _, aidx = ann_step(qdev, qcodes, budget)
         sweep.append({"budget": budget, "qps": q_batch / t,
@@ -95,6 +122,7 @@ def main() -> None:
     qps_ann, recall, budget = chosen["qps"], chosen["recall"], chosen["budget"]
 
     # host NumPy/BLAS baseline on a 100k subsample, scaled to 1M
+    _log("bench: host baseline")
     sub = 100_000
     host_db = db[:sub]
     t0 = time.perf_counter()

@@ -182,6 +182,7 @@ class Collection:
         self._dev: dict | None = None
         self._hashes_stale = False
         self._closed = False
+        self._mesh = None
 
         if existed:
             self._replay()
@@ -313,17 +314,48 @@ class Collection:
 
     # -- device cache ------------------------------------------------------
 
+    def use_mesh(self, mesh) -> None:
+        """Shard this collection's columns over a jax.sharding.Mesh with a
+        'data' axis (vector axis N sharded per-device; searches run as
+        shard_map kernels with collective top-k merges — parallel/search.py).
+        Pass None to return to single-device placement."""
+        if mesh is not None:
+            if "data" not in mesh.shape:
+                raise ValueError("mesh must have a 'data' axis")
+            if mesh.shape.get("feature", 1) != 1:
+                raise ValueError(
+                    "collection-integrated meshes shard only the N axis; "
+                    "use parallel.search directly for feature sharding")
+        self._mesh = mesh
+        self._dev = None
+        self._dev_version = -1
+
     def _device_state(self) -> dict:
         """Upload columns to HBM if the mutation generation changed."""
         if self._hashes_stale and len(self.columns) >= MIN_INDEX_SIZE:
             self._rebuild_index()
         if self._dev is None or self._dev_version != self.columns.version:
-            self._dev = {
-                "codes": jnp.asarray(self.columns.codes),
-                "norms": jnp.asarray(self.columns.norms),
-                "valid": jnp.asarray(self.columns.valid),
-                "hashes": jnp.asarray(self.columns.hashes),
-            }
+            if self._mesh is not None:
+                import jax
+                from ..parallel import mesh as mesh_mod
+                row = mesh_mod.row_sharding(self._mesh)
+                row1 = mesh_mod.row_only_sharding(self._mesh)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self._dev = {
+                    "codes": jax.device_put(self.columns.codes, row),
+                    "norms": jax.device_put(self.columns.norms, row1),
+                    "valid": jax.device_put(self.columns.valid, row1),
+                    "hashes": jax.device_put(
+                        self.columns.hashes,
+                        NamedSharding(self._mesh, P("data", None))),
+                }
+            else:
+                self._dev = {
+                    "codes": jnp.asarray(self.columns.codes),
+                    "norms": jnp.asarray(self.columns.norms),
+                    "valid": jnp.asarray(self.columns.valid),
+                    "hashes": jnp.asarray(self.columns.hashes),
+                }
             self._dev_version = self.columns.version
         return self._dev
 
@@ -376,38 +408,79 @@ class Collection:
             budget = min(max(self.options.search_budget,
                              4 * max(args.k, 1)), self.columns.capacity)
             qcode = jnp.asarray(self.index.encode_np(np.float32(qvec)))
-            _, cand = hamming.hamming_candidates(
-                qcode, dev["hashes"], valid, budget, self.index.words)
             searched = min(budget, n_passing)
+
+            if self._mesh is not None:
+                from ..parallel import search as psearch
+                shards = self._mesh.shape["data"]
+
+                def ann_topk(kk):
+                    return psearch.sharded_ann_topk(
+                        self._mesh, qcode, queries, dev["codes"],
+                        dev["norms"], dev["hashes"], valid,
+                        bits=self.quantization, metric=self.metric, k=kk,
+                        local_budget=max(1, budget // shards),
+                        words=self.index.words)
+            else:
+                cand = None
+
+                def ann_topk(kk):
+                    nonlocal cand
+                    if cand is None:
+                        _, cand = hamming.hamming_candidates(
+                            qcode, dev["hashes"], valid, budget,
+                            self.index.words)
+                    return hamming.rerank_topk(
+                        queries, dev["codes"], dev["norms"], valid, cand,
+                        self.quantization, self.metric, kk)
+
             if args.radius > 0:
-                dist, rows = hamming.rerank_topk(
-                    queries, dev["codes"], dev["norms"], valid, cand,
-                    self.quantization, self.metric, budget)
+                dist, rows = ann_topk(budget)
                 return self._radius_results(dist, rows, args.radius,
                                             searched, n_records)
             k = min(args.k, n_passing) if n_passing else 0
             if k == 0:
                 return SearchResults([], self._pct(searched, n_records))
-            dist, rows = hamming.rerank_topk(
-                queries, dev["codes"], dev["norms"], valid, cand,
-                self.quantization, self.metric, k)
+            dist, rows = ann_topk(k)
             return self._knn_results(dist, rows, k, searched, n_records)
 
         # exhaustive fused scan (mode (b), and small-N medium)
-        dists = dist_ops.score_block(queries, dev["codes"], dev["norms"],
-                                     valid, self.quantization, self.metric,
-                                     exact=(precision == "exact"))
         searched = n_passing
+        exact = precision == "exact"
+
+        if self._mesh is not None:
+            from ..parallel import search as psearch
+
+            def exact_topk(kk):
+                return psearch.sharded_exact_topk(
+                    self._mesh, queries, dev["codes"], dev["norms"], valid,
+                    bits=self.quantization, metric=self.metric, k=kk,
+                    exact=exact)
+        else:
+            def exact_topk(kk):
+                dists = dist_ops.score_block(
+                    queries, dev["codes"], dev["norms"], valid,
+                    self.quantization, self.metric, exact=exact)
+                return dist_ops.top_k_smallest(dists, kk)
+
         if args.radius > 0:
-            row_d = np.asarray(dists[0])
-            hit = np.flatnonzero(row_d <= args.radius)
-            order = hit[np.argsort(row_d[hit], kind="stable")]
-            results = [self._mk_result(r, float(row_d[r])) for r in order]
-            return SearchResults(results, self._pct(searched, n_records))
+            # bounded top-k with escalation: never pulls the full (Q, N)
+            # distance matrix across the (slow) device->host link
+            kk = min(1024, n_passing)
+            while True:
+                dist, rows = exact_topk(kk)
+                d0 = np.asarray(dist[0])
+                finite = d0[np.isfinite(d0)]
+                if kk >= n_passing or len(finite) < kk or \
+                        (len(finite) and finite[-1] > args.radius):
+                    break
+                kk = min(kk * 4, n_passing)
+            return self._radius_results(dist, rows, args.radius, searched,
+                                        n_records)
         k = min(args.k, n_passing)
         if k == 0:
             return SearchResults([], self._pct(searched, n_records))
-        dist, rows = dist_ops.top_k_smallest(dists, k)
+        dist, rows = exact_topk(k)
         return self._knn_results(dist, rows, k, searched, n_records)
 
     # -- result assembly ---------------------------------------------------

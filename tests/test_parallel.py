@@ -97,3 +97,55 @@ def test_invalid_rows_never_returned(rng):
         m, jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
         jnp.asarray(valid), bits=32, metric="euclidean", k=20, exact=True)
     assert all(r % 2 == 1 for r in np.asarray(rows).ravel())
+
+
+def test_collection_on_mesh_matches_single_device(tmp_path, rng):
+    """Collection.use_mesh: sharded searches agree with single-device."""
+    from syzgydb_tpu import Collection, CollectionOptions, SearchArgs, COSINE
+
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "m.dat"), distance_method=COSINE,
+        dimension_count=16, quantization=8, create_and_overwrite=True,
+        index_seed=3))
+    n = 3000
+    vecs = rng.standard_normal((n, 16))
+    c.add_documents(list(range(n)), vecs, [b"{}"] * n)
+    q = rng.standard_normal(16)
+
+    single_exact = c.search(SearchArgs(vector=q, k=10, precision="exact"))
+    single_med = c.search(SearchArgs(vector=q, k=10))
+    single_rad = c.search(SearchArgs(vector=q, radius=0.4, precision="exact"))
+
+    mesh = mesh_mod.make_mesh(mesh_mod.MeshConfig(data=8, feature=1))
+    c.use_mesh(mesh)
+    sharded_exact = c.search(SearchArgs(vector=q, k=10, precision="exact"))
+    sharded_med = c.search(SearchArgs(vector=q, k=10))
+    sharded_rad = c.search(SearchArgs(vector=q, radius=0.4, precision="exact"))
+
+    assert [r.id for r in sharded_exact.results] == \
+        [r.id for r in single_exact.results]
+    assert {r.id for r in sharded_rad.results} == \
+        {r.id for r in single_rad.results}
+    # medium paths share the same sketch but differ in budget partitioning;
+    # require high agreement rather than identity
+    overlap = len({r.id for r in sharded_med.results} &
+                  {r.id for r in single_med.results})
+    assert overlap >= 8, overlap
+    c.close()
+
+
+def test_radius_escalation_returns_all(tmp_path, rng):
+    """Radius search must return every in-radius doc even past the first
+    1024-result bound (escalating top-k, no full-matrix pull)."""
+    from syzgydb_tpu import Collection, CollectionOptions, SearchArgs
+
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "r.dat"), dimension_count=4, quantization=32,
+        create_and_overwrite=True, index_seed=3))
+    n = 2000
+    vecs = rng.uniform(-0.01, 0.01, size=(n, 4))  # everything close together
+    c.add_documents(list(range(n)), vecs, [b"{}"] * n)
+    res = c.search(SearchArgs(vector=[0.0] * 4, radius=1.0,
+                              precision="exact"))
+    assert len(res.results) == n  # all within radius, beyond the 1024 bound
+    c.close()
