@@ -235,6 +235,7 @@ class Collection:
             self.index.calibrate(sample)
         codes = self.index.encode_batch(np.float32(vecs))
         self.columns.hashes[live] = codes
+        self.columns.dirty_all = True  # bulk hash rewrite: full re-upload
         self.columns.version += 1
         self._hashes_stale = False
 
@@ -331,10 +332,40 @@ class Collection:
         self._dev_version = -1
 
     def _device_state(self) -> dict:
-        """Upload columns to HBM if the mutation generation changed."""
+        """Sync columns to HBM if the mutation generation changed.
+
+        Streaming-ingest fast path: when capacity is unchanged and only a
+        bounded set of rows mutated since the last sync, apply them as
+        on-device scatter updates instead of re-uploading whole columns —
+        inserts/deletes interleaved with queries then cost O(dirty) transfer
+        per batch boundary (SURVEY.md §2.2, concurrent-workload row).
+        """
         if self._hashes_stale and len(self.columns) >= MIN_INDEX_SIZE:
             self._rebuild_index()
+        if self._dev is not None and self._dev_version != self.columns.version \
+                and self._mesh is None \
+                and self._dev["codes"].shape[0] == self.columns.capacity:
+            rows = self.columns.drain_dirty()
+            if rows is not None and len(rows) <= max(
+                    1024, self.columns.capacity // 8):
+                if len(rows):
+                    idx = jnp.asarray(rows)
+                    self._dev = {
+                        "codes": self._dev["codes"].at[idx].set(
+                            jnp.asarray(self.columns.codes[rows])),
+                        "norms": self._dev["norms"].at[idx].set(
+                            jnp.asarray(self.columns.norms[rows])),
+                        "valid": self._dev["valid"].at[idx].set(
+                            jnp.asarray(self.columns.valid[rows])),
+                        "hashes": self._dev["hashes"].at[idx].set(
+                            jnp.asarray(self.columns.hashes[rows])),
+                    }
+                self._dev_version = self.columns.version
+                return self._dev
+            # too many dirty rows: fall through to a full re-placement
         if self._dev is None or self._dev_version != self.columns.version:
+            self.columns.dirty_all = False
+            self.columns._dirty_rows.clear()
             if self._mesh is not None:
                 import jax
                 from ..parallel import mesh as mesh_mod

@@ -35,6 +35,9 @@ class ColumnStore:
         self.valid = np.zeros((0,), dtype=bool)
         self.hashes = np.zeros((0, hash_words), dtype=np.uint32)
         self.metadata: list[bytes | None] = []
+        # incremental-upload support: rows touched since the last device sync
+        self._dirty_rows: set[int] = set()
+        self.dirty_all = True
 
     # -- capacity ----------------------------------------------------------
 
@@ -57,6 +60,7 @@ class ColumnStore:
         self.hashes = pad(self.hashes)
         self.metadata.extend([None] * (new_cap - self.capacity))
         self.capacity = new_cap
+        self.dirty_all = True  # shapes changed; device must re-place fully
 
     # -- mutation ----------------------------------------------------------
 
@@ -78,6 +82,7 @@ class ColumnStore:
         self.ids[row] = doc_id
         self.valid[row] = True
         self.metadata[row] = metadata
+        self._dirty_rows.add(row)
         self.version += 1
         return row
 
@@ -106,6 +111,7 @@ class ColumnStore:
         self.valid[rows] = True
         for i, row in enumerate(rows):
             self.metadata[row] = metadatas[i]
+        self._dirty_rows.update(int(r) for r in rows)
         self.version += 1
         return rows
 
@@ -115,12 +121,14 @@ class ColumnStore:
 
     def set_hash(self, row: int, code_words: np.ndarray) -> None:
         self.hashes[row] = code_words
+        self._dirty_rows.add(int(row))
 
     def remove(self, doc_id: int) -> None:
         row = self._row_of.pop(doc_id)
         self.valid[row] = False
         self.metadata[row] = None
         self._free.append(row)
+        self._dirty_rows.add(row)
         self.version += 1
 
     # -- access ------------------------------------------------------------
@@ -151,3 +159,15 @@ class ColumnStore:
 
     def live_rows(self) -> np.ndarray:
         return np.flatnonzero(self.valid[: self.size])
+
+    def drain_dirty(self):
+        """Rows touched since the last device sync, or None if a full
+        re-upload is required (capacity change / first sync). Clears state."""
+        if self.dirty_all:
+            self.dirty_all = False
+            self._dirty_rows.clear()
+            return None
+        rows = np.fromiter(self._dirty_rows, dtype=np.int64,
+                           count=len(self._dirty_rows))
+        self._dirty_rows.clear()
+        return np.sort(rows)

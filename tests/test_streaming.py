@@ -1,0 +1,121 @@
+"""Streaming-workload tests (BASELINE config 5 semantics): interleaved
+insert/update/delete + queries with incremental device sync, plus threaded
+concurrency (the reference serializes with an RWMutex, collection.go:199; we
+serialize at batch boundaries with scatter-updated device columns)."""
+
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from syzgydb_tpu import Collection, CollectionOptions, SearchArgs, EUCLIDEAN
+
+
+def exact_ids(c, q, k):
+    return [r.id for r in
+            c.search(SearchArgs(vector=q, k=k, precision="exact")).results]
+
+
+def test_interleaved_mutations_and_queries(tmp_path, rng):
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "s.dat"), distance_method=EUCLIDEAN,
+        dimension_count=8, quantization=8, create_and_overwrite=True,
+        index_seed=11))
+    live = {}
+    next_id = 0
+    for step in range(30):
+        op = step % 3
+        if op in (0, 1) or not live:  # insert a small batch
+            vecs = rng.uniform(-1, 1, size=(20, 8))
+            ids = list(range(next_id, next_id + 20))
+            next_id += 20
+            c.add_documents(ids, vecs, [b"{}"] * 20)
+            for i, v in zip(ids, vecs):
+                live[i] = v
+        else:  # remove a few
+            for doc_id in list(live)[:5]:
+                c.remove_document(doc_id)
+                del live[doc_id]
+        # query after every mutation batch; compare to numpy oracle over the
+        # quantized values the device sees
+        q = rng.uniform(-1, 1, size=8)
+        got = exact_ids(c, q, 5)
+        from syzgydb_tpu.ops import quantize as qz
+        ids_arr = np.array(list(live.keys()))
+        seen = qz.quantization_roundtrip(np.array(list(live.values())), 8)
+        d = np.sqrt(((seen - q) ** 2).sum(axis=1))
+        want = set(ids_arr[np.argsort(d)[:5]].tolist())
+        assert set(got) == want, f"step {step}"
+    c.close()
+
+
+def test_incremental_sync_uses_scatter(tmp_path, rng):
+    """After the first full upload, small mutations must not re-place the
+    whole columns (verify via the device buffer identity of untouched state
+    and correctness of results)."""
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "i.dat"), dimension_count=4, quantization=32,
+        create_and_overwrite=True, index_seed=11))
+    vecs = rng.uniform(-1, 1, size=(512, 4))
+    c.add_documents(list(range(512)), vecs, [b"{}"] * 512)
+    c.search(SearchArgs(vector=[0.0] * 4, k=1))  # initial full upload
+    v0 = c._dev_version
+    c.add_document(1000, [0.5, 0.5, 0.5, 0.5], b"{}")
+    res = c.search(SearchArgs(vector=[0.5, 0.5, 0.5, 0.5], k=1,
+                              precision="exact"))
+    assert res.results[0].id == 1000
+    assert c._dev_version != v0
+    c.remove_document(1000)
+    res = c.search(SearchArgs(vector=[0.5, 0.5, 0.5, 0.5], k=1,
+                              precision="exact"))
+    assert res.results[0].id != 1000
+    c.close()
+
+
+def test_threaded_concurrent_insert_and_search(tmp_path, rng):
+    """Writer thread streams batches while reader threads query; every search
+    must return internally consistent results (no crashes, k results, sorted
+    distances)."""
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "t.dat"), dimension_count=8, quantization=8,
+        create_and_overwrite=True, index_seed=11))
+    c.add_documents(list(range(100)), rng.uniform(-1, 1, (100, 8)),
+                    [b"{}"] * 100)
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        i = 1000
+        w_rng = np.random.default_rng(1)
+        try:
+            while not stop.is_set():
+                c.add_documents(list(range(i, i + 10)),
+                                w_rng.uniform(-1, 1, (10, 8)), [b"{}"] * 10)
+                i += 10
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def reader():
+        r_rng = np.random.default_rng(2)
+        try:
+            for _ in range(15):
+                q = r_rng.uniform(-1, 1, 8)
+                res = c.search(SearchArgs(vector=q, k=5, precision="exact"))
+                assert len(res.results) == 5
+                d = [r.distance for r in res.results]
+                assert d == sorted(d)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    wt = threading.Thread(target=writer)
+    readers = [threading.Thread(target=reader) for _ in range(2)]
+    wt.start()
+    for r in readers:
+        r.start()
+    for r in readers:
+        r.join()
+    stop.set()
+    wt.join()
+    assert not errors, errors
+    c.close()
