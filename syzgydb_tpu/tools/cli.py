@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(f"--{flag}", dest=flag.replace("-", "_"), default=None)
     p.add_argument("--no-profiler", action="store_true",
                    help="disable the jax.profiler trace server")
+    p.add_argument("--platform", default=None,
+                   help="force the jax backend (e.g. cpu, tpu) — overrides "
+                        "JAX_PLATFORMS even when a site hook pins it")
     return p
 
 
@@ -41,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
     args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from ..server import config as cfg_mod
     flag_argv = []
