@@ -61,15 +61,48 @@ def _encode_device(vectors: jnp.ndarray, planes: jnp.ndarray,
     return jnp.sum(shaped * weights[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("budget", "words"))
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def hamming_candidates(qcodes: jnp.ndarray, db_hashes: jnp.ndarray,
                        valid: jnp.ndarray, budget: int, words: int):
     """Top-`budget` rows by Hamming distance of packed sketches.
 
-    qcodes: (Q, words) uint32; db_hashes: (N, words) uint32; valid: (N,) bool.
-    Returns (ham (Q, budget) int32, idx (Q, budget) int32).
-    Accumulates per word to avoid materializing (Q, N, words).
+    On TPU with large budgets, the distance surface comes from the fused
+    Pallas kernel (ops/pallas_hamming.py: one HBM pass instead of W
+    accumulator sweeps); elsewhere the XLA per-word loop is used.
     """
+    n = db_hashes.shape[0]
+    if _on_tpu() and budget > 128:
+        for block in (4096, 2048, 1024):
+            if n % block == 0:
+                return _hamming_candidates_pallas(qcodes, db_hashes, valid,
+                                                  budget, words, block)
+    return _hamming_candidates_xla(qcodes, db_hashes, valid, budget, words)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("budget", "words", "block_n"))
+def _hamming_candidates_pallas(qcodes, db_hashes, valid, budget: int,
+                               words: int, block_n: int):
+    from ..ops import pallas_hamming
+    ham8 = pallas_hamming.hamming_scores(qcodes.astype(jnp.uint32), db_hashes,
+                                         words=words, block_n=block_n)
+    # invalid rows pushed past any real distance (total bits <= 160 < 255)
+    ham8 = jnp.where(valid[None, :], ham8, jnp.uint8(255))
+    vals, idx = jax.lax.approx_min_k(ham8.astype(jnp.float32), budget,
+                                     recall_target=0.95)
+    return vals.astype(jnp.int32), idx
+
+
+@functools.partial(jax.jit, static_argnames=("budget", "words"))
+def _hamming_candidates_xla(qcodes: jnp.ndarray, db_hashes: jnp.ndarray,
+                            valid: jnp.ndarray, budget: int, words: int):
+    """XLA path: accumulates per word to avoid materializing (Q, N, words)."""
     q = qcodes.astype(jnp.uint32)
     n = db_hashes.shape[0]
     ham = jnp.zeros((q.shape[0], n), dtype=jnp.int32)

@@ -1,0 +1,66 @@
+"""Fused Hamming sketch-scan Pallas kernel.
+
+The XLA path in index/hamming.hamming_candidates accumulates per-word
+XOR+popcount over separate (Q, N) int32 passes — ~W x 2 full HBM sweeps of
+the accumulator on top of the 20MB sketch read.  This kernel tiles the sketch
+table over row blocks and does the whole reduction in VMEM, writing a single
+(Q, N) uint8 distance surface (total bits <= 255) in one pass:
+
+    HBM traffic = N*W*4 (sketches) + Q*N (uint8 out)  ~= 84MB at 1M x 5 words
+
+Candidate selection stays in XLA (approx_min_k PartialReduce over the uint8
+surface) — that part is already near bandwidth-limited.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_N = 4096
+
+
+def _hamming_kernel(qcodes_ref, hashes_ref, out_ref, *, words):
+    qc = qcodes_ref[:]                       # (Q, W) uint32
+    h = hashes_ref[:]                        # (block_n, W) uint32
+    q = qc.shape[0]
+    block_n = h.shape[0]
+    acc = jnp.zeros((q, block_n), dtype=jnp.int32)
+    for w in range(words):                   # static unroll, W small
+        x = jnp.bitwise_xor(qc[:, w][:, None], h[:, w][None, :])
+        acc = acc + jax.lax.population_count(x).astype(jnp.int32)
+    out_ref[:] = acc.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("words", "block_n", "interpret"))
+def hamming_scores(qcodes, hashes, *, words: int,
+                   block_n: int = DEFAULT_BLOCK_N, interpret: bool = False):
+    """(Q, W) x (N, W) packed sketches -> (Q, N) uint8 Hamming distances."""
+    n = hashes.shape[0]
+    q = qcodes.shape[0]
+    assert n % block_n == 0, (n, block_n)
+    nblocks = n // block_n
+    grid_spec = pl.GridSpec(
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((q, words), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, words), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, block_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_hamming_kernel, words=words),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q, n), jnp.uint8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * words, transcendentals=0,
+            bytes_accessed=n * words * 4 + q * n),
+        interpret=interpret,
+    )(qcodes, hashes)

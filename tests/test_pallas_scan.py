@@ -56,3 +56,21 @@ def test_fused_scan_k_larger_than_block(rng):
     # per-block top-128 then merge can only miss rows beyond rank 128 of a
     # single block; with two blocks of 128 the union is exact
     np.testing.assert_allclose(np.asarray(vals), want, atol=2e-5)
+
+
+def test_pallas_hamming_matches_xla(rng):
+    from syzgydb_tpu.ops import pallas_hamming
+    import jax
+    q, n, w = 4, 512, 5
+    qcodes = rng.integers(0, 2**32, size=(q, w), dtype=np.uint32)
+    hashes = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    got = np.asarray(pallas_hamming.hamming_scores(
+        jnp.asarray(qcodes), jnp.asarray(hashes), words=w, block_n=128,
+        interpret=True))
+    # oracle: bit_count of xor
+    want = np.zeros((q, n), dtype=np.int64)
+    for i in range(q):
+        for ww in range(w):
+            x = np.bitwise_xor(qcodes[i, ww], hashes[:, ww])
+            want[i] += np.vectorize(lambda v: bin(v).count("1"))(x)
+    np.testing.assert_array_equal(got.astype(np.int64), want)
