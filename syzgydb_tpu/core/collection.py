@@ -201,6 +201,10 @@ class Collection:
     def metric(self) -> str:
         return _METRIC_NAME[self.options.distance_method]
 
+    def get_options(self) -> CollectionOptions:
+        """GetOptions parity (collection.go:317-324)."""
+        return self.options
+
     # -- open/replay -------------------------------------------------------
 
     def _replay(self) -> None:

@@ -23,6 +23,9 @@ DEFAULTS = {
     "data_folder": "./data",
     "html_root": "./html",
     "random_seed": 0,
+    # "ollama" = remote HTTP embedding (reference behavior);
+    # "device" = on-TPU embedder (models/embedder.py) — no external service
+    "embedder": "ollama",
 }
 
 
@@ -35,6 +38,7 @@ class Config:
     syzgy_host: str = DEFAULTS["syzgy_host"]
     html_root: str = DEFAULTS["html_root"]
     random_seed: int = 0
+    embedder: str = "ollama"
 
 
 global_config = Config()
@@ -108,6 +112,7 @@ def load_config(argv: Optional[list[str]] = None,
         syzgy_host=str(merged["syzgy_host"]),
         html_root=str(merged["html_root"]),
         random_seed=int(merged["random_seed"]),
+        embedder=str(merged["embedder"]),
     )
     os.makedirs(cfg.data_folder, exist_ok=True)
     return cfg

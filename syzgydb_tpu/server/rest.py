@@ -401,6 +401,11 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(data_folder: Optional[str] = None,
                 load_existing: bool = True) -> Server:
     srv = Server(data_folder)
+    if config.global_config.embedder == "device":
+        # on-TPU embedding instead of the Ollama HTTP service
+        from ..models.embedder import TextEmbedder
+        embedding.set_embed_text(TextEmbedder().as_embed_text_fn())
+        log.info("using on-device text embedder")
     if load_existing:
         for path in glob.glob(os.path.join(srv.data_folder, "*.dat")):
             name = srv.file_to_collection_name(path)
