@@ -73,7 +73,6 @@ def main() -> None:
     qcodes = jnp.asarray(index.encode_np(queries))
 
     from syzgydb_tpu.index.hamming import hamming_candidates, rerank_topk
-    import functools
 
     # NOTE: deliberately NOT wrapped in an outer jit — the inner functions
     # are jitted already, and re-jitting the fused program triggers a

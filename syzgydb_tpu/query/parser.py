@@ -18,7 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
-from .lexer import Lexer, T, Token
+from .lexer import Lexer, T
 
 
 class QueryError(ValueError):

@@ -5,7 +5,6 @@ mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from syzgydb_tpu.models.embedder import (EmbedderConfig, TextEmbedder,
                                          contrastive_loss, embedder_shardings,

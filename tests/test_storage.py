@@ -3,12 +3,11 @@
 close/reopen after every batch (spanfile_test.go:327-429)."""
 
 import os
-import struct
 
 import numpy as np
 import pytest
 
-from syzgydb_tpu.core.storage import SpanLog, FILE_MAGIC
+from syzgydb_tpu.core.storage import SpanLog
 
 
 def test_create_write_read(tmp_path):

@@ -3,11 +3,9 @@ insert/update/delete + queries with incremental device sync, plus threaded
 concurrency (the reference serializes with an RWMutex, collection.go:199; we
 serialize at batch boundaries with scatter-updated device columns)."""
 
-import json
 import threading
 
 import numpy as np
-import pytest
 
 from syzgydb_tpu import Collection, CollectionOptions, SearchArgs, EUCLIDEAN
 

@@ -6,7 +6,7 @@ import json
 import numpy as np
 import pytest
 
-from syzgydb_tpu import Collection, CollectionOptions, SearchArgs, COSINE
+from syzgydb_tpu import Collection, CollectionOptions, COSINE
 from syzgydb_tpu.tools.dump import dump_index, export_json, import_json
 
 
