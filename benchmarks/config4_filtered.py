@@ -14,7 +14,7 @@ from benchmarks.common import Timer, emit, log, make_vectors, scale  # noqa: E40
 
 def main():
     from syzgydb_tpu import (Collection, CollectionOptions, SearchArgs,
-                             COSINE, build_filter)
+                             COSINE)
 
     n = max(5000, int(1_000_000 * scale()))
     d, k, n_queries = 768, 10, 8
@@ -43,12 +43,13 @@ def main():
             ("range", "score > 25 AND score < 75", 0.5),
             ("string", "name STARTS_WITH 'doc_1'", None),
         ]:
-            filt = build_filter(query_str)
-            c.search(SearchArgs(vector=queries[0], k=k, filter=filt,
-                                precision="exact"))  # warm
+            c.search(SearchArgs(vector=queries[0], k=k,
+                                filter_query=query_str,
+                                precision="exact"))  # warm + mask build
             t.lap()
             for q in queries:
-                res = c.search(SearchArgs(vector=q, k=k, filter=filt,
+                res = c.search(SearchArgs(vector=q, k=k,
+                                          filter_query=query_str,
                                           precision="exact"))
             dt = t.lap()
             ok = all(json_matches(r.metadata, label) for r in res.results)

@@ -105,6 +105,9 @@ class Document:
 class SearchArgs:
     vector: Optional[Sequence[float]] = None
     filter: Optional[FilterFn] = None
+    # a query-language string instead of a callable: enables the collection
+    # to cache the boolean mask across searches until the data mutates
+    filter_query: Optional[str] = None
     k: int = 0
     radius: float = 0.0
     offset: int = 0
@@ -183,6 +186,7 @@ class Collection:
         self._hashes_stale = False
         self._closed = False
         self._mesh = None
+        self._filter_cache: dict = {}
 
         if existed:
             self._replay()
@@ -396,8 +400,25 @@ class Collection:
 
     # -- filters -----------------------------------------------------------
 
-    def _filter_mask(self, flt: Optional[FilterFn]) -> tuple[np.ndarray, int]:
-        """(bool mask over capacity rows, live-passing count)."""
+    _FILTER_CACHE_SIZE = 16
+
+    def _filter_mask(self, args: "SearchArgs") -> tuple[np.ndarray, int]:
+        """(bool mask over capacity rows, live-passing count).
+
+        When the filter arrives as a query string, the evaluated mask is
+        cached keyed on (query, mutation generation) — repeated filtered
+        searches cost one metadata pass total, not one per query (the
+        reference re-unmarshals JSON per candidate per search,
+        collection.go:583-596)."""
+        flt = args.filter
+        cache_key = None
+        if flt is None and args.filter_query:
+            cache_key = args.filter_query
+            hit = self._filter_cache.get(cache_key)
+            if hit is not None and hit[0] == self.columns.version:
+                return hit[1], hit[2]
+            from .. import build_filter
+            flt = build_filter(args.filter_query)
         valid = self.columns.valid.copy()
         if flt is None:
             return valid, int(valid.sum())
@@ -405,7 +426,13 @@ class Collection:
             md = self.columns.metadata[row]
             if not flt(int(self.columns.ids[row]), md if md is not None else b""):
                 valid[row] = False
-        return valid, int(valid.sum())
+        count = int(valid.sum())
+        if cache_key is not None:
+            self._filter_cache[cache_key] = (self.columns.version, valid,
+                                             count)
+            while len(self._filter_cache) > self._FILTER_CACHE_SIZE:
+                self._filter_cache.pop(next(iter(self._filter_cache)))
+        return valid, count
 
     # -- search ------------------------------------------------------------
 
@@ -432,7 +459,7 @@ class Collection:
         if n_records == 0:
             return SearchResults([], 0.0)
 
-        mask, n_passing = self._filter_mask(args.filter)
+        mask, n_passing = self._filter_mask(args)
         queries = jnp.asarray(np.float32(qvec)[None, :])
         dev = self._device_state()
         valid = jnp.asarray(mask)
@@ -549,10 +576,14 @@ class Collection:
         skipped = 0
         # lexicographic order on the decimal ID string: reference quirk
         # (spanfile.go:541-547) preserved for pagination parity.
+        flt = args.filter
+        if flt is None and args.filter_query:
+            from .. import build_filter
+            flt = build_filter(args.filter_query)
         for rec_id in sorted(str(i) for i in self.columns.doc_ids()):
             doc_id = int(rec_id)
             md = self.columns.get_metadata(doc_id)
-            if args.filter is not None and not args.filter(doc_id, md):
+            if flt is not None and not flt(doc_id, md):
                 continue
             if skipped < args.offset:
                 skipped += 1

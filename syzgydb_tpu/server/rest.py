@@ -341,9 +341,11 @@ class _Handler(BaseHTTPRequestHandler):
 
         if filter_str:
             try:
-                args.filter = build_filter(filter_str)
+                build_filter(filter_str)  # validate syntax for the 400 path
             except Exception as exc:
                 return self._error(f"Invalid filter query: {exc}", 400)
+            # pass the string through so the collection can cache the mask
+            args.filter_query = filter_str
 
         embedding_ms = 0
         if text:

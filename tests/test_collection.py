@@ -241,3 +241,31 @@ def test_batch_insert_equivalent(tmp_collection_path, rng):
         doc = c2.get_document(i)
         assert json.loads(doc.metadata)["i"] == i
     c2.close()
+
+
+def test_filter_query_mask_cache(tmp_collection_path, rng):
+    """filter_query caches the evaluated mask until the data mutates."""
+    c = make_collection(tmp_collection_path, dims=4)
+    for i in range(40):
+        c.add_document(i, rng.uniform(-1, 1, 4),
+                       json.dumps({"even": i % 2 == 0}).encode())
+    q = "even == true"
+    r1 = c.search(SearchArgs(vector=[0.0] * 4, k=50, filter_query=q,
+                             precision="exact"))
+    assert all(r.id % 2 == 0 for r in r1.results)
+    assert q in c._filter_cache
+    ver = c._filter_cache[q][0]
+    # cache hit: same version
+    c.search(SearchArgs(vector=[0.0] * 4, k=5, filter_query=q,
+                        precision="exact"))
+    assert c._filter_cache[q][0] == ver
+    # mutation invalidates
+    c.add_document(100, [0.1] * 4, b'{"even": true}')
+    r2 = c.search(SearchArgs(vector=[0.1] * 4, k=50, filter_query=q,
+                             precision="exact"))
+    assert 100 in {r.id for r in r2.results}
+    assert c._filter_cache[q][0] != ver
+    # list mode honors filter_query too
+    r3 = c.search(SearchArgs(filter_query="even == false"))
+    assert all(r.id % 2 == 1 for r in r3.results)
+    c.close()
