@@ -555,18 +555,33 @@ class Collection:
         return SearchResult(int(self.columns.ids[row]),
                             md if md is not None else b"", d)
 
+    @staticmethod
+    def _fetch_results(dist, rows):
+        """Single device->host fetch for (dist, rows): int32 rows are
+        bitcast into the float payload so one RPC carries both (per-transfer
+        latency dominates small fetches on tunneled backends)."""
+        import jax
+        packed = jnp.concatenate(
+            [dist, jax.lax.bitcast_convert_type(
+                rows.astype(jnp.int32), jnp.float32)], axis=1)
+        arr = np.asarray(packed)
+        k = arr.shape[1] // 2
+        return arr[:, :k], arr[:, k:].copy().view(np.int32)
+
     def _knn_results(self, dist, rows, k: int, searched: int,
                      n_records: int) -> SearchResults:
-        dist = np.asarray(dist[0][:k])
-        rows = np.asarray(rows[0][:k])
+        dist, rows = self._fetch_results(dist, rows)
+        dist = dist[0][:k]
+        rows = rows[0][:k]
         results = [self._mk_result(int(r), float(d))
                    for d, r in zip(dist, rows) if np.isfinite(d)]
         return SearchResults(results, self._pct(searched, n_records))
 
     def _radius_results(self, dist, rows, radius: float, searched: int,
                         n_records: int) -> SearchResults:
-        dist = np.asarray(dist[0])
-        rows = np.asarray(rows[0])
+        dist, rows = self._fetch_results(dist, rows)
+        dist = dist[0]
+        rows = rows[0]
         keep = np.flatnonzero(np.isfinite(dist) & (dist <= radius))
         results = [self._mk_result(int(rows[i]), float(dist[i])) for i in keep]
         return SearchResults(results, self._pct(searched, n_records))
