@@ -557,16 +557,19 @@ class Collection:
 
     @staticmethod
     def _fetch_results(dist, rows):
-        """Single device->host fetch for (dist, rows): int32 rows are
-        bitcast into the float payload so one RPC carries both (per-transfer
-        latency dominates small fetches on tunneled backends)."""
+        """Single device->host fetch for (dist, rows): the floats are
+        bitcast into an int32 payload so one RPC carries both (per-transfer
+        latency dominates small fetches on tunneled backends).  The packing
+        must ride the INTEGER path: f32 ops flush denormal bit patterns
+        (row ids < 2^23 bitcast to denormals) to zero on TPU."""
         import jax
         packed = jnp.concatenate(
-            [dist, jax.lax.bitcast_convert_type(
-                rows.astype(jnp.int32), jnp.float32)], axis=1)
+            [jax.lax.bitcast_convert_type(dist.astype(jnp.float32),
+                                          jnp.int32),
+             rows.astype(jnp.int32)], axis=1)
         arr = np.asarray(packed)
         k = arr.shape[1] // 2
-        return arr[:, :k], arr[:, k:].copy().view(np.int32)
+        return arr[:, :k].copy().view(np.float32), arr[:, k:]
 
     def _knn_results(self, dist, rows, k: int, searched: int,
                      n_records: int) -> SearchResults:
