@@ -205,6 +205,12 @@ class _Handler(BaseHTTPRequestHandler):
         return name, coll
 
     def _handle_collection(self, parts) -> None:
+        # reject stray sub-paths: without this, DELETE .../{c}/search would
+        # fall through and delete the collection (a reference router
+        # fall-through we deliberately do NOT reproduce, main.go:36-50)
+        if len(parts) > 5 and not (self.command == "GET" and len(parts) == 6
+                                   and parts[5] == "ids"):
+            return self._error("Not found", 404)
         got = self._get_collection(parts)
         if got is None:
             return
