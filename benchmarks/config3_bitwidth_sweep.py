@@ -48,8 +48,11 @@ def main():
                 truth = got.copy()  # 32-bit scan = ground truth for sweep
             rec = recall_at_k(truth, got, k) if truth is not None else 1.0
 
-            # radius search at the median k-th distance
-            radius = float(res.results[k // 2].distance)
+            # radius search sized to enclose ~k/2 of the SAME query's
+            # neighbors so hit counts are meaningful
+            probe = c.search(SearchArgs(vector=queries[0], k=k,
+                                        precision="exact"))
+            radius = float(probe.results[k // 2].distance)
             rres = c.search(SearchArgs(vector=queries[0], radius=radius,
                                        precision="exact"))
             sweep.append({"bits": bits, "recall_at_100_vs_32bit": round(rec, 4),

@@ -229,21 +229,19 @@ class Collection:
         self._rebuild_index()
 
     def _rebuild_index(self) -> None:
+        """(Re)calibrate the sketch planes; the sketches themselves are
+        recomputed on device from the uploaded codes at the next sync."""
         n = len(self.columns)
         if n == 0:
             return
         live = self.columns.live_rows()
-        vecs = qz.device_repr_to_float(self.columns.codes[live],
-                                       self.quantization)
         if not self.index.calibrated and n >= MIN_INDEX_SIZE:
             sample_rows = live if len(live) <= 1024 else \
                 self._rng.choice(live, size=1024, replace=False)
             sample = qz.device_repr_to_float(self.columns.codes[sample_rows],
                                              self.quantization)
             self.index.calibrate(sample)
-        codes = self.index.encode_batch(np.float32(vecs))
-        self.columns.hashes[live] = codes
-        self.columns.dirty_all = True  # bulk hash rewrite: full re-upload
+        self.columns.dirty_all = True  # sketches regenerate on device
         self.columns.version += 1
         self._hashes_stale = False
 
@@ -287,13 +285,20 @@ class Collection:
                  for i in range(n)])
             rows = self.columns.put_many(np.asarray(doc_ids, dtype=np.uint64),
                                          vectors, [bytes(m) for m in metadatas])
-            if self.index.calibrated:
+            if len(rows) <= 1024 and self.index.calibrated:
+                # small batch: host-encode so the scatter sync stays cheap
                 seen = qz.device_repr_to_float(self.columns.codes[rows],
                                                self.quantization)
-                self.columns.hashes[rows] = self.index.encode_batch(
+                self.columns.hashes[rows] = self.index.encode_np(
                     np.float32(seen))
             else:
-                self._hashes_stale = True
+                # bulk: sketches are recomputed ON DEVICE from the uploaded
+                # codes at the next sync (device hashes are authoritative;
+                # a float copy of the batch never crosses the host<->device
+                # link in either direction)
+                self.columns.dirty_all = True
+                if not self.index.calibrated:
+                    self._hashes_stale = True
 
     def get_document(self, doc_id: int) -> Document:
         with self._lock:
@@ -379,21 +384,24 @@ class Collection:
                 from ..parallel import mesh as mesh_mod
                 row = mesh_mod.row_sharding(self._mesh)
                 row1 = mesh_mod.row_only_sharding(self._mesh)
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                codes_dev = jax.device_put(self.columns.codes, row)
                 self._dev = {
-                    "codes": jax.device_put(self.columns.codes, row),
+                    "codes": codes_dev,
                     "norms": jax.device_put(self.columns.norms, row1),
                     "valid": jax.device_put(self.columns.valid, row1),
-                    "hashes": jax.device_put(
-                        self.columns.hashes,
-                        NamedSharding(self._mesh, P("data", None))),
+                    # sketches derive from the uploaded codes ON DEVICE —
+                    # GSPMD keeps the output row-sharded like its input
+                    "hashes": self.index.encode_codes_device(
+                        codes_dev, self.quantization),
                 }
             else:
+                codes_dev = jnp.asarray(self.columns.codes)
                 self._dev = {
-                    "codes": jnp.asarray(self.columns.codes),
+                    "codes": codes_dev,
                     "norms": jnp.asarray(self.columns.norms),
                     "valid": jnp.asarray(self.columns.valid),
-                    "hashes": jnp.asarray(self.columns.hashes),
+                    "hashes": self.index.encode_codes_device(
+                        codes_dev, self.quantization),
                 }
             self._dev_version = self.columns.version
         return self._dev
