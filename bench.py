@@ -23,6 +23,8 @@ def _log(msg):
 
 
 def main() -> None:
+    from syzgydb_tpu.utils.hostmem import tune_host_allocator
+    tune_host_allocator()
     import jax
     import jax.numpy as jnp
 

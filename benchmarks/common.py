@@ -13,6 +13,12 @@ import time
 
 import numpy as np
 
+try:
+    from syzgydb_tpu.utils.hostmem import tune_host_allocator
+    tune_host_allocator()
+except ImportError:
+    pass
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)

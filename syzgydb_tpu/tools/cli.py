@@ -84,6 +84,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.serve:
+        from ..utils.hostmem import tune_host_allocator
+        tune_host_allocator()
         if not args.no_profiler:
             try:
                 import jax
