@@ -117,3 +117,29 @@ def test_threaded_concurrent_insert_and_search(tmp_path, rng):
     wt.join()
     assert not errors, errors
     c.close()
+
+
+def test_bulk_then_small_insert_hash_consistency(tmp_path, rng):
+    """Bulk inserts defer sketches to device; small inserts host-encode.
+    Mixed history must still give correct medium-search results."""
+    from syzgydb_tpu import CollectionOptions, Collection, SearchArgs, COSINE
+
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "h.dat"), distance_method=COSINE,
+        dimension_count=16, quantization=8, create_and_overwrite=True,
+        index_seed=21))
+    vecs = rng.standard_normal((3000, 16))
+    c.add_documents(list(range(3000)), vecs, [b"{}"] * 3000)  # bulk path
+    # trigger calibration + device sketch build
+    c.search(SearchArgs(vector=vecs[0], k=1))
+    # small inserts take the host-encode + scatter path
+    extra = rng.standard_normal((5, 16))
+    for i, v in enumerate(extra):
+        c.add_document(5000 + i, v, b"{}")
+    for i, v in enumerate(extra):
+        res = c.search(SearchArgs(vector=v, k=1))
+        assert res.results[0].id == 5000 + i, (i, res.results[0].id)
+    # bulk rows still findable after the scatter updates
+    res = c.search(SearchArgs(vector=vecs[1234], k=1))
+    assert res.results[0].id == 1234
+    c.close()
