@@ -468,6 +468,15 @@ class Collection:
             return SearchResults([], 0.0)
 
         mask, n_passing = self._filter_mask(args)
+
+        # small-collection host fast path first: no device sync, no RPC —
+        # a host BLAS scan beats the fixed per-transfer round-trip below
+        # ~2M elements and f64 math matches the reference's scalar loops
+        small = (self._mesh is None and
+                 self.columns.size * self.dimension_count <= (1 << 21))
+        if small and precision == "exact":
+            return self._host_scan(args, qvec, mask, n_passing, n_records)
+
         queries = jnp.asarray(np.float32(qvec)[None, :])
         dev = self._device_state()
         valid = jnp.asarray(mask)
@@ -518,11 +527,7 @@ class Collection:
         searched = n_passing
         exact = precision == "exact"
 
-        # small-collection host fast path: a BLAS scan beats the fixed
-        # per-RPC device round-trip below ~2M elements, and f64 math exactly
-        # matches the reference's scalar loops (collection.go:812-832)
-        if self._mesh is None and \
-                self.columns.size * self.dimension_count <= (1 << 21):
+        if small:  # small-N medium without a usable index: host scan
             return self._host_scan(args, qvec, mask, n_passing, n_records)
 
         if self._mesh is not None:
