@@ -49,6 +49,9 @@ FilterFn = Callable[[int, bytes], bool]
 # below the split threshold, lshtree.go:79-133).
 MIN_INDEX_SIZE = 256
 DEFAULT_SEARCH_BUDGET = 2048
+# below this many stored elements (rows x dims) exhaustive searches run on
+# the host: a BLAS scan beats the fixed per-RPC device round-trip
+HOST_SCAN_MAX_ELEMS = 1 << 21
 
 
 @dataclasses.dataclass
@@ -473,7 +476,8 @@ class Collection:
         # a host BLAS scan beats the fixed per-transfer round-trip below
         # ~2M elements and f64 math matches the reference's scalar loops
         small = (self._mesh is None and
-                 self.columns.size * self.dimension_count <= (1 << 21))
+                 self.columns.size * self.dimension_count
+                 <= HOST_SCAN_MAX_ELEMS)
         if small and precision == "exact":
             return self._host_scan(args, qvec, mask, n_passing, n_records)
 

@@ -48,10 +48,12 @@ def test_interleaved_mutations_and_queries(tmp_path, rng):
     c.close()
 
 
-def test_incremental_sync_uses_scatter(tmp_path, rng):
+def test_incremental_sync_uses_scatter(tmp_path, rng, monkeypatch):
     """After the first full upload, small mutations must not re-place the
     whole columns (verify via the device buffer identity of untouched state
     and correctness of results)."""
+    from syzgydb_tpu.core import collection as coll_mod
+    monkeypatch.setattr(coll_mod, "HOST_SCAN_MAX_ELEMS", 0)  # force device
     c = Collection(CollectionOptions(
         name=str(tmp_path / "i.dat"), dimension_count=4, quantization=32,
         create_and_overwrite=True, index_seed=11))
