@@ -292,3 +292,43 @@ def test_host_fast_path_matches_device(tmp_collection_path, rng):
     got_rows = [c.columns.row(r.id) for r in res.results]
     assert set(got_rows) == set(int(w) for w in want)
     c.close()
+
+
+def test_duplicate_ids_in_batch_last_wins(tmp_collection_path, rng):
+    """Re-adding an existing id replaces the document (superseding write),
+    both within one batch and across batches."""
+    c = make_collection(tmp_collection_path, dims=4, quant=32)
+    c.add_documents([1, 2, 1], [[0.1] * 4, [0.2] * 4, [0.9] * 4],
+                    [b'{"v":"a"}', b'{"v":"b"}', b'{"v":"c"}'])
+    assert c.get_document_count() == 2
+    np.testing.assert_allclose(c.get_document(1).vector, [0.9] * 4,
+                               atol=1e-6)
+    assert c.get_document(1).metadata == b'{"v":"c"}'
+    c.add_document(2, [0.5] * 4, b'{"v":"d"}')
+    np.testing.assert_allclose(c.get_document(2).vector, [0.5] * 4,
+                               atol=1e-6)
+    c.close()
+
+
+def test_seeded_stats_deterministic(tmp_collection_path, rng):
+    """random_seed determinism: average_distance over sampled pairs is
+    reproducible for equal seeds (settings.go:42-78 analog)."""
+    from syzgydb_tpu.utils.rng import MyRandom
+    vecs = rng.uniform(-1, 1, size=(50, 4))
+    vals = []
+    for trial in range(2):
+        c = Collection(CollectionOptions(
+            name=tmp_collection_path, dimension_count=4, quantization=32,
+            create_and_overwrite=True, index_seed=5), rng=MyRandom(99))
+        c.add_documents(list(range(50)), vecs, [b"{}"] * 50)
+        vals.append(c.compute_average_distance(20))
+        c.close()
+    assert vals[0] == vals[1]
+
+
+def test_knn_with_k_exceeding_count(tmp_collection_path, rng):
+    c = make_collection(tmp_collection_path, dims=4)
+    c.add_documents([1, 2, 3], rng.uniform(-1, 1, (3, 4)), [b"{}"] * 3)
+    res = c.search(SearchArgs(vector=[0.0] * 4, k=50, precision="exact"))
+    assert len(res.results) == 3
+    c.close()

@@ -265,3 +265,16 @@ def test_search_uses_cache_inserts_dont(server, monkeypatch):
     req(server, "POST", "/api/v1/collections/test/search",
         {"text": "q", "k": 1})
     assert calls[-1][1] is True  # searches use it
+
+
+def test_get_search_ignores_vector_param(server):
+    """Reference quirk preserved: GET /search has no vector parameter
+    (rest.go:401-409) — a vector in the query string is ignored and the
+    request behaves as a listing."""
+    make_coll(server, dims=4)
+    req(server, "POST", "/api/v1/collections/test/records",
+        [{"id": 1, "vector": [0.1, 0.1, 0.1, 0.1]}])
+    code, res = req(server, "GET",
+                    "/api/v1/collections/test/search?vector=[0.1,0.1,0.1,0.1]&limit=5")
+    assert code == 200
+    assert res["results"][0]["distance"] == 0.0  # listing mode, no distances
