@@ -13,6 +13,15 @@ backends (and under jit tracing on CPU test meshes).
 
 HBM traffic per query batch: N*D bytes of codes + N*4 norms + negligible
 winner writes — the speed-of-light minimum for an exhaustive scan.
+
+MEASURED (v5e, 128k x 384, Q=8, k=10): correct vs the XLA oracle but ~7x
+slower than score_block+top_k — XLA's fused matmul + custom TopK already
+avoids most of the theoretical extra traffic, and the per-block K selection
+passes serialize against small matmuls.  The XLA path therefore remains the
+default exhaustive scan; the in-kernel-top-k structure here is kept as the
+building block for streaming variants (it becomes profitable when Q*N scores
+stop fitting in HBM).  The Pallas kernel that IS on the hot path is
+ops/pallas_hamming.py.
 """
 
 from __future__ import annotations
@@ -27,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import quantize as qz
 
-DEFAULT_BLOCK_N = 2048
+DEFAULT_BLOCK_N = 1024
 
 
 def _topk_select(scores, k):
@@ -71,18 +80,21 @@ def _scan_kernel(q_ref, codes_ref, norms_ref, valid_ref, vals_ref, idx_ref,
         dots = scale * raw + offset * qsum
     else:
         dots = raw
+    # The kernel ranks on a MONOTONIC SURROGATE of the metric (squared
+    # euclidean; (1-cos)/2 for angular): acos has no Pallas TPU lowering
+    # and sqrt/acos cost VPU cycles per point — the exact transform is
+    # applied to the tiny winner set outside the kernel.
     norms = norms_ref[:][:, 0]                               # (block_n,)
     if metric == "euclidean":
         qn2 = jnp.sum(queries * queries, axis=-1, keepdims=True)
-        dist = jnp.sqrt(jnp.maximum(qn2 - 2.0 * dots + norms[None, :], 0.0))
+        dist = jnp.maximum(qn2 - 2.0 * dots + norms[None, :], 0.0)
     else:
-        qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
-        vn = jnp.sqrt(norms)[None, :]
-        denom = qn * vn
-        cos = jnp.where(denom > 0.0, dots / jnp.where(denom > 0.0, denom,
-                                                      1.0), 1.0)
-        dist = jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / jnp.pi
-        dist = jnp.where((qn == 0.0) | (vn == 0.0), 1.0, dist)
+        qn2 = jnp.sum(queries * queries, axis=-1, keepdims=True)
+        denom2 = qn2 * norms[None, :]
+        inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
+        cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
+        # zero query or zero row -> cos=-1 -> surrogate 1 -> distance 1.0
+        dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
     dist = jnp.where(valid_ref[:][:, 0][None, :] > 0, dist, jnp.inf)
     vals, idx = _topk_select(dist, k)
     vals_ref[0] = vals
@@ -135,15 +147,26 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
         cost_estimate=pl.CostEstimate(
             flops=2 * q * d * n, transcendentals=0,
             bytes_accessed=n * d + 4 * n + 4 * q * d),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(queries.astype(jnp.float32), codes, norms[:, None],
       valid.astype(jnp.float32)[:, None])
 
-    # merge: (nblocks, Q, kk) -> (Q, nblocks*kk) -> top-k
+    # merge: (nblocks, Q, kk) -> (Q, nblocks*kk) -> top-k on the surrogate
     va = jnp.moveaxis(block_vals, 0, 1).reshape(q, nblocks * kk)
     ia = jnp.moveaxis(block_idx, 0, 1).reshape(q, nblocks * kk)
     neg, pos = jax.lax.top_k(-va, min(k, va.shape[1]))
-    return -neg, jnp.take_along_axis(ia, pos, axis=1)
+    sur = -neg
+    rows = jnp.take_along_axis(ia, pos, axis=1)
+    # surrogate -> true metric on the winners only
+    invalid = ~jnp.isfinite(sur)
+    if metric == "euclidean":
+        dist = jnp.sqrt(jnp.where(invalid, 0.0, sur))
+    else:
+        cos = jnp.clip(1.0 - 2.0 * jnp.where(invalid, 0.0, sur), -1.0, 1.0)
+        dist = jnp.arccos(cos) / jnp.pi
+    return jnp.where(invalid, jnp.inf, dist), rows
 
 
 def supported() -> bool:
