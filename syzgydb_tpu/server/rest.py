@@ -169,12 +169,18 @@ class _Handler(BaseHTTPRequestHandler):
             with self.srv.mutex:
                 if name in self.srv.collections:
                     return self._error("Collection already exists", 400)
+                opts = CollectionOptions(
+                    name=self.srv.collection_file(name),
+                    distance_method=method,
+                    dimension_count=int(req.get("vector_size", 0)),
+                    quantization=int(req.get("quantization", 0) or 64))
+                # TPU-native tuning knobs (superset of the reference API)
+                for knob in ("search_budget", "index_tables",
+                             "index_bits_per_table"):
+                    if knob in req:
+                        setattr(opts, knob, int(req[knob]))
                 try:
-                    coll = Collection(CollectionOptions(
-                        name=self.srv.collection_file(name),
-                        distance_method=method,
-                        dimension_count=int(req.get("vector_size", 0)),
-                        quantization=int(req.get("quantization", 0) or 64)))
+                    coll = Collection(opts)
                 except Exception as exc:
                     return self._error(
                         f"Failed to create collection: {exc}", 500)

@@ -278,3 +278,14 @@ def test_get_search_ignores_vector_param(server):
                     "/api/v1/collections/test/search?vector=[0.1,0.1,0.1,0.1]&limit=5")
     assert code == 200
     assert res["results"][0]["distance"] == 0.0  # listing mode, no distances
+
+
+def test_create_with_tuning_knobs(server):
+    code, _ = req(server, "POST", "/api/v1/collections", {
+        "name": "tuned", "vector_size": 4, "quantization": 8,
+        "distance_function": "cosine", "search_budget": 512,
+        "index_tables": 8, "index_bits_per_table": 64})
+    assert code == 201
+    # knobs persist in the stored options (reopen honors them)
+    code, info = req(server, "GET", "/api/v1/collections/tuned")
+    assert code == 200
