@@ -142,14 +142,19 @@ def main() -> None:
     qps_ann, recall, budget = chosen["qps"], chosen["recall"], chosen["budget"]
 
     # host NumPy/BLAS baseline on a 100k subsample, scaled to 1M
+    # (best of 3: the single shared CPU core makes one-shot timing noisy,
+    # and a contended baseline would unfairly inflate vs_baseline)
     _log("bench: host baseline")
     sub = 100_000
     host_db = db[:sub]
-    t0 = time.perf_counter()
-    sims = queries @ host_db.T
-    sims /= np.linalg.norm(queries, axis=1, keepdims=True)
-    np.argpartition(sims, -k, axis=1)[:, -k:]
-    t_host = (time.perf_counter() - t0) * (n / sub)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sims = queries @ host_db.T
+        sims /= np.linalg.norm(queries, axis=1, keepdims=True)
+        np.argpartition(sims, -k, axis=1)[:, -k:]
+        best = min(best, time.perf_counter() - t0)
+    t_host = best * (n / sub)
     qps_host = q_batch / t_host
 
     print(json.dumps({
