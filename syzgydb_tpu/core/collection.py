@@ -152,38 +152,70 @@ class CollectionStats:
         }
 
 
+def validate_options(options: CollectionOptions) -> None:
+    """Reject invalid options BEFORE any file is created or written.
+
+    A bad create must never leave a poisoned .dat behind: stored options
+    override caller options on reopen (collection.go:241-252), so persisting
+    a zero dimension_count or out-of-range index knobs would make every
+    retry and every server restart fail (ADVICE r1, high)."""
+    if options.dimension_count <= 0:
+        raise ValueError("dimension_count must be positive")
+    qz._check_bits(options.quantization)
+    if options.distance_method not in _METRIC_NAME:
+        raise ValueError(f"invalid distance_method {options.distance_method}")
+    hamming.check_index_shape(options.index_tables,
+                              options.index_bits_per_table)
+    if options.search_budget < 1:
+        raise ValueError("search_budget must be >= 1")
+
+
 class Collection:
     def __init__(self, options: CollectionOptions, rng: Optional[MyRandom] = None):
         from .storage import SpanLog  # local import to keep module load light
 
         if options.quantization == 0:
             options.quantization = 64
-        qz._check_bits(options.quantization)
         self._rng = rng if rng is not None else my_random.fork()
 
         if options.create_and_overwrite and os.path.exists(options.name):
             os.remove(options.name)
         existed = os.path.exists(options.name) and os.path.getsize(options.name) > 0
+        if not existed:
+            # validate before the file exists; nothing to clean up on raise
+            validate_options(options)
         self.spanlog = SpanLog(options.name)
-        if existed and "" in self.spanlog:
-            raw = self.spanlog.read("")[0]
-            options = CollectionOptions.merge_from_json(options, raw)
-        else:
-            if options.index_seed == 0:
-                options.index_seed = int(self._rng.integers(1, 2**31 - 1))
-            self.spanlog.write("", [options.to_json()])
-        self.options = options
-        if options.dimension_count <= 0:
-            raise ValueError("dimension_count must be positive")
+        try:
+            if existed and "" in self.spanlog:
+                raw = self.spanlog.read("")[0]
+                options = CollectionOptions.merge_from_json(options, raw)
+            else:
+                if options.index_seed == 0:
+                    options.index_seed = int(self._rng.integers(1, 2**31 - 1))
+                self.spanlog.write("", [options.to_json()])
+            self.options = options
+            # merged (stored-over-caller) options can still be bad when the
+            # file pre-existed or was written by an older build — check them
+            # too, but leave a pre-existing file untouched
+            validate_options(options)
 
-        self._lock = threading.RLock()
-        self.index = hamming.SignHashIndex(
-            options.dimension_count, _METRIC_NAME[options.distance_method],
-            MyRandom(options.index_seed), options.index_tables,
-            options.index_bits_per_table)
-        from .columns import ColumnStore
-        self.columns = ColumnStore(options.dimension_count, options.quantization,
-                                   hash_words=self.index.words)
+            self._lock = threading.RLock()
+            self.index = hamming.SignHashIndex(
+                options.dimension_count, _METRIC_NAME[options.distance_method],
+                MyRandom(options.index_seed), options.index_tables,
+                options.index_bits_per_table)
+            from .columns import ColumnStore
+            self.columns = ColumnStore(options.dimension_count,
+                                       options.quantization,
+                                       hash_words=self.index.words)
+        except Exception:
+            self.spanlog.close()
+            if not existed:
+                try:
+                    os.remove(options.name)
+                except OSError:
+                    pass
+            raise
         self._dev_version = -1
         self._dev: dict | None = None
         self._hashes_stale = False
@@ -497,28 +529,43 @@ class Collection:
                 from ..parallel import search as psearch
                 shards = self._mesh.shape["data"]
 
-                def ann_topk(kk):
+                def ann_topk(kk, b=None):
+                    b = budget if b is None else b
                     return psearch.sharded_ann_topk(
                         self._mesh, qcode, queries, dev["codes"],
                         dev["norms"], dev["hashes"], valid,
                         bits=self.quantization, metric=self.metric, k=kk,
-                        local_budget=max(1, budget // shards),
+                        local_budget=max(1, b // shards),
                         words=self.index.words)
             else:
-                cand = None
+                cand_cache: dict = {}
 
-                def ann_topk(kk):
-                    nonlocal cand
-                    if cand is None:
-                        _, cand = hamming.hamming_candidates(
-                            qcode, dev["hashes"], valid, budget,
-                            self.index.words)
+                def ann_topk(kk, b=None):
+                    b = budget if b is None else b
+                    if b not in cand_cache:
+                        _, cand_cache[b] = hamming.hamming_candidates(
+                            qcode, dev["hashes"], valid, b, self.index.words)
                     return hamming.rerank_topk(
-                        queries, dev["codes"], dev["norms"], valid, cand,
-                        self.quantization, self.metric, kk)
+                        queries, dev["codes"], dev["norms"], valid,
+                        cand_cache[b], self.quantization, self.metric, kk)
 
             if args.radius > 0:
-                dist, rows = ann_topk(budget)
+                # Escalate the candidate budget until the worst returned
+                # distance exceeds the radius or candidates are exhausted —
+                # dense in-radius sets come back complete, matching the
+                # reference's accept-reset radius semantics
+                # (lshtree.go:311-313, collection.go:598-604).
+                cap = min(n_passing, self.columns.capacity)
+                b = budget
+                while True:
+                    dist, rows = ann_topk(b, b)
+                    d0 = np.asarray(dist[0])
+                    finite = d0[np.isfinite(d0)]
+                    if b >= cap or len(finite) < b or \
+                            (len(finite) and finite[-1] > args.radius):
+                        break
+                    b = min(b * 4, cap)
+                searched = min(b, n_passing)
                 return self._radius_results(dist, rows, args.radius,
                                             searched, n_records)
             k = min(args.k, n_passing) if n_passing else 0
@@ -641,6 +688,8 @@ class Collection:
     def _list_mode(self, args: SearchArgs, n_records: int) -> SearchResults:
         results = []
         skipped = 0
+        considered = 0  # filter-passing records visited (pointsSearched,
+        #                 collection.go:643-668) — reported as percent_searched
         # lexicographic order on the decimal ID string: reference quirk
         # (spanfile.go:541-547) preserved for pagination parity.
         flt = args.filter
@@ -652,13 +701,14 @@ class Collection:
             md = self.columns.get_metadata(doc_id)
             if flt is not None and not flt(doc_id, md):
                 continue
+            considered += 1
             if skipped < args.offset:
                 skipped += 1
                 continue
             results.append(SearchResult(doc_id, md, 0.0))
             if args.limit and len(results) >= args.limit:
                 break
-        return SearchResults(results, 0.0)
+        return SearchResults(results, self._pct(considered, n_records))
 
     # -- stats & misc ------------------------------------------------------
 

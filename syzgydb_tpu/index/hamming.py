@@ -37,6 +37,27 @@ from ..utils.rng import MyRandom
 
 DEFAULT_TABLES = 5
 DEFAULT_BITS_PER_TABLE = 32
+# Sketch distances are carried in a uint8 surface on the TPU path
+# (ops/pallas_hamming.py) with 255 reserved as the invalid-row marker, so the
+# total sketch width must stay below that; it must also pack into whole
+# uint32 words.  Enforced at collection creation (ADVICE r1, medium).
+MAX_TOTAL_BITS = 254
+
+
+def check_index_shape(tables: int, bits_per_table: int) -> None:
+    """Validate index knobs; raises ValueError with an explanation."""
+    if tables < 1 or bits_per_table < 1:
+        raise ValueError("index_tables and index_bits_per_table must be >= 1")
+    total = tables * bits_per_table
+    if total % 32 != 0:
+        raise ValueError(
+            f"index_tables * index_bits_per_table must be a multiple of 32 "
+            f"(got {total})")
+    if total > MAX_TOTAL_BITS:
+        raise ValueError(
+            f"index_tables * index_bits_per_table must be <= "
+            f"{MAX_TOTAL_BITS} (got {total}): sketch distances ride a uint8 "
+            f"surface with 255 reserved for invalid rows")
 
 
 def _pack_bits_np(bits: np.ndarray) -> np.ndarray:
@@ -176,12 +197,12 @@ class SignHashIndex:
     def __init__(self, dims: int, metric: str, rng: MyRandom,
                  tables: int = DEFAULT_TABLES,
                  bits_per_table: int = DEFAULT_BITS_PER_TABLE):
+        check_index_shape(tables, bits_per_table)
         self.dims = dims
         self.metric = metric
         self.tables = tables
         self.bits_per_table = bits_per_table
         self.total_bits = tables * bits_per_table
-        assert self.total_bits % 32 == 0
         self.words = self.total_bits // 32
         planes = rng.standard_normal((dims, self.total_bits))
         planes /= np.linalg.norm(planes, axis=0, keepdims=True)

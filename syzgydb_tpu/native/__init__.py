@@ -116,7 +116,9 @@ def scan(data: bytes):
     if lib is None:
         return None
     arr = np.frombuffer(data, dtype=np.uint8)
-    max_entries = max(1, len(data) // 25)
+    # minimum syntactically valid record is 24 bytes (8B header + 12B empty
+    # body + 4B crc), so len//24 bounds the entry count exactly (ADVICE r1)
+    max_entries = max(1, len(data) // 24) + 1
     offsets = np.empty(max_entries, np.uint64)
     lengths = np.empty(max_entries, np.uint64)
     seqs = np.empty(max_entries, np.uint64)
@@ -131,6 +133,11 @@ def scan(data: bytes):
         flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         id_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         id_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if int(count) >= max_entries:
+        # table filled to capacity: the C scan stops early rather than
+        # overflow, so trailing records may be missing — use the pure-Python
+        # scan instead of silently truncating recovery (ADVICE r1)
+        return None
     out = []
     for i in range(int(count)):
         s, l = int(id_offs[i]), int(id_lens[i])

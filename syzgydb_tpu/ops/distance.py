@@ -120,8 +120,9 @@ def score_block(queries: jnp.ndarray, codes: jnp.ndarray, row_norms: jnp.ndarray
                 exact: bool = False) -> jnp.ndarray:
     """Distances (Q, N) f32; invalid rows get +inf.
 
-    queries: (Q, D) f32 — already quantization-roundtripped by the caller so
-             the query sees the same values the reference would compare.
+    queries: (Q, D) f32 — the RAW query values, intentionally NOT quantized:
+             the reference compares the raw query against dequantized stored
+             vectors (collection.go:583-596), and so do we.
     codes:   (N, D) device representation (int8/int16/f32).
     row_norms: (N,) f32 squared norms of dequantized rows.
     valid:   (N,) bool — live (non-tombstoned, non-padding, filter-passing).

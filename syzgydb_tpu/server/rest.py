@@ -181,6 +181,12 @@ class _Handler(BaseHTTPRequestHandler):
                         setattr(opts, knob, int(req[knob]))
                 try:
                     coll = Collection(opts)
+                except ValueError as exc:
+                    # bad options are the caller's fault; Collection
+                    # validates before creating the file, so nothing is
+                    # left behind and a corrected retry succeeds
+                    return self._error(
+                        f"Failed to create collection: {exc}", 400)
                 except Exception as exc:
                     return self._error(
                         f"Failed to create collection: {exc}", 500)
@@ -424,7 +430,12 @@ def make_server(data_folder: Optional[str] = None,
         for path in glob.glob(os.path.join(srv.data_folder, "*.dat")):
             name = srv.file_to_collection_name(path)
             log.info("Loading collection from file: %s", path)
-            srv.collections[name] = Collection(_open_existing(path))
+            try:
+                srv.collections[name] = Collection(_open_existing(path))
+            except Exception:
+                # one bad/corrupt .dat must not take the whole server down
+                # (ADVICE r1, high); skip it and keep serving the others
+                log.exception("Failed to load collection %s; skipping", path)
     return srv
 
 

@@ -332,3 +332,96 @@ def test_knn_with_k_exceeding_count(tmp_collection_path, rng):
     res = c.search(SearchArgs(vector=[0.0] * 4, k=50, precision="exact"))
     assert len(res.results) == 3
     c.close()
+
+
+def test_bad_options_leave_no_file(tmp_collection_path):
+    """ADVICE r1 (high): a failed create must not poison the path — the
+    stored options record would otherwise override every valid retry."""
+    import os
+    with pytest.raises(ValueError):
+        Collection(CollectionOptions(name=tmp_collection_path,
+                                     dimension_count=0))
+    assert not os.path.exists(tmp_collection_path)
+    # bad index knobs rejected before file creation too
+    with pytest.raises(ValueError):
+        Collection(CollectionOptions(name=tmp_collection_path,
+                                     dimension_count=4, index_tables=8,
+                                     index_bits_per_table=32))  # 256 bits
+    with pytest.raises(ValueError):
+        Collection(CollectionOptions(name=tmp_collection_path,
+                                     dimension_count=4,
+                                     index_bits_per_table=31))  # not %32
+    with pytest.raises(ValueError):
+        Collection(CollectionOptions(name=tmp_collection_path,
+                                     dimension_count=4, quantization=7))
+    assert not os.path.exists(tmp_collection_path)
+    # a corrected retry on the same path now succeeds
+    c = Collection(CollectionOptions(name=tmp_collection_path,
+                                     dimension_count=4))
+    c.add_document(1, [0.1, 0.2, 0.3, 0.4], b"{}")
+    assert c.get_document_count() == 1
+    c.close()
+
+
+def test_list_mode_percent_searched(tmp_collection_path):
+    """List mode reports filter-passing records considered / total * 100
+    (pointsSearched parity, collection.go:643-668; ADVICE r1)."""
+    c = make_collection(tmp_collection_path)
+    for i in range(10):
+        c.add_document(i, [0.1 * i, 0, 0, 0],
+                       json.dumps({"even": i % 2 == 0}).encode())
+    res = c.search(SearchArgs())  # no filter, no limit: all considered
+    assert res.percent_searched == 100.0
+    res = c.search(SearchArgs(filter_query="even == true"))
+    assert len(res.results) == 5
+    assert res.percent_searched == 50.0
+    # limit stops counting early, like the reference's loop break
+    res = c.search(SearchArgs(limit=3))
+    assert res.percent_searched == 30.0
+    c.close()
+
+
+def test_radius_medium_escalates_past_budget(tmp_collection_path, rng):
+    """Dense in-radius sets come back complete through the ANN path:
+    the candidate budget escalates instead of truncating (VERDICT r1 #8,
+    lshtree.go:311-313 accept-reset semantics)."""
+    n, d = 2000, 8
+    base = rng.normal(size=(d,))
+    base /= np.linalg.norm(base)
+    # 1500 points in a tight cone around base (all within small radius),
+    # 500 far away
+    near = base[None, :] + 0.001 * rng.normal(size=(1500, d))
+    far = rng.normal(size=(500, d)) + 5.0
+    vecs = np.vstack([near, far])
+    vecs = np.clip(vecs / np.abs(vecs).max(), -1, 1)
+    c = make_collection(tmp_collection_path, dims=d, metric=COSINE, quant=32,
+                        search_budget=256)
+    c.add_documents(list(range(n)), vecs, [b"{}"] * n)
+    # choose radius capturing the whole near-cluster
+    exact = c.search(SearchArgs(vector=vecs[0], radius=0.2,
+                                precision="exact"))
+    assert len(exact.results) >= 1400
+    med = c.search(SearchArgs(vector=vecs[0], radius=0.2,
+                              precision="medium"))
+    got = {r.id for r in med.results}
+    want = {r.id for r in exact.results}
+    # escalation must blow well past the 256 budget
+    assert len(med.results) > 256
+    assert len(got & want) / len(want) > 0.98
+    c.close()
+
+
+def test_rejects_corrupt_dat_without_poisoning_server(tmp_path):
+    """make_server keeps serving when one .dat is unloadable (ADVICE r1)."""
+    from syzgydb_tpu.server.rest import make_server
+    good = make_collection(str(tmp_path / "good.dat"))
+    good.add_document(1, [0.1, 0.2, 0.3, 0.4], b"{}")
+    good.close()
+    # a poisoned options record: dimension_count 0 written by hand
+    bad = Collection(CollectionOptions(name=str(tmp_path / "bad.dat"),
+                                       dimension_count=4))
+    bad.spanlog.write("", [b'{"dimension_count": 0, "quantization": 64}'])
+    bad.close()
+    srv = make_server(data_folder=str(tmp_path))
+    assert "good" in srv.collections
+    assert "bad" not in srv.collections

@@ -284,8 +284,31 @@ def test_create_with_tuning_knobs(server):
     code, _ = req(server, "POST", "/api/v1/collections", {
         "name": "tuned", "vector_size": 4, "quantization": 8,
         "distance_function": "cosine", "search_budget": 512,
-        "index_tables": 8, "index_bits_per_table": 64})
+        "index_tables": 6, "index_bits_per_table": 32})
     assert code == 201
     # knobs persist in the stored options (reopen honors them)
     code, info = req(server, "GET", "/api/v1/collections/tuned")
     assert code == 200
+
+
+def test_create_rejects_overflowing_sketch_bits(server):
+    """8 tables x 32 bits = 256 total would wrap the uint8 Hamming surface
+    and collide with the invalid marker (ADVICE r1, medium): 400, and no
+    .dat is left behind so a corrected retry succeeds."""
+    code, body = req(server, "POST", "/api/v1/collections", {
+        "name": "overflow", "vector_size": 4, "quantization": 8,
+        "distance_function": "cosine",
+        "index_tables": 8, "index_bits_per_table": 32})
+    assert code == 400
+    code, _ = req(server, "POST", "/api/v1/collections", {
+        "name": "overflow", "vector_size": 4, "quantization": 8,
+        "distance_function": "cosine"})
+    assert code == 201
+    # bad vector_size also 400 (not 500), and path not poisoned
+    code, _ = req(server, "POST", "/api/v1/collections", {
+        "name": "noveclen", "distance_function": "cosine"})
+    assert code == 400
+    code, _ = req(server, "POST", "/api/v1/collections", {
+        "name": "noveclen", "vector_size": 3,
+        "distance_function": "cosine"})
+    assert code == 201
