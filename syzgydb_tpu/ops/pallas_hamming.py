@@ -36,6 +36,27 @@ def _hamming_kernel(qcodes_ref, hashes_ref, out_ref, *, words):
     out_ref[:] = acc.astype(jnp.uint8)
 
 
+def _hamming_bf16_kernel(qcodes_ref, hashes_ref, valid_ref, out_ref,
+                         *, words):
+    """Hamming distances as a bf16 surface with invalid rows pushed to 16384.
+
+    bf16 represents integers 0..256 exactly (total sketch bits <= 254), and
+    lax.approx_min_k can consume the surface DIRECTLY — the uint8 variant
+    forces an (Q, N) f32 conversion that materializes 4 bytes/entry in HBM
+    before selection (measured 7.5 ms at 1M x 64q vs ~1.5 ms read-bound)."""
+    qc = qcodes_ref[:]                       # (Q, W) uint32
+    h = hashes_ref[:]                        # (block_n, W) uint32
+    q = qc.shape[0]
+    block_n = h.shape[0]
+    acc = jnp.zeros((q, block_n), dtype=jnp.int32)
+    for w in range(words):                   # static unroll, W small
+        x = jnp.bitwise_xor(qc[:, w][:, None], h[:, w][None, :])
+        acc = acc + jax.lax.population_count(x).astype(jnp.int32)
+    validf = valid_ref[:][:, 0][None, :]     # (1, block_n)
+    out_ref[:] = jnp.where(validf > 0, acc.astype(jnp.bfloat16),
+                           jnp.bfloat16(16384.0))
+
+
 @functools.partial(jax.jit, static_argnames=("words", "block_n", "interpret"))
 def hamming_scores(qcodes, hashes, *, words: int,
                    block_n: int = DEFAULT_BLOCK_N, interpret: bool = False):
@@ -64,3 +85,37 @@ def hamming_scores(qcodes, hashes, *, words: int,
             bytes_accessed=n * words * 4 + q * n),
         interpret=interpret,
     )(qcodes, hashes)
+
+
+@functools.partial(jax.jit, static_argnames=("words", "block_n", "interpret"))
+def hamming_scores_bf16(qcodes, hashes, valid, *, words: int,
+                        block_n: int = DEFAULT_BLOCK_N,
+                        interpret: bool = False):
+    """(Q, W) x (N, W) sketches + (N,) valid -> (Q, N) bf16 distances
+    (invalid rows = 16384, exact in bf16), ready for lax.approx_min_k with no conversion."""
+    n = hashes.shape[0]
+    q = qcodes.shape[0]
+    assert n % block_n == 0, (n, block_n)
+    nblocks = n // block_n
+    grid_spec = pl.GridSpec(
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((q, words), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, words), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, block_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_hamming_bf16_kernel, words=words),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q, n), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * words, transcendentals=0,
+            bytes_accessed=n * words * 4 + q * n * 2),
+        interpret=interpret,
+    )(qcodes, hashes, valid.astype(jnp.float32)[:, None])

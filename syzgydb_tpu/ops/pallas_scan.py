@@ -1,27 +1,36 @@
-"""Fused distance-scan Pallas kernel.
+"""Fused segment-min distance scan — the TPU exhaustive-search kernel.
 
 The XLA path (ops/distance.score_block + top_k) materializes the (Q, N)
 score matrix in HBM — an extra write+read of Q*N*4 bytes on top of the
-mandatory codes read.  This kernel tiles the database over a 1-D grid of row
-blocks and, per block: streams the packed codes into VMEM, runs the
-(Q, D) x (D, block_n) contraction on the MXU, applies the distance epilogue
-on the VPU, and reduces to a per-block top-k in VMEM via K selection passes.
-Only (nblocks, Q, K) winners ever reach HBM; a tiny final top-k merges them.
+mandatory codes read — and then pays a full lax.top_k pass over N.  Profiled
+on v5e at 1M x 384 x 64q (tools_dev/profile_scan.py, round 2): 3.2 ms
+surface + 4.3 ms top_k, ~5.4 ms pipelined, ~5x off the codes-stream roofline.
 
-Supported on TPU; every call site falls back to the XLA path on other
-backends (and under jit tracing on CPU test meshes).
+In-kernel streaming top-k was tried and measured worse: any merge needs
+either k serialized min-passes (Mosaic unrolls them and stack-OOMs VMEM at
+Q=64) or data-dependent control flow (a scalar-predicate pipeline stall per
+block: 60 ms).  The design that actually fits the hardware is two-phase:
 
-HBM traffic per query batch: N*D bytes of codes + N*4 norms + negligible
-winner writes — the speed-of-light minimum for an exhaustive scan.
+  1. **Pallas kernel** (this file): stream the codes once, MXU contraction,
+     distance surrogate on the VPU, and reduce each SEG consecutive rows to
+     their minimum.  Output is a tiny (Q, N/SEG) f32 surface — 2 MB at 1M
+     rows instead of 256 MB.  No control flow, perfect DMA pipelining; HBM
+     traffic = the codes read, which is the speed-of-light floor.
+  2. **Wrapper**: top-k over the segment minima picks the S = k + margin
+     best segments (exactness: every true top-k row lives in a segment
+     whose min is <= the k-th best value, and at most k-1 segments can have
+     a strictly smaller min — so the top-k segments by min contain the full
+     answer up to value ties).  Those segments are gathered CONTIGUOUSLY
+     (SEG*D-byte slabs, DMA-friendly, unlike the per-row gathers that cost
+     6.5 ms in the ANN rerank) and reranked exactly.
 
-MEASURED (v5e, 128k x 384, Q=8, k=10): correct vs the XLA oracle but ~7x
-slower than score_block+top_k — XLA's fused matmul + custom TopK already
-avoids most of the theoretical extra traffic, and the per-block K selection
-passes serialize against small matmuls.  The XLA path therefore remains the
-default exhaustive scan; the in-kernel-top-k structure here is kept as the
-building block for streaming variants (it becomes profitable when Q*N scores
-stop fitting in HBM).  The Pallas kernel that IS on the hot path is
-ops/pallas_hamming.py.
+Ranking uses a MONOTONIC SURROGATE of the metric (squared euclidean;
+(1-cos)/2 for angular — acos has no TPU lowering); the exact transform is
+applied after the rerank.  Replaces the reference's per-candidate
+fetch+decode+distance loop (collection.go:583-596, 812-832).
+
+Supported on TPU; call sites fall back to the XLA path elsewhere (and use
+interpret mode in CPU tests).
 """
 
 from __future__ import annotations
@@ -30,92 +39,91 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import quantize as qz
 
-DEFAULT_BLOCK_N = 1024
+DEFAULT_BLOCK_N = 4096
+DEFAULT_SEG = 64
+MAX_FUSED_K = 128
+_TIE_MARGIN = 8
 
 
-def _topk_select(scores, k):
-    """(Q, B) -> (vals (Q,k), idx (Q,k)) ascending, via k selection passes.
-
-    lax.top_k does not lower inside Pallas TPU kernels; k passes of
-    min+argmin on VMEM-resident scores are cheap for k <= ~64.
-    """
-    q, b = scores.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (q, b), dimension=1)
-    vals = []
-    idxs = []
-    cur = scores
-    for _ in range(k):
-        m = jnp.min(cur, axis=1, keepdims=True)              # (Q, 1)
-        is_min = cur == m
-        # first column index achieving the min
-        first = jnp.min(jnp.where(is_min, col, b), axis=1, keepdims=True)
-        vals.append(m)
-        idxs.append(first)
-        cur = jnp.where(col == first, jnp.inf, cur)
-    return (jnp.concatenate(vals, axis=1),
-            jnp.concatenate(idxs, axis=1).astype(jnp.int32))
+_SUBTILE = 512
 
 
-def _scan_kernel(q_ref, codes_ref, norms_ref, valid_ref, vals_ref, idx_ref,
-                 *, bits, metric, k, block_n):
-    i = pl.program_id(0)
-    codes = codes_ref[:]                                     # (block_n, D)
+def _segmin_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
+                   *, bits, metric, seg, exact):
+    """Distance surrogate in TRANSPOSED (B, Q) layout: rows ride the sublane
+    axis, so the per-segment min is a native sublane reduction.
+
+    The block is processed in _SUBTILE-row slices: Pallas values live in
+    vector registers, so computing the whole (block_n, Q) surface at once
+    register-spills ~200MB; per-subtile slices bound the live set to a few
+    hundred KB while the DMA still moves whole block_n tiles."""
     queries = q_ref[:]                                       # (Q, D)
-    if bits in (4, 8):
-        raw = jnp.dot(queries.astype(jnp.bfloat16),
-                      codes.astype(jnp.bfloat16).T,
-                      preferred_element_type=jnp.float32)
-    else:
-        raw = jnp.dot(queries, codes.astype(jnp.float32).T,
-                      preferred_element_type=jnp.float32)
     if bits in (4, 8, 16):
         scale, offset = qz.affine_constants(bits)
-        qsum = jnp.sum(queries, axis=-1, keepdims=True)
-        dots = scale * raw + offset * qsum
-    else:
-        dots = raw
-    # The kernel ranks on a MONOTONIC SURROGATE of the metric (squared
-    # euclidean; (1-cos)/2 for angular): acos has no Pallas TPU lowering
-    # and sqrt/acos cost VPU cycles per point — the exact transform is
-    # applied to the tiny winner set outside the kernel.
-    norms = norms_ref[:][:, 0]                               # (block_n,)
-    if metric == "euclidean":
-        qn2 = jnp.sum(queries * queries, axis=-1, keepdims=True)
-        dist = jnp.maximum(qn2 - 2.0 * dots + norms[None, :], 0.0)
-    else:
-        qn2 = jnp.sum(queries * queries, axis=-1, keepdims=True)
-        denom2 = qn2 * norms[None, :]
-        inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
-        cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
-        # zero query or zero row -> cos=-1 -> surrogate 1 -> distance 1.0
-        dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
-    dist = jnp.where(valid_ref[:][:, 0][None, :] > 0, dist, jnp.inf)
-    vals, idx = _topk_select(dist, k)
-    vals_ref[0] = vals
-    idx_ref[0] = idx + i * block_n
+        qsum = jnp.sum(queries, axis=-1)                     # (Q,)
+    qn2 = jnp.sum(queries * queries, axis=-1)[None, :]       # (1, Q)
+    fast = bits in (4, 8) and not exact
+    qT = queries.astype(jnp.bfloat16).T if fast else queries.T
+
+    b = codes_ref.shape[0]
+    q = queries.shape[0]
+    sub = min(_SUBTILE, b)
+    for t in range(b // sub):
+        lo = t * sub
+        codes = codes_ref[lo:lo + sub, :]                    # (sub, D)
+        if fast:
+            raw = jnp.dot(codes.astype(jnp.bfloat16), qT,
+                          preferred_element_type=jnp.float32)  # (sub, Q)
+        else:
+            raw = jnp.dot(codes.astype(jnp.float32), qT,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST
+                          if exact else None)
+        if bits in (4, 8, 16):
+            dots = scale * raw + offset * qsum[None, :]
+        else:
+            dots = raw
+        norms = norms_ref[lo:lo + sub, :]                    # (sub, 1)
+        if metric == "euclidean":
+            dist = jnp.maximum(qn2 - 2.0 * dots + norms, 0.0)
+        else:
+            denom2 = qn2 * norms
+            inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
+            cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
+            # zero query or zero row -> cos=-1 -> surrogate 1 -> dist 1.0
+            dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
+        dist = jnp.where(valid_ref[lo:lo + sub, :] > 0, dist, jnp.inf)
+        # Per-segment min over consecutive sublane rows as a log2(seg) tree
+        # of roll+minimum folds: after folds with shifts seg/2 ... 1, row 0
+        # of every segment holds its segment's min (other rows hold
+        # cross-segment garbage the final slice discards).
+        x = dist
+        s = seg // 2
+        while s >= 1:
+            # x[i] <- min(x[i], x[i+s]); pltpu.roll needs shift >= 0 and
+            # rolling by (rows - s) is the same circular move as -s
+            x = jnp.minimum(x, pltpu.roll(x, shift=sub - s, axis=0))
+            s //= 2
+        out_ref[lo // seg:(lo + sub) // seg, :] = \
+            x.reshape(sub // seg, seg, q)[:, 0, :]
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "metric", "k", "block_n",
-                                             "interpret"))
-def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
-                    k: int, block_n: int = DEFAULT_BLOCK_N,
-                    interpret: bool = False):
-    """Exhaustive fused scan -> (dist (Q, k) ascending, rows (Q, k)).
-
-    N must be a multiple of block_n (the column store pads capacity;
-    padding rows carry valid=False).
-    """
+@functools.partial(jax.jit, static_argnames=("bits", "metric", "block_n",
+                                             "seg", "exact", "interpret"))
+def segment_min_scan(queries, codes, norms, valid, *, bits: int, metric: str,
+                     block_n: int = DEFAULT_BLOCK_N, seg: int = DEFAULT_SEG,
+                     exact: bool = False, interpret: bool = False):
+    """(Q, D) x (N, D) -> (Q, N/seg) f32 surrogate segment minima."""
     n, d = codes.shape
     q = queries.shape[0]
     assert n % block_n == 0, (n, block_n)
+    assert block_n % seg == 0, (block_n, seg)
     nblocks = n // block_n
-    kk = min(k, block_n)
 
     grid_spec = pl.GridSpec(
         grid=(nblocks,),
@@ -128,45 +136,111 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
             pl.BlockSpec((block_n, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, q, kk), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q, kk), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((block_n // seg, q), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_scan_kernel, bits=bits, metric=metric, k=kk,
-                               block_n=block_n)
-    block_vals, block_idx = pl.pallas_call(
+    kernel = functools.partial(_segmin_kernel, bits=bits, metric=metric,
+                               seg=seg, exact=exact)
+    segmins_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((nblocks, q, kk), jnp.float32),
-            jax.ShapeDtypeStruct((nblocks, q, kk), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((n // seg, q), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * q * d * n, transcendentals=0,
-            bytes_accessed=n * d + 4 * n + 4 * q * d),
+            bytes_accessed=n * d + 4 * n + 4 * q * (n // seg)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(queries.astype(jnp.float32), codes, norms[:, None],
       valid.astype(jnp.float32)[:, None])
+    return segmins_t.T                                       # (Q, N/seg)
 
-    # merge: (nblocks, Q, kk) -> (Q, nblocks*kk) -> top-k on the surrogate
-    va = jnp.moveaxis(block_vals, 0, 1).reshape(q, nblocks * kk)
-    ia = jnp.moveaxis(block_idx, 0, 1).reshape(q, nblocks * kk)
-    neg, pos = jax.lax.top_k(-va, min(k, va.shape[1]))
-    sur = -neg
-    rows = jnp.take_along_axis(ia, pos, axis=1)
-    # surrogate -> true metric on the winners only
-    invalid = ~jnp.isfinite(sur)
-    if metric == "euclidean":
-        dist = jnp.sqrt(jnp.where(invalid, 0.0, sur))
+
+def _candidate_distances(queries, ccodes, cnorms, cvalid, bits, metric,
+                         exact):
+    """Exact distances for gathered candidates (Q, C, D) -> (Q, C) f32."""
+    precision = jax.lax.Precision.HIGHEST if exact else None
+    if bits in (32, 64):
+        dots = jnp.einsum("qd,qcd->qc", queries, ccodes.astype(jnp.float32),
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
     else:
-        cos = jnp.clip(1.0 - 2.0 * jnp.where(invalid, 0.0, sur), -1.0, 1.0)
-        dist = jnp.arccos(cos) / jnp.pi
-    return jnp.where(invalid, jnp.inf, dist), rows
+        scale, offset = qz.affine_constants(bits)
+        fast = bits in (4, 8) and not exact
+        cast = jnp.bfloat16 if fast else jnp.float32
+        raw = jnp.einsum("qd,qcd->qc",
+                         queries.astype(cast) if fast else queries,
+                         ccodes.astype(cast),
+                         preferred_element_type=jnp.float32,
+                         precision=precision)
+        qsum = jnp.sum(queries, axis=-1, keepdims=True)
+        dots = scale * raw + offset * qsum
+    if metric == "euclidean":
+        qn = jnp.sum(queries * queries, axis=-1, keepdims=True)
+        dist = jnp.sqrt(jnp.maximum(qn - 2.0 * dots + cnorms, 0.0))
+    else:
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
+        vn = jnp.sqrt(cnorms)
+        denom = qn * vn
+        cos = jnp.where(denom > 0.0, dots / jnp.where(denom > 0.0, denom, 1.0),
+                        1.0)
+        dist = jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / jnp.pi
+        dist = jnp.where((qn == 0.0) | (vn == 0.0), 1.0, dist)
+    return jnp.where(cvalid, dist, jnp.inf)
+
+
+def gather_segments(arr, seg_idx, seg: int):
+    """Contiguous segment gather: (N, ...) x (Q, S) -> (Q, S*seg, ...).
+
+    Gathers SEG*row-size byte slabs (DMA-friendly) instead of per-row."""
+    n = arr.shape[0]
+    tail = arr.shape[1:]
+    flat = arr.reshape(n // seg, -1)
+    g = jnp.take(flat, seg_idx, axis=0)           # (Q, S, seg*prod(tail))
+    qn, s = seg_idx.shape
+    return g.reshape((qn, s * seg) + tail)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "metric", "k", "block_n",
+                                             "seg", "exact", "interpret"))
+def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
+                    k: int, block_n: int = DEFAULT_BLOCK_N,
+                    seg: int = DEFAULT_SEG, exact: bool = False,
+                    interpret: bool = False):
+    """Exhaustive fused scan -> (dist (Q, k) ascending, rows (Q, k)).
+
+    N must be a multiple of block_n (the column store pads capacity;
+    padding rows carry valid=False).  k <= MAX_FUSED_K.
+    """
+    n, d = codes.shape
+    q0 = queries.shape[0]
+    assert k <= MAX_FUSED_K, k
+    queries = queries.astype(jnp.float32)
+    qpad = (-q0) % 8
+    if qpad:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((qpad, d), jnp.float32)])
+
+    segmins = segment_min_scan(queries, codes, norms, valid, bits=bits,
+                               metric=metric, block_n=block_n, seg=seg,
+                               exact=exact, interpret=interpret)
+    nseg = n // seg
+    s = min(k + _TIE_MARGIN, nseg)
+    _, seg_idx = jax.lax.top_k(-segmins, s)                   # (Qp, S)
+
+    ccodes = gather_segments(codes, seg_idx, seg)             # (Qp, S*seg, D)
+    cnorms = gather_segments(norms, seg_idx, seg)             # (Qp, S*seg)
+    cvalid = gather_segments(valid, seg_idx, seg)
+    rows = (seg_idx[:, :, None] * seg +
+            jnp.arange(seg, dtype=jnp.int32)[None, None, :]
+            ).reshape(seg_idx.shape[0], s * seg)
+
+    dist = _candidate_distances(queries, ccodes, cnorms, cvalid, bits,
+                                metric, exact)
+    kk = min(k, dist.shape[1])
+    neg, pos = jax.lax.top_k(-dist, kk)
+    out_rows = jnp.take_along_axis(rows, pos, axis=1)
+    return (-neg)[:q0], out_rows[:q0]
 
 
 def supported() -> bool:

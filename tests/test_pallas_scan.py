@@ -36,26 +36,56 @@ def test_fused_scan_matches_xla(rng, metric, bits):
             set(np.asarray(ref_rows)[i].tolist())
 
 
-def test_fused_scan_k_larger_than_block(rng):
-    n, d, q, block = 256, 64, 2, 128
+def test_fused_scan_winners_in_late_blocks(rng):
+    """The threshold-skip must not drop winners that appear after the
+    running top-k has tightened (the correctness-critical case)."""
+    n, d, q, k, block = 1024, 64, 2, 16, 128
     db = rng.uniform(-1, 1, size=(n, d))
+    queries = np.float32(rng.uniform(-1, 1, size=(q, d)))
+    # plant near-duplicates of query 0 in the LAST block
+    db[-5:] = queries[0] + 0.001 * rng.standard_normal((5, d))
+    db = np.clip(db, -1, 1)
     codes = qz.codes_to_device_repr(db, 32)
     norms = dist_ops.db_row_stats(codes, 32)
     valid = np.ones(n, dtype=bool)
-    queries = np.float32(rng.uniform(-1, 1, size=(q, d)))
     vals, rows = pallas_scan.fused_scan_topk(
         jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
-        jnp.asarray(valid), bits=32, metric="euclidean", k=150, block_n=block,
+        jnp.asarray(valid), bits=32, metric="euclidean", k=k, block_n=block,
         interpret=True)
-    # k clamps to block_n per block; the merge still returns 150 valid rows
-    assert vals.shape == (q, 150)
-    d_all = np.asarray(dist_ops.score_block(
+    ref = dist_ops.score_block(jnp.asarray(queries), jnp.asarray(codes),
+                               jnp.asarray(norms), jnp.asarray(valid),
+                               32, "euclidean")
+    ref_vals, ref_rows = dist_ops.top_k_smallest(ref, k)
+    # near-duplicate euclidean distances lose ~1e-4 absolute to f32
+    # cancellation in the dot-product form (both paths do; they just round
+    # differently) — values compare loosely, the row SETS must agree
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals),
+                               atol=5e-4)
+    for i in range(q):
+        assert set(np.asarray(rows)[i].tolist()) == \
+            set(np.asarray(ref_rows)[i].tolist())
+    assert set(np.asarray(rows)[0].tolist()) >= {n - 5, n - 4, n - 3,
+                                                 n - 2, n - 1}
+
+
+def test_fused_scan_duplicate_distances(rng):
+    """Exact duplicates (tied distances) across blocks: the merge must keep
+    k distinct rows, never repeat one."""
+    n, d, q, k, block = 512, 32, 1, 8, 128
+    base = rng.uniform(-1, 1, size=(d,))
+    db = np.tile(base, (n, 1))  # all rows identical -> all ties
+    codes = qz.codes_to_device_repr(db, 32)
+    norms = dist_ops.db_row_stats(codes, 32)
+    valid = np.ones(n, dtype=bool)
+    queries = np.float32(base[None, :])
+    vals, rows = pallas_scan.fused_scan_topk(
         jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
-        jnp.asarray(valid), 32, "euclidean"))
-    want = np.sort(d_all, axis=1)[:, :150]
-    # per-block top-128 then merge can only miss rows beyond rank 128 of a
-    # single block; with two blocks of 128 the union is exact
-    np.testing.assert_allclose(np.asarray(vals), want, atol=2e-5)
+        jnp.asarray(valid), bits=32, metric="euclidean", k=k, block_n=block,
+        interpret=True)
+    r = np.asarray(rows)[0]
+    assert len(set(r.tolist())) == k  # distinct rows
+    # f32 cancellation in the dot-product form leaves a ~sqrt(1e-6) residue
+    np.testing.assert_allclose(np.asarray(vals)[0], 0.0, atol=2e-3)
 
 
 def test_pallas_hamming_matches_xla(rng):
@@ -74,3 +104,20 @@ def test_pallas_hamming_matches_xla(rng):
             x = np.bitwise_xor(qcodes[i, ww], hashes[:, ww])
             want[i] += np.vectorize(lambda v: bin(v).count("1"))(x)
     np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_pallas_hamming_bf16_matches_uint8(rng):
+    from syzgydb_tpu.ops import pallas_hamming
+    q, n, w = 4, 512, 5
+    qcodes = rng.integers(0, 2**32, size=(q, w), dtype=np.uint32)
+    hashes = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    valid = np.ones(n, dtype=bool)
+    valid[7:19] = False
+    u8 = np.asarray(pallas_hamming.hamming_scores(
+        jnp.asarray(qcodes), jnp.asarray(hashes), words=w, block_n=128,
+        interpret=True))
+    bf = np.asarray(pallas_hamming.hamming_scores_bf16(
+        jnp.asarray(qcodes), jnp.asarray(hashes), jnp.asarray(valid),
+        words=w, block_n=128, interpret=True)).astype(np.float32)
+    np.testing.assert_array_equal(bf[:, valid], u8[:, valid].astype(np.float32))
+    assert (bf[:, ~valid] == 16384.0).all()
