@@ -74,11 +74,19 @@ def main() -> None:
                      norms=norms_np)
         except OSError:
             pass  # disk-constrained host: just regenerate next time
-    valid_np = np.ones(n, dtype=bool)
+    # pad rows to a 4096 multiple (valid=False) — the Pallas kernels tile the
+    # row axis in 4096-row blocks (a real Collection's capacity is a power of
+    # two, so this mirrors production layout)
+    npad = (-n) % 4096
+    ntot = n + npad
+    valid_np = np.zeros(ntot, dtype=bool)
+    valid_np[:n] = True
 
     _log("bench: uploading")
-    codes = jnp.asarray(codes_np)
-    norms = jnp.asarray(norms_np)
+    codes = jnp.asarray(np.concatenate(
+        [codes_np, np.zeros((npad, d), codes_np.dtype)]))
+    norms = jnp.asarray(np.concatenate(
+        [norms_np, np.zeros(npad, norms_np.dtype)]))
     valid = jnp.asarray(valid_np)
     qdev = jnp.asarray(queries)
 
@@ -101,10 +109,13 @@ def main() -> None:
                                      index.words)
         return rerank_topk(qdev, codes, norms, valid, cand, bits, metric, k)
 
+    from syzgydb_tpu.ops import pallas_scan
+
     def exact_step(qdev):
-        dist = dist_ops.score_block(qdev, codes, norms, valid, bits, metric,
-                                    exact=False)
-        return dist_ops.top_k_smallest(dist, k)
+        # fused segment-min Pallas scan — same dispatch Collection uses
+        return pallas_scan.fused_scan_topk(qdev, codes, norms, valid,
+                                           bits=bits, metric=metric, k=k,
+                                           block_n=4096)
 
     def timeit(fn, reps=20):
         # time a whole block of reps; end with a tiny value fetch —

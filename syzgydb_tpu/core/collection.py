@@ -486,8 +486,46 @@ class Collection:
         res.search_time_ms = (time.perf_counter() - t0) * 1000.0
         return res
 
+    def search_many(self, args_list: Sequence[SearchArgs]) -> list[SearchResults]:
+        """Batched kNN: one device dispatch answers the whole query group.
+
+        All searches must be homogeneous kNN (k > 0, radius == 0, vector set,
+        same precision and filter) — the REST layer's SearchBatcher groups
+        concurrent requests this way (server/batcher.py).  On tunneled TPU
+        setups a single query pays one fixed ~30 ms result-fetch RPC;
+        batching amortizes that RPC (and the kernel dispatch) across the
+        group, which is what makes concurrent single-query REST serving
+        throughput approach the chip's batched QPS.
+        """
+        if not args_list:
+            return []
+        t0 = time.perf_counter()
+        a0 = args_list[0]
+        p0 = a0.precision or "medium"
+        for a in args_list:
+            if (a.k != a0.k or a.k <= 0 or a.radius != 0
+                    or a.vector is None or a.filter is not None
+                    or (a.precision or "medium") != p0
+                    or (a.filter_query or "") != (a0.filter_query or "")):
+                raise ValueError(
+                    "search_many requires homogeneous kNN searches (same "
+                    "k/precision/filter_query, no radius, no callable filter)")
+        qvecs = np.stack([np.asarray(a.vector, dtype=np.float64)
+                          for a in args_list])
+        if qvecs.shape[1] != self.dimension_count:
+            raise ValueError("query vector dimension mismatch")
+        with self._lock:
+            n_records = len(self.columns)
+            if n_records == 0:
+                out = [SearchResults([], 0.0) for _ in args_list]
+            else:
+                out = self._knn_many(qvecs, a0, n_records)
+        dt = (time.perf_counter() - t0) * 1000.0
+        for r in out:
+            r.search_time_ms = dt
+        return out
+
     def _search_locked(self, args: SearchArgs) -> SearchResults:
-        precision = args.precision or "medium"
         n_records = len(self.columns)
 
         # mode (a): list all in ID order (collection.go:633-668)
@@ -502,35 +540,117 @@ class Collection:
         if n_records == 0:
             return SearchResults([], 0.0)
 
+        if args.radius > 0:
+            return self._radius_search(args, qvec, n_records)
+        return self._knn_many(qvec[None, :], args, n_records)[0]
+
+    def _small(self) -> bool:
+        """Small-collection host fast path: no device sync, no RPC — a host
+        BLAS scan beats the fixed per-transfer round-trip below ~2M stored
+        elements and f64 math matches the reference's scalar loops."""
+        return (self._mesh is None and
+                self.columns.size * self.dimension_count
+                <= HOST_SCAN_MAX_ELEMS)
+
+    def _exact_topk_device(self, queries, dev, valid, kk: int, exact: bool):
+        """Exhaustive device top-k over all rows for (Q, D) queries."""
+        if self._mesh is not None:
+            from ..parallel import search as psearch
+            return psearch.sharded_exact_topk(
+                self._mesh, queries, dev["codes"], dev["norms"], valid,
+                bits=self.quantization, metric=self.metric, k=kk, exact=exact)
+        from ..ops import pallas_scan
+        # Fused segment-min Pallas kernel: streams the codes once and never
+        # materializes the (Q, N) distance matrix in HBM (ops/pallas_scan.py).
+        # Falls back to the XLA two-dispatch pipeline for large k (radius
+        # escalation) or off-TPU.
+        if kk <= pallas_scan.MAX_FUSED_K and pallas_scan.supported():
+            for block in (4096, 2048, 1024):
+                if self.columns.capacity % block == 0:
+                    return pallas_scan.fused_scan_topk(
+                        queries, dev["codes"], dev["norms"], valid,
+                        bits=self.quantization, metric=self.metric,
+                        k=kk, block_n=block, exact=exact)
+        dists = dist_ops.score_block(
+            queries, dev["codes"], dev["norms"], valid,
+            self.quantization, self.metric, exact=exact)
+        return dist_ops.top_k_smallest(dists, kk)
+
+    def _knn_many(self, qvecs: np.ndarray, args: SearchArgs,
+                  n_records: int) -> list[SearchResults]:
+        """kNN for a (Q, D) batch of queries sharing precision/filter."""
+        precision = args.precision or "medium"
+        nq = qvecs.shape[0]
+        mask, n_passing = self._filter_mask(args)
+        k = min(args.k, n_passing)
+
+        use_index = (precision != "exact" and self.index.calibrated
+                     and n_records >= MIN_INDEX_SIZE)
+        if self._small() and (precision == "exact" or not use_index):
+            return self._host_scan_knn(qvecs, k, mask, n_passing, n_records)
+
+        queries = jnp.asarray(np.float32(qvecs))
+        dev = self._device_state()
+        valid = jnp.asarray(mask)
+
+        if use_index:
+            budget = min(max(self.options.search_budget,
+                             4 * max(args.k, 1)), self.columns.capacity)
+            searched = min(budget, n_passing)
+            if k == 0:
+                return [SearchResults([], self._pct(searched, n_records))
+                        for _ in range(nq)]
+            qcode = jnp.asarray(self.index.encode_np(np.float32(qvecs)))
+            if self._mesh is not None:
+                from ..parallel import search as psearch
+                shards = self._mesh.shape["data"]
+                dist, rows = psearch.sharded_ann_topk(
+                    self._mesh, qcode, queries, dev["codes"], dev["norms"],
+                    dev["hashes"], valid, bits=self.quantization,
+                    metric=self.metric, k=k,
+                    local_budget=max(1, budget // shards),
+                    words=self.index.words)
+            else:
+                _, cand = hamming.hamming_candidates(
+                    qcode, dev["hashes"], valid, budget, self.index.words)
+                dist, rows = hamming.rerank_topk(
+                    queries, dev["codes"], dev["norms"], valid, cand,
+                    self.quantization, self.metric, k)
+            return self._knn_results_many(dist, rows, k, searched, n_records)
+
+        # exhaustive device scan (mode (b), and large-N medium w/o index)
+        searched = n_passing
+        if k == 0:
+            return [SearchResults([], self._pct(searched, n_records))
+                    for _ in range(nq)]
+        dist, rows = self._exact_topk_device(queries, dev, valid, k,
+                                             precision == "exact")
+        return self._knn_results_many(dist, rows, k, searched, n_records)
+
+    def _radius_search(self, args: SearchArgs, qvec: np.ndarray,
+                       n_records: int) -> SearchResults:
+        precision = args.precision or "medium"
         mask, n_passing = self._filter_mask(args)
 
-        # small-collection host fast path first: no device sync, no RPC —
-        # a host BLAS scan beats the fixed per-transfer round-trip below
-        # ~2M elements and f64 math matches the reference's scalar loops
-        small = (self._mesh is None and
-                 self.columns.size * self.dimension_count
-                 <= HOST_SCAN_MAX_ELEMS)
-        if small and precision == "exact":
+        use_index = (precision != "exact" and self.index.calibrated
+                     and n_records >= MIN_INDEX_SIZE)
+        if self._small() and (precision == "exact" or not use_index):
             return self._host_scan(args, qvec, mask, n_passing, n_records)
 
         queries = jnp.asarray(np.float32(qvec)[None, :])
         dev = self._device_state()
         valid = jnp.asarray(mask)
 
-        use_index = (precision != "exact" and self.index.calibrated
-                     and n_records >= MIN_INDEX_SIZE)
         if use_index:
             budget = min(max(self.options.search_budget,
                              4 * max(args.k, 1)), self.columns.capacity)
             qcode = jnp.asarray(self.index.encode_np(np.float32(qvec)))
-            searched = min(budget, n_passing)
 
             if self._mesh is not None:
                 from ..parallel import search as psearch
                 shards = self._mesh.shape["data"]
 
-                def ann_topk(kk, b=None):
-                    b = budget if b is None else b
+                def ann_topk(kk, b):
                     return psearch.sharded_ann_topk(
                         self._mesh, qcode, queries, dev["codes"],
                         dev["norms"], dev["hashes"], valid,
@@ -538,83 +658,68 @@ class Collection:
                         local_budget=max(1, b // shards),
                         words=self.index.words)
             else:
-                cand_cache: dict = {}
-
-                def ann_topk(kk, b=None):
-                    b = budget if b is None else b
-                    if b not in cand_cache:
-                        _, cand_cache[b] = hamming.hamming_candidates(
-                            qcode, dev["hashes"], valid, b, self.index.words)
+                def ann_topk(kk, b):
+                    _, cand = hamming.hamming_candidates(
+                        qcode, dev["hashes"], valid, b, self.index.words)
                     return hamming.rerank_topk(
                         queries, dev["codes"], dev["norms"], valid,
-                        cand_cache[b], self.quantization, self.metric, kk)
+                        cand, self.quantization, self.metric, kk)
 
-            if args.radius > 0:
-                # Escalate the candidate budget until the worst returned
-                # distance exceeds the radius or candidates are exhausted —
-                # dense in-radius sets come back complete, matching the
-                # reference's accept-reset radius semantics
-                # (lshtree.go:311-313, collection.go:598-604).
-                cap = min(n_passing, self.columns.capacity)
-                b = budget
-                while True:
-                    dist, rows = ann_topk(b, b)
-                    d0 = np.asarray(dist[0])
-                    finite = d0[np.isfinite(d0)]
-                    if b >= cap or len(finite) < b or \
-                            (len(finite) and finite[-1] > args.radius):
-                        break
-                    b = min(b * 4, cap)
-                searched = min(b, n_passing)
-                return self._radius_results(dist, rows, args.radius,
-                                            searched, n_records)
-            k = min(args.k, n_passing) if n_passing else 0
-            if k == 0:
-                return SearchResults([], self._pct(searched, n_records))
-            dist, rows = ann_topk(k)
-            return self._knn_results(dist, rows, k, searched, n_records)
-
-        # exhaustive fused scan (mode (b), and small-N medium)
-        searched = n_passing
-        exact = precision == "exact"
-
-        if small:  # small-N medium without a usable index: host scan
-            return self._host_scan(args, qvec, mask, n_passing, n_records)
-
-        if self._mesh is not None:
-            from ..parallel import search as psearch
-
-            def exact_topk(kk):
-                return psearch.sharded_exact_topk(
-                    self._mesh, queries, dev["codes"], dev["norms"], valid,
-                    bits=self.quantization, metric=self.metric, k=kk,
-                    exact=exact)
-        else:
-            def exact_topk(kk):
-                dists = dist_ops.score_block(
-                    queries, dev["codes"], dev["norms"], valid,
-                    self.quantization, self.metric, exact=exact)
-                return dist_ops.top_k_smallest(dists, kk)
-
-        if args.radius > 0:
-            # bounded top-k with escalation: never pulls the full (Q, N)
-            # distance matrix across the (slow) device->host link
-            kk = min(1024, n_passing)
+            # Escalate the candidate budget until the worst returned
+            # distance exceeds the radius or candidates are exhausted —
+            # dense in-radius sets come back complete, matching the
+            # reference's accept-reset radius semantics
+            # (lshtree.go:311-313, collection.go:598-604).
+            cap = min(n_passing, self.columns.capacity)
+            b = budget
             while True:
-                dist, rows = exact_topk(kk)
+                dist, rows = ann_topk(b, b)
                 d0 = np.asarray(dist[0])
                 finite = d0[np.isfinite(d0)]
-                if kk >= n_passing or len(finite) < kk or \
+                if b >= cap or len(finite) < b or \
                         (len(finite) and finite[-1] > args.radius):
                     break
-                kk = min(kk * 4, n_passing)
-            return self._radius_results(dist, rows, args.radius, searched,
-                                        n_records)
-        k = min(args.k, n_passing)
-        if k == 0:
-            return SearchResults([], self._pct(searched, n_records))
-        dist, rows = exact_topk(k)
-        return self._knn_results(dist, rows, k, searched, n_records)
+                b = min(b * 4, cap)
+            searched = min(b, n_passing)
+            return self._radius_results(dist, rows, args.radius,
+                                        searched, n_records)
+
+        # exhaustive: bounded top-k with escalation — never pulls the full
+        # (Q, N) distance matrix across the (slow) device->host link
+        searched = n_passing
+        exact = precision == "exact"
+        kk = min(1024, n_passing)
+        while True:
+            dist, rows = self._exact_topk_device(queries, dev, valid, kk,
+                                                 exact)
+            d0 = np.asarray(dist[0])
+            finite = d0[np.isfinite(d0)]
+            if kk >= n_passing or len(finite) < kk or \
+                    (len(finite) and finite[-1] > args.radius):
+                break
+            kk = min(kk * 4, n_passing)
+        return self._radius_results(dist, rows, args.radius, searched,
+                                    n_records)
+
+    def _host_scan_knn(self, qvecs: np.ndarray, k: int, mask: np.ndarray,
+                       n_passing: int, n_records: int) -> list[SearchResults]:
+        """Exhaustive host scan in f64 for a batch of kNN queries."""
+        size = self.columns.size
+        live = np.flatnonzero(mask[:size])
+        pct = self._pct(n_passing, n_records)
+        if len(live) == 0 or k == 0:
+            return [SearchResults([], pct) for _ in range(len(qvecs))]
+        vecs = qz.device_repr_to_float(self.columns.codes[live],
+                                       self.quantization)
+        out = []
+        for qi in range(len(qvecs)):
+            d = dist_ops.distance_np(qvecs[qi][None, :], vecs, self.metric)
+            part = np.argpartition(d, k - 1)[:k]
+            order = part[np.argsort(d[part], kind="stable")]
+            out.append(SearchResults(
+                [self._mk_result(int(live[i]), float(d[i])) for i in order],
+                pct))
+        return out
 
     def _host_scan(self, args: SearchArgs, qvec: np.ndarray,
                    mask: np.ndarray, n_passing: int,
@@ -667,14 +772,14 @@ class Collection:
         k = arr.shape[1] // 2
         return arr[:, :k].copy().view(np.float32), arr[:, k:]
 
-    def _knn_results(self, dist, rows, k: int, searched: int,
-                     n_records: int) -> SearchResults:
+    def _knn_results_many(self, dist, rows, k: int, searched: int,
+                          n_records: int) -> list[SearchResults]:
         dist, rows = self._fetch_results(dist, rows)
-        dist = dist[0][:k]
-        rows = rows[0][:k]
-        results = [self._mk_result(int(r), float(d))
-                   for d, r in zip(dist, rows) if np.isfinite(d)]
-        return SearchResults(results, self._pct(searched, n_records))
+        pct = self._pct(searched, n_records)
+        return [SearchResults(
+            [self._mk_result(int(r), float(d))
+             for d, r in zip(dist[qi][:k], rows[qi][:k]) if np.isfinite(d)],
+            pct) for qi in range(dist.shape[0])]
 
     def _radius_results(self, dist, rows, radius: float, searched: int,
                         n_records: int) -> SearchResults:

@@ -110,13 +110,18 @@ def hamming_candidates(qcodes: jnp.ndarray, db_hashes: jnp.ndarray,
                    static_argnames=("budget", "words", "block_n"))
 def _hamming_candidates_pallas(qcodes, db_hashes, valid, budget: int,
                                words: int, block_n: int):
+    """Fused bf16 surface -> approx_min_k, no intermediate materialization.
+
+    The kernel emits Hamming distances directly as bf16 with invalid rows
+    already pushed to 16384 (exact in bf16), so the selection consumes it
+    with NO dtype conversion pass — the uint8 variant forced an (Q, N) f32
+    conversion that wrote 4 bytes/entry to HBM before approx_min_k
+    (profiled at 7.5 ms per 64q x 1M batch, tools_dev/profile_scan.py)."""
     from ..ops import pallas_hamming
-    ham8 = pallas_hamming.hamming_scores(qcodes.astype(jnp.uint32), db_hashes,
-                                         words=words, block_n=block_n)
-    # invalid rows pushed past any real distance (total bits <= 160 < 255)
-    ham8 = jnp.where(valid[None, :], ham8, jnp.uint8(255))
-    vals, idx = jax.lax.approx_min_k(ham8.astype(jnp.float32), budget,
-                                     recall_target=0.95)
+    ham = pallas_hamming.hamming_scores_bf16(qcodes.astype(jnp.uint32),
+                                             db_hashes, valid, words=words,
+                                             block_n=block_n)
+    vals, idx = jax.lax.approx_min_k(ham, budget, recall_target=0.95)
     return vals.astype(jnp.int32), idx
 
 

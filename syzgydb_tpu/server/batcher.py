@@ -1,0 +1,148 @@
+"""Server-side search micro-batching.
+
+The reference serves each REST search with its own tree walk (rest.go:371-487)
+— fine for a CPU, but on a TPU a single query pays a fixed kernel-dispatch +
+result-fetch overhead (~30 ms on tunneled setups) while the chip can answer a
+64-query batch in nearly the same wall time.  The batcher makes concurrent
+single-query REST traffic ride the batched path: the first request for a
+compatible key becomes the group LEADER, waits a few milliseconds for
+followers to pile on, then issues ONE Collection.search_many() for the whole
+group and distributes the per-query results.
+
+Batching keys on (collection, k, precision, filter_query): only homogeneous
+kNN searches share a device dispatch.  Radius searches, callable filters, and
+list-mode queries bypass the batcher entirely.
+
+The leader only sleeps when there is evidence of concurrency (another search
+in flight, or a member already waiting) — an idle server answers a lone query
+with zero added latency.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+from ..core.collection import Collection, SearchArgs, SearchResults
+
+DEFAULT_WINDOW_S = 0.004
+MAX_BATCH = 64
+
+
+class _Group:
+    __slots__ = ("members", "closed", "done")
+
+    def __init__(self):
+        self.members: list[_Pending] = []
+        self.closed = False
+        self.done = threading.Event()
+
+
+class _Pending:
+    __slots__ = ("args", "result", "error")
+
+    def __init__(self, args: SearchArgs):
+        self.args = args
+        self.result: Optional[SearchResults] = None
+        self.error: Optional[BaseException] = None
+
+
+class SearchBatcher:
+    def __init__(self, window_s: float = DEFAULT_WINDOW_S,
+                 max_batch: int = MAX_BATCH):
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self._lock = threading.Lock()
+        self._groups: dict[tuple, _Group] = {}
+        self._inflight = 0
+        # observability: how many device dispatches vs queries served
+        self.dispatches = 0
+        self.queries = 0
+
+    @staticmethod
+    def _batchable(args: SearchArgs) -> bool:
+        return (args.k > 0 and args.radius == 0 and args.vector is not None
+                and args.filter is None)
+
+    def search(self, coll: Collection, args: SearchArgs) -> SearchResults:
+        batchable = self.window_s > 0 and self._batchable(args)
+        if batchable:
+            try:  # malformed vectors must fail their own request, not the group
+                batchable = len(args.vector) == coll.dimension_count
+            except TypeError:
+                batchable = False
+        if not batchable:
+            with self._count():
+                return coll.search(args)
+        key = (id(coll), args.k, args.precision or "medium",
+               args.filter_query or "")
+        pend = _Pending(args)
+        with self._lock:
+            self._inflight += 1
+            group = self._groups.get(key)
+            if group is None or group.closed or \
+                    len(group.members) >= self.max_batch:
+                group = _Group()
+                self._groups[key] = group
+                leader = True
+            else:
+                leader = False
+            group.members.append(pend)
+            concurrent = self._inflight > 1
+        try:
+            if not leader:
+                group.done.wait()
+                if pend.error is not None:
+                    raise pend.error
+                assert pend.result is not None
+                return pend.result
+            # leader: give followers a short window to join — but only when
+            # the server is actually concurrent; a lone query dispatches now
+            if concurrent:
+                deadline = time.monotonic() + self.window_s
+                while time.monotonic() < deadline:
+                    with self._lock:
+                        if len(group.members) >= self.max_batch:
+                            break
+                    time.sleep(0.0005)
+            with self._lock:
+                group.closed = True
+                if self._groups.get(key) is group:
+                    del self._groups[key]
+                members = list(group.members)
+            try:
+                if len(members) == 1:
+                    members[0].result = coll.search(members[0].args)
+                else:
+                    res = coll.search_many([m.args for m in members])
+                    for m, r in zip(members, res):
+                        m.result = r
+                self.dispatches += 1
+                self.queries += len(members)
+            except BaseException as exc:  # propagate to every member
+                for m in members:
+                    m.error = exc
+            finally:
+                group.done.set()
+            if pend.error is not None:
+                raise pend.error
+            assert pend.result is not None
+            return pend.result
+        finally:
+            with self._lock:
+                self._inflight -= 1
+
+    def _count(self):
+        batcher = self
+
+        class _Ctx:
+            def __enter__(self):
+                with batcher._lock:
+                    batcher._inflight += 1
+
+            def __exit__(self, *exc):
+                with batcher._lock:
+                    batcher._inflight -= 1
+
+        return _Ctx()

@@ -26,6 +26,9 @@ DEFAULTS = {
     # "ollama" = remote HTTP embedding (reference behavior);
     # "device" = on-TPU embedder (models/embedder.py) — no external service
     "embedder": "ollama",
+    # coalescing window (ms) for concurrent REST searches — one batched
+    # device dispatch answers the whole group (server/batcher.py); 0 disables
+    "search_batch_ms": 4.0,
 }
 
 
@@ -39,6 +42,7 @@ class Config:
     html_root: str = DEFAULTS["html_root"]
     random_seed: int = 0
     embedder: str = "ollama"
+    search_batch_ms: float = 4.0
 
 
 global_config = Config()
@@ -113,6 +117,7 @@ def load_config(argv: Optional[list[str]] = None,
         html_root=str(merged["html_root"]),
         random_seed=int(merged["random_seed"]),
         embedder=str(merged["embedder"]),
+        search_batch_ms=float(merged["search_batch_ms"]),
     )
     os.makedirs(cfg.data_folder, exist_ok=True)
     return cfg

@@ -52,9 +52,13 @@ class Server:
     """Collection registry (rest.go:20-23)."""
 
     def __init__(self, data_folder: Optional[str] = None):
+        from .batcher import SearchBatcher
         self.collections: dict[str, Collection] = {}
         self.mutex = threading.Lock()
         self.data_folder = data_folder or config.global_config.data_folder
+        # concurrent single-query searches coalesce into one device batch
+        self.batcher = SearchBatcher(
+            window_s=config.global_config.search_batch_ms / 1000.0)
 
     def collection_file(self, name: str) -> str:
         return os.path.join(self.data_folder, name + ".dat")
@@ -379,7 +383,7 @@ class _Handler(BaseHTTPRequestHandler):
 
         t0 = time.perf_counter()
         try:
-            results = coll.search(args)
+            results = self.srv.batcher.search(coll, args)
         except ValueError as exc:
             return self._error(str(exc), 400)
         search_ms = int((time.perf_counter() - t0) * 1000)
@@ -439,6 +443,12 @@ def make_server(data_folder: Optional[str] = None,
     return srv
 
 
+class _HTTPServer(ThreadingHTTPServer):
+    # the stdlib default listen backlog of 5 RESETS connections under the
+    # very burst traffic the search batcher exists to serve
+    request_queue_size = 128
+
+
 def run_server(srv: Optional[Server] = None,
                host_port: Optional[str] = None) -> None:
     """RunServer analog (main.go:10-63); blocks."""
@@ -446,7 +456,7 @@ def run_server(srv: Optional[Server] = None,
     hp = host_port or config.global_config.syzgy_host
     host, _, port = hp.rpartition(":")
     handler = type("BoundHandler", (_Handler,), {"srv": srv})
-    httpd = ThreadingHTTPServer((host or "0.0.0.0", int(port)), handler)
+    httpd = _HTTPServer((host or "0.0.0.0", int(port)), handler)
     log.info("Starting server on %s", hp)
     httpd.serve_forever()
 
@@ -455,4 +465,4 @@ def make_http_server(srv: Server, host: str = "127.0.0.1",
                      port: int = 0) -> ThreadingHTTPServer:
     """Non-blocking variant for tests; returns the bound server object."""
     handler = type("BoundHandler", (_Handler,), {"srv": srv})
-    return ThreadingHTTPServer((host, port), handler)
+    return _HTTPServer((host, port), handler)

@@ -1,0 +1,164 @@
+"""Search micro-batching: Collection.search_many parity with sequential
+search, and the REST SearchBatcher coalescing concurrent requests into one
+device dispatch (server/batcher.py — the TPU answer to rest.go:371-487's
+per-request serving)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from syzgydb_tpu import Collection, CollectionOptions, SearchArgs, COSINE
+from syzgydb_tpu.server.batcher import SearchBatcher
+
+
+def make_coll(tmp_path, rng, n=600, dims=16, **kw):
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "b.dat"), distance_method=COSINE,
+        dimension_count=dims, quantization=8, create_and_overwrite=True,
+        index_seed=13, **kw))
+    vecs = rng.uniform(-1, 1, size=(n, dims))
+    c.add_documents(list(range(n)), vecs, [
+        json.dumps({"i": i}).encode() for i in range(n)])
+    return c, vecs
+
+
+@pytest.mark.parametrize("precision", ["exact", "medium"])
+@pytest.mark.parametrize("force_device", [False, True])
+def test_search_many_matches_sequential(tmp_path, rng, monkeypatch,
+                                        precision, force_device):
+    if force_device:
+        from syzgydb_tpu.core import collection as coll_mod
+        monkeypatch.setattr(coll_mod, "HOST_SCAN_MAX_ELEMS", 0)
+    c, vecs = make_coll(tmp_path, rng)
+    queries = rng.uniform(-1, 1, size=(7, 16))
+    args = [SearchArgs(vector=q, k=5, precision=precision) for q in queries]
+    batch = c.search_many(args)
+    seq = [c.search(SearchArgs(vector=q, k=5, precision=precision))
+           for q in queries]
+    assert len(batch) == len(seq)
+    for b, s in zip(batch, seq):
+        assert [r.id for r in b.results] == [r.id for r in s.results]
+        np.testing.assert_allclose([r.distance for r in b.results],
+                                   [r.distance for r in s.results],
+                                   rtol=1e-5, atol=1e-6)
+        assert b.percent_searched == s.percent_searched
+    c.close()
+
+
+def test_search_many_with_filter_query(tmp_path, rng):
+    c, _ = make_coll(tmp_path, rng)
+    queries = rng.uniform(-1, 1, size=(4, 16))
+    fq = "i < 100"
+    batch = c.search_many([SearchArgs(vector=q, k=3, filter_query=fq)
+                           for q in queries])
+    for q, b in zip(queries, batch):
+        s = c.search(SearchArgs(vector=q, k=3, filter_query=fq))
+        assert [r.id for r in b.results] == [r.id for r in s.results]
+        assert all(r.id < 100 for r in b.results)
+    c.close()
+
+
+def test_search_many_rejects_heterogeneous(tmp_path, rng):
+    c, _ = make_coll(tmp_path, rng, n=20)
+    q = rng.uniform(-1, 1, size=16)
+    with pytest.raises(ValueError):
+        c.search_many([SearchArgs(vector=q, k=3),
+                       SearchArgs(vector=q, k=4)])
+    with pytest.raises(ValueError):
+        c.search_many([SearchArgs(vector=q, k=3),
+                       SearchArgs(vector=q, k=3, radius=0.5)])
+    with pytest.raises(ValueError):
+        c.search_many([SearchArgs(vector=q, k=3, precision="exact"),
+                       SearchArgs(vector=q, k=3, precision="medium")])
+    c.close()
+
+
+def test_batcher_coalesces_concurrent_searches(tmp_path, rng):
+    c, _ = make_coll(tmp_path, rng)
+    batcher = SearchBatcher(window_s=0.05)
+    queries = rng.uniform(-1, 1, size=(16, 16))
+    seq = [c.search(SearchArgs(vector=q, k=5)) for q in queries]
+
+    results = [None] * len(queries)
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = batcher.search(
+                c, SearchArgs(vector=queries[i], k=5))
+        except BaseException as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(queries))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    for got, want in zip(results, seq):
+        assert [r.id for r in got.results] == [r.id for r in want.results]
+    # the whole burst must NOT have run one dispatch per query
+    assert batcher.dispatches < batcher.queries == len(queries)
+    c.close()
+
+
+def test_batcher_lone_query_no_window_wait(tmp_path, rng):
+    """A single query on an idle server must not pay the batching window."""
+    c, _ = make_coll(tmp_path, rng, n=50)
+    batcher = SearchBatcher(window_s=5.0)  # absurd window: would hang if paid
+    import time
+    q = rng.uniform(-1, 1, size=16)
+    t0 = time.perf_counter()
+    res = batcher.search(c, SearchArgs(vector=q, k=3))
+    assert time.perf_counter() - t0 < 2.0
+    assert len(res.results) == 3
+    c.close()
+
+
+def test_rest_concurrent_searches_batched(tmp_path, rng):
+    """End-to-end: N threads hit /search concurrently; responses match the
+    sequential oracle and the server coalesced at least some of them."""
+    from syzgydb_tpu.server import config as cfg_mod
+    from syzgydb_tpu.server.rest import Server, make_http_server
+
+    srv = Server(data_folder=str(tmp_path))
+    srv.batcher.window_s = 0.05
+    c, _ = make_coll(tmp_path, rng, n=400)
+    srv.collections["b"] = c
+    httpd = make_http_server(srv)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        queries = rng.uniform(-1, 1, size=(12, 16))
+        want = [[r.id for r in
+                 c.search(SearchArgs(vector=q, k=4)).results]
+                for q in queries]
+
+        got = [None] * len(queries)
+
+        def hit(i):
+            body = json.dumps({"vector": queries[i].tolist(),
+                               "k": 4}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v1/collections/b/search",
+                data=body, headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as resp:
+                got[i] = [r["id"] for r in
+                          json.loads(resp.read())["results"]]
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(len(queries))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert got == want
+        assert srv.batcher.dispatches < srv.batcher.queries
+    finally:
+        httpd.shutdown()
+        c.close()
