@@ -222,6 +222,9 @@ class Collection:
         self._closed = False
         self._mesh = None
         self._filter_cache: dict = {}
+        # observability: device placements by kind (tests assert streaming
+        # mutations ride the scatter path instead of full re-uploads)
+        self.sync_stats = {"full": 0, "scatter": 0}
 
         if existed:
             self._replay()
@@ -274,7 +277,8 @@ class Collection:
             sample_rows = live if len(live) <= 1024 else \
                 self._rng.choice(live, size=1024, replace=False)
             sample = qz.device_repr_to_float(self.columns.codes[sample_rows],
-                                             self.quantization)
+                                             self.quantization,
+                                             self.dimension_count)
             self.index.calibrate(sample)
         self.columns.dirty_all = True  # sketches regenerate on device
         self.columns.version += 1
@@ -294,7 +298,8 @@ class Collection:
             self.spanlog.write(str(doc_id), [bytes(metadata), packed])
             row = self.columns.put(int(doc_id), vector, bytes(metadata))
             seen = qz.device_repr_to_float(self.columns.codes[row][None, :],
-                                           self.quantization)
+                                           self.quantization,
+                                           self.dimension_count)
             if self.index.calibrated:
                 self.columns.set_hash(row, self.index.encode_np(seen)[0])
             else:
@@ -323,7 +328,8 @@ class Collection:
             if len(rows) <= 1024 and self.index.calibrated:
                 # small batch: host-encode so the scatter sync stays cheap
                 seen = qz.device_repr_to_float(self.columns.codes[rows],
-                                               self.quantization)
+                                               self.quantization,
+                                               self.dimension_count)
                 self.columns.hashes[rows] = self.index.encode_np(
                     np.float32(seen))
             else:
@@ -391,29 +397,20 @@ class Collection:
         if self._hashes_stale and len(self.columns) >= MIN_INDEX_SIZE:
             self._rebuild_index()
         if self._dev is not None and self._dev_version != self.columns.version \
-                and self._mesh is None \
                 and self._dev["codes"].shape[0] == self.columns.capacity:
             rows = self.columns.drain_dirty()
             if rows is not None and len(rows) <= max(
                     1024, self.columns.capacity // 8):
                 if len(rows):
-                    idx = jnp.asarray(rows)
-                    self._dev = {
-                        "codes": self._dev["codes"].at[idx].set(
-                            jnp.asarray(self.columns.codes[rows])),
-                        "norms": self._dev["norms"].at[idx].set(
-                            jnp.asarray(self.columns.norms[rows])),
-                        "valid": self._dev["valid"].at[idx].set(
-                            jnp.asarray(self.columns.valid[rows])),
-                        "hashes": self._dev["hashes"].at[idx].set(
-                            jnp.asarray(self.columns.hashes[rows])),
-                    }
+                    self._dev = self._scatter_rows(rows)
+                self.sync_stats["scatter"] += 1
                 self._dev_version = self.columns.version
                 return self._dev
             # too many dirty rows: fall through to a full re-placement
         if self._dev is None or self._dev_version != self.columns.version:
             self.columns.dirty_all = False
             self.columns._dirty_rows.clear()
+            self.sync_stats["full"] += 1
             if self._mesh is not None:
                 import jax
                 from ..parallel import mesh as mesh_mod
@@ -425,9 +422,11 @@ class Collection:
                     "norms": jax.device_put(self.columns.norms, row1),
                     "valid": jax.device_put(self.columns.valid, row1),
                     # sketches derive from the uploaded codes ON DEVICE —
-                    # GSPMD keeps the output row-sharded like its input
-                    "hashes": self.index.encode_codes_device(
-                        codes_dev, self.quantization),
+                    # GSPMD keeps the output row-sharded like its input;
+                    # pin the exact sharding so later scatter updates
+                    # compare equal and skip the reshard guard
+                    "hashes": jax.device_put(self.index.encode_codes_device(
+                        codes_dev, self.quantization), row),
                 }
             else:
                 codes_dev = jnp.asarray(self.columns.codes)
@@ -440,6 +439,46 @@ class Collection:
                 }
             self._dev_version = self.columns.version
         return self._dev
+
+    def _scatter_rows(self, rows: np.ndarray) -> dict:
+        """Apply a bounded set of mutated rows to the device columns as
+        scatter updates — O(dirty) transfer instead of a full re-upload,
+        under both single-device and mesh placements (SURVEY.md §2.2,
+        concurrent-workload row).
+
+        The row-index set is padded to a power-of-two bucket (padding aims
+        one past the end and is dropped by the scatter) so XLA compiles a
+        handful of scatter shapes, not one per dirty-count.  Under a mesh
+        XLA keeps scatter output sharded like its operand; the device_put
+        below is a no-op guard that reshards (device-to-device over ICI)
+        only if that ever changes."""
+        m = len(rows)
+        bucket = max(8, 1 << (m - 1).bit_length())
+        idx_np = np.full(bucket, self.columns.capacity, dtype=np.int32)
+        idx_np[:m] = rows
+        idx = jnp.asarray(idx_np)
+
+        def take(col):
+            out = np.zeros((bucket,) + col.shape[1:], dtype=col.dtype)
+            out[:m] = col[rows]
+            return jnp.asarray(out)
+
+        import jax
+        dev = self._dev
+        new = {k: dev[k].at[idx].set(take(col), mode="drop")
+               for k, col in (("codes", self.columns.codes),
+                              ("norms", self.columns.norms),
+                              ("valid", self.columns.valid),
+                              ("hashes", self.columns.hashes))}
+        if self._mesh is not None:
+            from ..parallel import mesh as mesh_mod
+            want = {"codes": mesh_mod.row_sharding(self._mesh),
+                    "norms": mesh_mod.row_only_sharding(self._mesh),
+                    "valid": mesh_mod.row_only_sharding(self._mesh),
+                    "hashes": mesh_mod.row_sharding(self._mesh)}
+            new = {k: v if v.sharding == want[k]
+                   else jax.device_put(v, want[k]) for k, v in new.items()}
+        return new
 
     # -- filters -----------------------------------------------------------
 
@@ -710,7 +749,8 @@ class Collection:
         if len(live) == 0 or k == 0:
             return [SearchResults([], pct) for _ in range(len(qvecs))]
         vecs = qz.device_repr_to_float(self.columns.codes[live],
-                                       self.quantization)
+                                       self.quantization,
+                                       self.dimension_count)
         out = []
         for qi in range(len(qvecs)):
             d = dist_ops.distance_np(qvecs[qi][None, :], vecs, self.metric)
@@ -730,7 +770,8 @@ class Collection:
         if len(live) == 0:
             return SearchResults([], self._pct(n_passing, n_records))
         vecs = qz.device_repr_to_float(self.columns.codes[live],
-                                       self.quantization)
+                                       self.quantization,
+                                       self.dimension_count)
         d = dist_ops.distance_np(qvec[None, :], vecs, self.metric)
         if args.radius > 0:
             hit = np.flatnonzero(d <= args.radius)

@@ -29,7 +29,8 @@ class ColumnStore:
         self._row_of: dict[int, int] = {}  # doc id -> row
         self._free: list[int] = []
         dt = qz.device_dtype(quantization)
-        self.codes = np.zeros((0, dims), dtype=dt)
+        self.codes = np.zeros((0, qz.device_width(quantization, dims)),
+                              dtype=dt)
         self.norms = np.zeros((0,), dtype=np.float32)
         self.ids = np.zeros((0,), dtype=np.uint64)
         self.valid = np.zeros((0,), dtype=bool)
@@ -78,7 +79,9 @@ class ColumnStore:
             self._row_of[doc_id] = row
         dev = qz.codes_to_device_repr(vector, self.quantization)[0]
         self.codes[row] = dev
-        self.norms[row] = dist_ops.db_row_stats(dev[None, :], self.quantization)[0]
+        self.norms[row] = dist_ops.db_row_stats(dev[None, :],
+                                                self.quantization,
+                                                self.dims)[0]
         self.ids[row] = doc_id
         self.valid[row] = True
         self.metadata[row] = metadata
@@ -106,7 +109,8 @@ class ColumnStore:
             rows[i] = row
         dev = qz.codes_to_device_repr(vectors, self.quantization)
         self.codes[rows] = dev
-        self.norms[rows] = dist_ops.db_row_stats(dev, self.quantization)
+        self.norms[rows] = dist_ops.db_row_stats(dev, self.quantization,
+                                                 self.dims)
         self.ids[rows] = np.asarray(doc_ids, dtype=np.uint64)
         self.valid[rows] = True
         for i, row in enumerate(rows):
@@ -152,7 +156,7 @@ class ColumnStore:
         exact; for 64-bit use the span log for full f64 precision)."""
         row = self._row_of[doc_id]
         return qz.device_repr_to_float(self.codes[row][None, :],
-                                       self.quantization)[0]
+                                       self.quantization, self.dims)[0]
 
     def doc_ids(self) -> list[int]:
         return list(self._row_of.keys())

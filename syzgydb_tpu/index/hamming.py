@@ -158,18 +158,21 @@ def rerank_topk(queries: jnp.ndarray, codes: jnp.ndarray, norms: jnp.ndarray,
     queries (Q, D) f32; cand (Q, C) int32 rows into codes/norms.
     Returns (dist (Q, k) f32 ascending, rows (Q, k) int32).
     """
-    ccodes = jnp.take(codes, cand, axis=0)        # (Q, C, D)
+    from ..ops import distance as dist_ops
+    ccodes = jnp.take(codes, cand, axis=0)        # (Q, C, D|P)
     cnorms = jnp.take(norms, cand, axis=0)        # (Q, C)
     cvalid = jnp.take(valid, cand, axis=0)        # (Q, C)
     if bits in (32, 64):
         dots = jnp.einsum("qd,qcd->qc", queries, ccodes.astype(jnp.float32),
                           preferred_element_type=jnp.float32)
+    elif bits == 4:
+        dots = dist_ops.packed4_dots_batched(queries, ccodes)
     else:
         scale, offset = qz.affine_constants(bits)
-        raw = jnp.einsum("qd,qcd->qc", queries.astype(jnp.bfloat16)
-                         if bits in (4, 8) else queries,
-                         ccodes.astype(jnp.bfloat16 if bits in (4, 8)
-                                       else jnp.float32),
+        cast = dist_ops.fast_dot_dtype() if bits == 8 else jnp.float32
+        raw = jnp.einsum("qd,qcd->qc", queries.astype(cast)
+                         if bits == 8 else queries,
+                         ccodes.astype(cast),
                          preferred_element_type=jnp.float32)
         qsum = jnp.sum(queries, axis=-1, keepdims=True)
         dots = scale * raw + offset * qsum
@@ -238,9 +241,18 @@ class SignHashIndex:
     def encode_codes_device(self, device_codes, bits: int) -> jnp.ndarray:
         """Encode directly from the HBM-resident quantized codes: dequantize
         on device, project, pack — no float copy of the DB ever leaves HBM."""
+        from ..ops import distance as dist_ops
         codes = jnp.asarray(device_codes)
         if bits in (32, 64):
             vecs = codes.astype(jnp.float32)
+        elif bits == 4:
+            # packed nibbles: interleave high/low planes back to (N, D); the
+            # unpacked floats are a transient inside this one-shot jit
+            scale, offset = qz.affine_constants(4)
+            h, l = dist_ops.split_nibbles(codes)
+            n = codes.shape[0]
+            vecs = jnp.stack([h, l], axis=-1).reshape(n, -1)[:, : self.dims]
+            vecs = vecs.astype(jnp.float32) * scale + offset
         else:
             scale, offset = qz.affine_constants(bits)
             vecs = codes.astype(jnp.float32) * scale + offset

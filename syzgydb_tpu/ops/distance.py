@@ -71,25 +71,94 @@ def distance_np(a: np.ndarray, b: np.ndarray, metric: Metric) -> np.ndarray:
 # Device (jnp) — batched scoring over the packed representation
 # ---------------------------------------------------------------------------
 
-def db_row_stats(device_codes: np.ndarray, bits: int) -> np.ndarray:
+def db_row_stats(device_codes: np.ndarray, bits: int,
+                 dims: int | None = None) -> np.ndarray:
     """Per-row squared norm of the *dequantized* vectors, f32 (N,).
 
     Computed host-side once per ingested batch; uploaded alongside the codes.
     Chunked to keep the working set small (see quantize._CHUNK_ROWS).
+    `dims` is required for 4-bit (packed device codes).
     """
     device_codes = np.atleast_2d(device_codes)
     n = device_codes.shape[0]
     out = np.empty((n,), dtype=np.float32)
     step = qz._CHUNK_ROWS
     for s in range(0, n, step):
-        v = qz.device_repr_to_float(device_codes[s:s + step], bits)
+        v = qz.device_repr_to_float(device_codes[s:s + step], bits, dims)
         out[s:s + step] = np.sum(v * v, axis=-1)
     return out
 
 
+def fast_dot_dtype():
+    """bf16 on TPU (int8-range codes are exact in its 8-bit mantissa and ride
+    the fast MXU path); f32 elsewhere — the CPU backend's DotThunk cannot
+    execute a bf16 x bf16 -> f32 dot_general."""
+    try:
+        if jax.default_backend() in ("tpu", "axon"):
+            return jnp.bfloat16
+    except Exception:
+        pass
+    return jnp.float32
+
+
+def split_nibbles(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed 4-bit codes (..., P) uint8 -> centered (high, low) int8 in
+    [-8, 7].  High nibble = even dims, low = odd dims (disk nibble order,
+    collection.go:727-731)."""
+    h = (packed >> 4).astype(jnp.int8) - jnp.int8(8)
+    l = (packed & 0xF).astype(jnp.int8) - jnp.int8(8)
+    return h, l
+
+
+def deinterleave_queries(queries: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(Q, D) -> even-dim and odd-dim halves matching split_nibbles."""
+    return queries[..., 0::2], queries[..., 1::2]
+
+
+def packed4_dots(queries: jnp.ndarray, codes: jnp.ndarray,
+                 precision) -> jnp.ndarray:
+    """(Q, D) f32 x (N, P) packed uint8 -> (Q, N) f32 dot(q, dequant(v)).
+
+    Two half-width matmuls on the nibble planes — the unpacked (N, D) code
+    matrix never materializes, so HBM traffic stays at the packed D/2
+    bytes/row (VERDICT r1 item 6).
+    """
+    scale, offset = qz.affine_constants(4)
+    qe, qo = deinterleave_queries(queries)
+    h, l = split_nibbles(codes)
+    l = l[..., : qo.shape[-1]]  # odd D: drop the pad nibble column
+    cast = fast_dot_dtype() if precision is None else jnp.float32
+    dn = (((1,), (1,)), ((), ()))
+    raw = jax.lax.dot_general(
+        qe.astype(cast), h.astype(cast), dimension_numbers=dn,
+        preferred_element_type=jnp.float32, precision=precision)
+    raw = raw + jax.lax.dot_general(
+        qo.astype(cast), l.astype(cast), dimension_numbers=dn,
+        preferred_element_type=jnp.float32, precision=precision)
+    qsum = jnp.sum(queries, axis=-1, keepdims=True)
+    return scale * raw + offset * qsum
+
+
+def packed4_dots_batched(queries: jnp.ndarray, ccodes: jnp.ndarray,
+                         precision=None) -> jnp.ndarray:
+    """(Q, D) f32 x (Q, C, P) packed uint8 -> (Q, C) f32 per-candidate dots."""
+    scale, offset = qz.affine_constants(4)
+    qe, qo = deinterleave_queries(queries)
+    h, l = split_nibbles(ccodes)
+    l = l[..., : qo.shape[-1]]
+    cast = fast_dot_dtype() if precision is None else jnp.float32
+    raw = jnp.einsum("qd,qcd->qc", qe.astype(cast), h.astype(cast),
+                     preferred_element_type=jnp.float32, precision=precision)
+    raw = raw + jnp.einsum("qd,qcd->qc", qo.astype(cast), l.astype(cast),
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
+    qsum = jnp.sum(queries, axis=-1, keepdims=True)
+    return scale * raw + offset * qsum
+
+
 def _code_matmul(queries: jnp.ndarray, codes: jnp.ndarray, bits: int,
                  precision) -> jnp.ndarray:
-    """(Q, D) f32 x (N, D) codes -> (Q, N) f32 dot(q, dequant(v))."""
+    """(Q, D) f32 x (N, D|P) codes -> (Q, N) f32 dot(q, dequant(v))."""
     if bits in (32, 64):
         return jax.lax.dot_general(
             queries, codes,
@@ -97,10 +166,13 @@ def _code_matmul(queries: jnp.ndarray, codes: jnp.ndarray, bits: int,
             preferred_element_type=jnp.float32,
             precision=precision,
         )
+    if bits == 4:
+        return packed4_dots(queries, codes, precision)
     scale, offset = qz.affine_constants(bits)
-    if precision is None and bits in (4, 8):
+    if precision is None and bits == 8:
         # int8-range codes are exact in bf16 (|c| <= 128); ride the fast MXU path
-        lhs, rhs = queries.astype(jnp.bfloat16), codes.astype(jnp.bfloat16)
+        cast = fast_dot_dtype()
+        lhs, rhs = queries.astype(cast), codes.astype(cast)
     else:
         # 16-bit codes (|c| up to 32768) do not fit bf16's 8-bit mantissa
         lhs, rhs = queries, codes.astype(jnp.float32)

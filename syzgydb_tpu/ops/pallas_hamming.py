@@ -36,6 +36,9 @@ def _hamming_kernel(qcodes_ref, hashes_ref, out_ref, *, words):
     out_ref[:] = acc.astype(jnp.uint8)
 
 
+_BF16_SUBTILE = 1024
+
+
 def _hamming_bf16_kernel(qcodes_ref, hashes_ref, valid_ref, out_ref,
                          *, words):
     """Hamming distances as a bf16 surface with invalid rows pushed to 16384.
@@ -43,18 +46,27 @@ def _hamming_bf16_kernel(qcodes_ref, hashes_ref, valid_ref, out_ref,
     bf16 represents integers 0..256 exactly (total sketch bits <= 254), and
     lax.approx_min_k can consume the surface DIRECTLY — the uint8 variant
     forces an (Q, N) f32 conversion that materializes 4 bytes/entry in HBM
-    before selection (measured 7.5 ms at 1M x 64q vs ~1.5 ms read-bound)."""
+    before selection (measured 7.5 ms at 1M x 64q vs ~1.5 ms read-bound).
+
+    The block is processed in row subtiles: the W-way unrolled XOR+popcount
+    keeps ~W (Q, rows) i32 values live in vector registers, and a whole
+    4096-row block at Q=64 blows the 16MB scoped-VMEM stack limit (seen on
+    v5e); per-subtile slices bound the live set while DMA still moves whole
+    blocks."""
     qc = qcodes_ref[:]                       # (Q, W) uint32
-    h = hashes_ref[:]                        # (block_n, W) uint32
     q = qc.shape[0]
-    block_n = h.shape[0]
-    acc = jnp.zeros((q, block_n), dtype=jnp.int32)
-    for w in range(words):                   # static unroll, W small
-        x = jnp.bitwise_xor(qc[:, w][:, None], h[:, w][None, :])
-        acc = acc + jax.lax.population_count(x).astype(jnp.int32)
-    validf = valid_ref[:][:, 0][None, :]     # (1, block_n)
-    out_ref[:] = jnp.where(validf > 0, acc.astype(jnp.bfloat16),
-                           jnp.bfloat16(16384.0))
+    b = hashes_ref.shape[0]
+    sub = min(_BF16_SUBTILE, b)
+    for t in range(b // sub):
+        lo = t * sub
+        h = hashes_ref[lo:lo + sub, :]       # (sub, W) uint32
+        acc = jnp.zeros((q, sub), dtype=jnp.int32)
+        for w in range(words):               # static unroll, W small
+            x = jnp.bitwise_xor(qc[:, w][:, None], h[:, w][None, :])
+            acc = acc + jax.lax.population_count(x).astype(jnp.int32)
+        validf = valid_ref[lo:lo + sub, :][:, 0][None, :]   # (1, sub)
+        out_ref[:, lo:lo + sub] = jnp.where(
+            validf > 0, acc.astype(jnp.bfloat16), jnp.bfloat16(16384.0))
 
 
 @functools.partial(jax.jit, static_argnames=("words", "block_n", "interpret"))

@@ -68,22 +68,37 @@ def _segmin_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
         qsum = jnp.sum(queries, axis=-1)                     # (Q,)
     qn2 = jnp.sum(queries * queries, axis=-1)[None, :]       # (1, Q)
     fast = bits in (4, 8) and not exact
-    qT = queries.astype(jnp.bfloat16).T if fast else queries.T
+    cast = jnp.bfloat16 if fast else jnp.float32
+    if bits == 4:
+        # packed nibble codes: two half-width matmuls on the nibble planes
+        # (ops/distance.packed4_dots) — codes stream at D/2 bytes/row
+        qeT = queries[:, 0::2].astype(cast).T                # (P, Q)
+        qoT = queries[:, 1::2].astype(cast).T                # (floor(D/2), Q)
+    else:
+        qT = queries.astype(jnp.bfloat16).T if fast else queries.T
 
     b = codes_ref.shape[0]
     q = queries.shape[0]
     sub = min(_SUBTILE, b)
     for t in range(b // sub):
         lo = t * sub
-        codes = codes_ref[lo:lo + sub, :]                    # (sub, D)
-        if fast:
+        codes = codes_ref[lo:lo + sub, :]                    # (sub, D|P)
+        prec = jax.lax.Precision.HIGHEST if exact else None
+        if bits == 4:
+            h = (codes >> 4).astype(jnp.int32) - 8           # (sub, P)
+            low = (codes & 0xF).astype(jnp.int32) - 8
+            raw = jnp.dot(h.astype(cast), qeT,
+                          preferred_element_type=jnp.float32, precision=prec)
+            raw = raw + jnp.dot(low[:, : qoT.shape[0]].astype(cast), qoT,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        elif fast:
             raw = jnp.dot(codes.astype(jnp.bfloat16), qT,
                           preferred_element_type=jnp.float32)  # (sub, Q)
         else:
             raw = jnp.dot(codes.astype(jnp.float32), qT,
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST
-                          if exact else None)
+                          precision=prec)
         if bits in (4, 8, 16):
             dots = scale * raw + offset * qsum[None, :]
         else:
@@ -118,9 +133,9 @@ def _segmin_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
 def segment_min_scan(queries, codes, norms, valid, *, bits: int, metric: str,
                      block_n: int = DEFAULT_BLOCK_N, seg: int = DEFAULT_SEG,
                      exact: bool = False, interpret: bool = False):
-    """(Q, D) x (N, D) -> (Q, N/seg) f32 surrogate segment minima."""
-    n, d = codes.shape
-    q = queries.shape[0]
+    """(Q, D) x (N, D|P) -> (Q, N/seg) f32 surrogate segment minima."""
+    n, w = codes.shape  # w = packed width for 4-bit, else D
+    q, d = queries.shape
     assert n % block_n == 0, (n, block_n)
     assert block_n % seg == 0, (block_n, seg)
     nblocks = n // block_n
@@ -129,7 +144,7 @@ def segment_min_scan(queries, codes, norms, valid, *, bits: int, metric: str,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, d), lambda i: (i, 0),
+            pl.BlockSpec((block_n, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -147,7 +162,8 @@ def segment_min_scan(queries, codes, norms, valid, *, bits: int, metric: str,
         out_shape=jax.ShapeDtypeStruct((n // seg, q), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * q * d * n, transcendentals=0,
-            bytes_accessed=n * d + 4 * n + 4 * q * (n // seg)),
+            bytes_accessed=n * w * codes.dtype.itemsize + 4 * n
+            + 4 * q * (n // seg)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -158,16 +174,20 @@ def segment_min_scan(queries, codes, norms, valid, *, bits: int, metric: str,
 
 def _candidate_distances(queries, ccodes, cnorms, cvalid, bits, metric,
                          exact):
-    """Exact distances for gathered candidates (Q, C, D) -> (Q, C) f32."""
+    """Exact distances for gathered candidates (Q, C, D|P) -> (Q, C) f32."""
+    from . import distance as dist_ops
     precision = jax.lax.Precision.HIGHEST if exact else None
     if bits in (32, 64):
         dots = jnp.einsum("qd,qcd->qc", queries, ccodes.astype(jnp.float32),
                           preferred_element_type=jnp.float32,
                           precision=precision)
+    elif bits == 4:
+        dots = dist_ops.packed4_dots_batched(queries, ccodes, precision)
     else:
         scale, offset = qz.affine_constants(bits)
-        fast = bits in (4, 8) and not exact
-        cast = jnp.bfloat16 if fast else jnp.float32
+        from . import distance as _d
+        fast = bits == 8 and not exact
+        cast = _d.fast_dot_dtype() if fast else jnp.float32
         raw = jnp.einsum("qd,qcd->qc",
                          queries.astype(cast) if fast else queries,
                          ccodes.astype(cast),
@@ -212,8 +232,8 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
     N must be a multiple of block_n (the column store pads capacity;
     padding rows carry valid=False).  k <= MAX_FUSED_K.
     """
-    n, d = codes.shape
-    q0 = queries.shape[0]
+    n = codes.shape[0]
+    q0, d = queries.shape  # d = true dims (codes may be nibble-packed)
     assert k <= MAX_FUSED_K, k
     queries = queries.astype(jnp.float32)
     qpad = (-q0) % 8

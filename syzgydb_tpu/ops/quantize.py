@@ -202,7 +202,17 @@ def affine_constants(bits: int) -> tuple[float, float]:
 
 
 def device_dtype(bits: int):
-    return {4: np.int8, 8: np.int8, 16: np.int16, 32: np.float32, 64: np.float32}[bits]
+    # 4-bit codes live PACKED in HBM: two dims per uint8 byte, high nibble
+    # first — the same layout as the disk format — and are unpacked in-kernel
+    # (ops/distance.packed4_* and the Pallas kernels), halving 4-bit scan
+    # traffic vs one-byte-per-dim storage.
+    return {4: np.uint8, 8: np.int8, 16: np.int16, 32: np.float32,
+            64: np.float32}[bits]
+
+
+def device_width(bits: int, dims: int) -> int:
+    """Columns per row of the device code array."""
+    return (dims + 1) // 2 if bits == 4 else dims
 
 
 # Bulk host transforms run chunked: on sandboxed single-core hosts first-touch
@@ -211,12 +221,19 @@ _CHUNK_ROWS = 16384
 
 
 def codes_to_device_repr(vectors: np.ndarray, bits: int) -> np.ndarray:
-    """float64 (N, D) -> the array uploaded to HBM (centered int codes or f32)."""
+    """float64 (N, D) -> the array uploaded to HBM.
+
+    4-bit: packed nibbles, two dims per uint8 byte high-nibble-first —
+    identical to the disk layout (collection.go:727-731), so 4-bit HBM
+    traffic is the same ~D/2 bytes/row the reference reads from disk.
+    8/16-bit: centered int codes.  32/64-bit: f32."""
     _check_bits(bits)
     vectors = np.atleast_2d(np.asarray(vectors))
     if bits in (32, 64):
         # 64-bit keeps f64 exactness on the host; device computes in f32.
         return np.asarray(vectors, dtype=np.float32)
+    if bits == 4:
+        return pack_vectors(vectors, 4)
     n = vectors.shape[0]
     half = (_MAXINT[bits] + 1) // 2
     out = np.empty(vectors.shape, dtype=device_dtype(bits))
@@ -228,10 +245,18 @@ def codes_to_device_repr(vectors: np.ndarray, bits: int) -> np.ndarray:
     return out
 
 
-def device_repr_to_float(device_codes: np.ndarray, bits: int) -> np.ndarray:
-    """Decode the device representation back to the dequantized float values."""
+def device_repr_to_float(device_codes: np.ndarray, bits: int,
+                         dims: int | None = None) -> np.ndarray:
+    """Decode the device representation back to the dequantized float values.
+
+    `dims` is required for 4-bit (the packed width can't distinguish an odd
+    dimension count from the next even one)."""
     _check_bits(bits)
     if bits in (32, 64):
         return np.asarray(device_codes, dtype=np.float64)
+    if bits == 4:
+        if dims is None:
+            raise ValueError("dims is required to decode packed 4-bit codes")
+        return unpack_vectors(np.atleast_2d(device_codes), dims, 4)
     scale, offset = affine_constants(bits)
     return np.asarray(device_codes, dtype=np.float64) * scale + offset

@@ -24,9 +24,12 @@ from .mesh import DATA_AXIS, FEATURE_AXIS
 def _local_dots(queries, codes, bits, precision):
     """Feature-partial dot(q, dequant(v)) with psum over the feature axis.
 
-    queries: (Q, D_local) f32; codes: (N_local, D_local).
+    queries: (Q, D_local) f32; codes: (N_local, D_local) — or, for 4-bit,
+    (N_local, D_local/2) packed nibbles (each feature shard must hold an
+    even, nibble-aligned dimension slice; sharded_* validates).
     Returns (Q, N_local) f32 full-D dots.
     """
+    from ..ops import distance as dist_ops
     if bits in (32, 64):
         raw = jax.lax.dot_general(
             queries, codes.astype(jnp.float32),
@@ -34,13 +37,27 @@ def _local_dots(queries, codes, bits, precision):
             preferred_element_type=jnp.float32, precision=precision)
         return jax.lax.psum(raw, FEATURE_AXIS)
     scale, offset = qz.affine_constants(bits)
-    if precision is None and bits in (4, 8):
-        lhs, rhs = queries.astype(jnp.bfloat16), codes.astype(jnp.bfloat16)
+    if bits == 4:
+        qe, qo = dist_ops.deinterleave_queries(queries)
+        h, low = dist_ops.split_nibbles(codes)
+        cast = dist_ops.fast_dot_dtype() if precision is None else jnp.float32
+        dn = (((1,), (1,)), ((), ()))
+        raw = jax.lax.dot_general(
+            qe.astype(cast), h.astype(cast), dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=precision)
+        raw = raw + jax.lax.dot_general(
+            qo.astype(cast), low[:, : qo.shape[1]].astype(cast),
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=precision)
     else:
-        lhs, rhs = queries, codes.astype(jnp.float32)
-    raw = jax.lax.dot_general(
-        lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
+        if precision is None and bits == 8:
+            cast = dist_ops.fast_dot_dtype()
+            lhs, rhs = queries.astype(cast), codes.astype(cast)
+        else:
+            lhs, rhs = queries, codes.astype(jnp.float32)
+        raw = jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
     raw = jax.lax.psum(raw, FEATURE_AXIS)
     qsum = jax.lax.psum(jnp.sum(queries, axis=-1, keepdims=True), FEATURE_AXIS)
     return scale * raw + offset * qsum
@@ -64,6 +81,18 @@ def _local_distances(queries, codes, norms, valid, bits, metric, exact):
     return jnp.where(valid[None, :], dist, jnp.inf)
 
 
+def _check_packed4(mesh, queries, bits):
+    """Packed 4-bit codes shard on the feature axis only when every shard
+    holds an even (nibble-aligned) slice of the dimension axis."""
+    if bits != 4:
+        return
+    f = mesh.shape[FEATURE_AXIS]
+    if f > 1 and (queries.shape[1] % (2 * f)) != 0:
+        raise ValueError(
+            f"4-bit feature sharding needs dim % (2*feature) == 0 "
+            f"(dim={queries.shape[1]}, feature={f})")
+
+
 def _merge_topk(vals, gidx, k):
     """(Q, ndev*k) concatenated per-device winners -> global top-k."""
     neg, pos = jax.lax.top_k(-vals, k)
@@ -75,6 +104,7 @@ def _merge_topk(vals, gidx, k):
 def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, *,
                        bits: int, metric: str, k: int, exact: bool = False):
     """Exhaustive sharded scan -> (dist (Q, k), global row ids (Q, k))."""
+    _check_packed4(mesh, queries, bits)
 
     def local(q, c, nrm, v):
         dist = _local_distances(q, c, nrm, v, bits, metric, exact)
@@ -98,6 +128,7 @@ def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, *,
 def sharded_scores(mesh: Mesh, queries, codes, norms, valid, *,
                    bits: int, metric: str, exact: bool = False):
     """Full (Q, N) distance matrix, N-sharded on device (for radius mode)."""
+    _check_packed4(mesh, queries, bits)
 
     def local(q, c, nrm, v):
         return _local_distances(q, c, nrm, v, bits, metric, exact)
@@ -138,7 +169,7 @@ def sharded_ann_topk(mesh: Mesh, qcodes, queries, codes, norms, hashes, valid,
                                            recall_target=0.95)
         else:
             _, cand = jax.lax.top_k(-ham, budget)             # (Q, B)
-        ccodes = jnp.take(c, cand, axis=0)                    # (Q, B, D_l)
+        ccodes = jnp.take(c, cand, axis=0)                    # (Q, B, D_l|P_l)
         cnorms = jnp.take(nrm, cand, axis=0)
         cvalid = jnp.take(v, cand, axis=0)
         if bits in (32, 64):
@@ -146,12 +177,26 @@ def sharded_ann_topk(mesh: Mesh, qcodes, queries, codes, norms, hashes, valid,
                              preferred_element_type=jnp.float32)
             dots = jax.lax.psum(raw, FEATURE_AXIS)
         else:
+            from ..ops import distance as dist_ops
             scale, offset = qz.affine_constants(bits)
-            cast = jnp.bfloat16 if bits in (4, 8) else jnp.float32
-            raw = jnp.einsum("qd,qbd->qb",
-                             q.astype(cast) if bits in (4, 8) else q,
-                             ccodes.astype(cast),
-                             preferred_element_type=jnp.float32)
+            if bits == 4:
+                qe, qo = dist_ops.deinterleave_queries(q)
+                h, low = dist_ops.split_nibbles(ccodes)
+                cast4 = dist_ops.fast_dot_dtype()
+                raw = jnp.einsum(
+                    "qd,qbd->qb", qe.astype(cast4), h.astype(cast4),
+                    preferred_element_type=jnp.float32)
+                raw = raw + jnp.einsum(
+                    "qd,qbd->qb", qo.astype(cast4),
+                    low[..., : qo.shape[1]].astype(cast4),
+                    preferred_element_type=jnp.float32)
+            else:
+                cast = dist_ops.fast_dot_dtype() if bits == 8 \
+                    else jnp.float32
+                raw = jnp.einsum("qd,qbd->qb",
+                                 q.astype(cast) if bits == 8 else q,
+                                 ccodes.astype(cast),
+                                 preferred_element_type=jnp.float32)
             raw = jax.lax.psum(raw, FEATURE_AXIS)
             qsum = jax.lax.psum(jnp.sum(q, axis=-1, keepdims=True),
                                 FEATURE_AXIS)

@@ -35,7 +35,7 @@ def test_score_block_matches_oracle(metric, bits, rng):
     db = rng.uniform(-1, 1, size=(n, d))
     queries = rng.uniform(-1, 1, size=(q, d))
     codes = qz.codes_to_device_repr(db, bits)
-    norms = dist_ops.db_row_stats(codes, bits)
+    norms = dist_ops.db_row_stats(codes, bits, d)
     valid = np.ones(n, dtype=bool)
     got = np.asarray(dist_ops.score_block(
         jnp.asarray(np.float32(queries)), jnp.asarray(codes),

@@ -10,12 +10,12 @@ from syzgydb_tpu.ops import quantize as qz
 
 
 @pytest.mark.parametrize("metric", ["euclidean", "cosine"])
-@pytest.mark.parametrize("bits", [8, 32])
+@pytest.mark.parametrize("bits", [4, 8, 32])
 def test_fused_scan_matches_xla(rng, metric, bits):
     n, d, q, k, block = 512, 128, 4, 10, 128
     db = rng.uniform(-1, 1, size=(n, d))
     codes = qz.codes_to_device_repr(db, bits)
-    norms = dist_ops.db_row_stats(codes, bits)
+    norms = dist_ops.db_row_stats(codes, bits, d)
     valid = np.ones(n, dtype=bool)
     valid[100:110] = False
     queries = np.float32(rng.uniform(-1, 1, size=(q, d)))

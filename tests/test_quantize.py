@@ -98,7 +98,8 @@ def test_device_repr_affine_decode(bits, rng):
     vecs = rng.uniform(-1.2, 1.2, size=(50, 16))
     dev = qz.codes_to_device_repr(vecs, bits)
     assert dev.dtype == qz.device_dtype(bits)
-    decoded = qz.device_repr_to_float(dev, bits)
+    assert dev.shape[1] == qz.device_width(bits, 16)  # 4-bit: packed
+    decoded = qz.device_repr_to_float(dev, bits, 16)
     want = qz.quantization_roundtrip(vecs, bits)
     np.testing.assert_allclose(decoded, want, rtol=0, atol=1e-15)
 

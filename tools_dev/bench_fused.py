@@ -102,6 +102,68 @@ def main():
         qdev, codes, norms, valid, bits=bits, metric=metric, k=k,
         block_n=4096, exact=True), reps=10, label="fused exact=True (f32)")
 
+    # ---- ANN path stages -------------------------------------------------
+    from syzgydb_tpu.index.hamming import (SignHashIndex,
+                                           _hamming_candidates_xla,
+                                           rerank_topk)
+    from syzgydb_tpu.ops import pallas_hamming
+    from syzgydb_tpu.utils.rng import MyRandom
+
+    index = SignHashIndex(d, metric, MyRandom(7))
+    hashes = index.encode_codes_device(codes, bits)
+    jax.block_until_ready(hashes)
+    qcodes = jnp.asarray(index.encode_np(queries)).astype(jnp.uint32)
+    budget = 2048
+
+    timeit(lambda: pallas_hamming.hamming_scores(
+        qcodes, hashes, words=index.words), reps=20,
+        label="hamming surface uint8 (kernel only)")
+    timeit(lambda: pallas_hamming.hamming_scores_bf16(
+        qcodes, hashes, valid, words=index.words), reps=20,
+        label="hamming surface bf16 (kernel only)")
+
+    @jax.jit
+    def ann_u8(qcodes):
+        ham8 = pallas_hamming.hamming_scores(qcodes, hashes,
+                                             words=index.words)
+        ham8 = jnp.where(valid[None, :], ham8, jnp.uint8(255))
+        return jax.lax.approx_min_k(ham8.astype(jnp.float32), budget,
+                                    recall_target=0.95)
+
+    @jax.jit
+    def ann_bf16(qcodes):
+        ham = pallas_hamming.hamming_scores_bf16(qcodes, hashes, valid,
+                                                 words=index.words)
+        return jax.lax.approx_min_k(ham, budget, recall_target=0.95)
+
+    timeit(lambda: ann_u8(qcodes), reps=20,
+           label="candidates uint8->f32 approx_min_k")
+    timeit(lambda: ann_bf16(qcodes), reps=20,
+           label="candidates bf16 approx_min_k")
+    timeit(lambda: _hamming_candidates_xla(qcodes, hashes, valid, budget,
+                                           index.words), reps=20,
+           label="candidates XLA per-word loop")
+
+    _, cand = ann_bf16(qcodes)
+    jax.block_until_ready(cand)
+    timeit(lambda: rerank_topk(qdev, codes, norms, valid, cand, bits, metric,
+                               k), reps=20, label="rerank gather+topk")
+
+    def ann_end2end(fn):
+        _, cc = fn(qcodes)
+        return rerank_topk(qdev, codes, norms, valid, cc, bits, metric, k)
+
+    timeit(lambda: ann_end2end(ann_bf16), reps=20, label="ANN end2end bf16")
+    timeit(lambda: ann_end2end(ann_u8), reps=20, label="ANN end2end uint8")
+
+    # agreement of the two candidate paths
+    _, c1 = ann_u8(qcodes)
+    _, c2 = ann_bf16(qcodes)
+    c1, c2 = np.asarray(c1), np.asarray(c2)
+    ag = np.mean([len(set(c1[i]) & set(c2[i])) / budget
+                  for i in range(q_batch)])
+    log(f"candidate agreement uint8 vs bf16: {ag:.4f}")
+
     log("done")
 
 
