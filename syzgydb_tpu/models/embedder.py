@@ -112,6 +112,24 @@ class TextEmbedder:
             return [v.tolist() for v in self.embed(texts)]
         return fn
 
+    # -- checkpointing -------------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize params (flax msgpack) — pairs with load_pretrained."""
+        import flax.serialization
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(self.params))
+
+    def load_pretrained(self, path: str) -> None:
+        """Load a checkpoint written by save_checkpoint (or any flax msgpack
+        blob matching this Encoder's tree).  Without one, the embedder runs
+        RANDOM weights — fine as a load/scale target, semantically
+        meaningless for retrieval; the server logs it as experimental
+        (server/rest.py)."""
+        import flax.serialization
+        with open(path, "rb") as f:
+            self.params = flax.serialization.from_bytes(self.params, f.read())
+
 
 def contrastive_loss(params, model: Encoder, ids_a, mask_a, ids_b, mask_b,
                      temperature: float = 0.05):

@@ -24,8 +24,11 @@ DEFAULTS = {
     "html_root": "./html",
     "random_seed": 0,
     # "ollama" = remote HTTP embedding (reference behavior);
-    # "device" = on-TPU embedder (models/embedder.py) — no external service
+    # "device" = on-TPU embedder (models/embedder.py) — no external service.
+    # The device embedder is EXPERIMENTAL unless embedder_checkpoint points
+    # at trained weights (random init embeds nothing meaningful).
     "embedder": "ollama",
+    "embedder_checkpoint": "",
     # coalescing window (ms) for concurrent REST searches — one batched
     # device dispatch answers the whole group (server/batcher.py); 0 disables
     "search_batch_ms": 4.0,
@@ -42,6 +45,7 @@ class Config:
     html_root: str = DEFAULTS["html_root"]
     random_seed: int = 0
     embedder: str = "ollama"
+    embedder_checkpoint: str = ""
     search_batch_ms: float = 4.0
 
 
@@ -117,6 +121,7 @@ def load_config(argv: Optional[list[str]] = None,
         html_root=str(merged["html_root"]),
         random_seed=int(merged["random_seed"]),
         embedder=str(merged["embedder"]),
+        embedder_checkpoint=str(merged["embedder_checkpoint"]),
         search_batch_ms=float(merged["search_batch_ms"]),
     )
     os.makedirs(cfg.data_folder, exist_ok=True)

@@ -428,8 +428,17 @@ def make_server(data_folder: Optional[str] = None,
     if config.global_config.embedder == "device":
         # on-TPU embedding instead of the Ollama HTTP service
         from ..models.embedder import TextEmbedder
-        embedding.set_embed_text(TextEmbedder().as_embed_text_fn())
-        log.info("using on-device text embedder")
+        emb = TextEmbedder()
+        ckpt = config.global_config.embedder_checkpoint
+        if ckpt:
+            emb.load_pretrained(ckpt)
+            log.info("using on-device text embedder (checkpoint %s)", ckpt)
+        else:
+            log.warning(
+                "on-device embedder running RANDOM weights (experimental): "
+                "embeddings are not semantically meaningful — set "
+                "embedder_checkpoint to a trained flax msgpack checkpoint")
+        embedding.set_embed_text(emb.as_embed_text_fn())
     if load_existing:
         for path in glob.glob(os.path.join(srv.data_folder, "*.dat")):
             name = srv.file_to_collection_name(path)

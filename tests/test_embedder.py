@@ -83,3 +83,44 @@ def test_sharded_train_step_on_mesh():
     # params keep their TP shardings through the step
     flat = jax.tree_util.tree_leaves(new_params)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat[:3])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint -> load_pretrained reproduces embeddings exactly in a
+    fresh instance (the load machinery VERDICT r1 item 9 asked for)."""
+    emb = TextEmbedder(SMALL, seed=3)
+    texts = ["alpha beta", "gamma delta"]
+    want = emb.embed(texts)
+    path = str(tmp_path / "emb.msgpack")
+    emb.save_checkpoint(path)
+
+    fresh = TextEmbedder(SMALL, seed=99)  # different random init
+    assert not np.allclose(fresh.embed(texts), want)
+    fresh.load_pretrained(path)
+    np.testing.assert_allclose(fresh.embed(texts), want, atol=1e-6)
+
+
+def test_trained_checkpoint_survives_reload(tmp_path):
+    """Train a few contrastive steps, checkpoint, reload elsewhere: the
+    trained retrieval behavior (positives closer than negatives) persists."""
+    emb = TextEmbedder(SMALL, seed=0)
+    tok = emb.tokenizer
+    a = ["red car", "green tree", "blue sky", "small dog"]
+    b = ["crimson automobile", "emerald plant", "azure heavens", "tiny puppy"]
+    ids_a, mask_a = tok.batch_encode(a)
+    ids_b, mask_b = tok.batch_encode(b)
+    args = tuple(jnp.asarray(x) for x in (ids_a, mask_a, ids_b, mask_b))
+    params = emb.params
+    for _ in range(30):
+        params, loss = train_step(params, None, emb.model, *args, lr=3e-3)
+    emb.params = params
+    path = str(tmp_path / "trained.msgpack")
+    emb.save_checkpoint(path)
+
+    fresh = TextEmbedder(SMALL, seed=42)
+    fresh.load_pretrained(path)
+    za = fresh.embed(a)
+    zb = fresh.embed(b)
+    sims = za @ zb.T
+    # every positive pair must out-rank its in-batch negatives
+    assert (np.argmax(sims, axis=1) == np.arange(len(a))).all()
