@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: all native test bench serve docker clean
+.PHONY: all native test bench serve docker deb clean
 
 all: native
 
@@ -20,6 +20,14 @@ serve: native
 
 docker:
 	docker build -t syzgydb-tpu .
+
+# Installable packages (reference Makefile:30-63 fpm deb/rpm analog).
+# deb builds here with dpkg-deb; rpm needs rpmbuild (spec provided).
+deb:
+	bash packaging/build_deb.sh
+
+rpm:
+	rpmbuild -bb --build-in-place packaging/syzgy-tpu.spec
 
 clean:
 	$(MAKE) -C native clean
