@@ -221,16 +221,52 @@ def gather_segments(arr, seg_idx, seg: int):
     return g.reshape((qn, s * seg) + tail)
 
 
+@functools.partial(jax.jit, static_argnames=("bits", "metric", "seg",
+                                             "exact"))
+def segment_min_scan_xla(queries, codes, norms, valid, *, bits: int,
+                         metric: str, seg: int = DEFAULT_SEG,
+                         exact: bool = False):
+    """XLA variant of the segment-min surface: one code matmul, surrogate
+    epilogue, reshape + min over each SEG-row group.  XLA fuses the
+    epilogue/min into the matmul consumer chain, so the (Q, N) surface is
+    at worst one bf16-sized transient instead of the f32 (Q, N) + full
+    lax.top_k pass the old pipeline paid.  Measured faster than the Pallas
+    kernel on v5e (Mosaic's transposed-layout segmin ran at ~5 GB/s)."""
+    from . import distance as dist_ops
+    n = codes.shape[0]
+    q = queries.shape[0]
+    precision = jax.lax.Precision.HIGHEST if exact else None
+    dots = dist_ops._code_matmul(queries, codes, bits, precision)  # (Q, N)
+    if metric == "euclidean":
+        qn2 = jnp.sum(queries * queries, axis=-1, keepdims=True)
+        dist = jnp.maximum(qn2 - 2.0 * dots + norms[None, :], 0.0)
+    else:
+        qn2 = jnp.sum(queries * queries, axis=-1, keepdims=True)
+        denom2 = qn2 * norms[None, :]
+        inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
+        cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
+        dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
+    # bf16 surface halves any materialized transient; exact mode keeps f32
+    # so segment selection resolves ties the f32 rerank can distinguish
+    surf_t = jnp.float32 if exact else jnp.bfloat16
+    dist = jnp.where(valid[None, :], dist.astype(surf_t), surf_t(jnp.inf))
+    return jnp.min(dist.reshape(q, n // seg, seg), axis=-1).astype(
+        jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "metric", "k", "block_n",
-                                             "seg", "exact", "interpret"))
+                                             "seg", "exact", "interpret",
+                                             "surface"))
 def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
                     k: int, block_n: int = DEFAULT_BLOCK_N,
                     seg: int = DEFAULT_SEG, exact: bool = False,
-                    interpret: bool = False):
+                    interpret: bool = False, surface: str = "xla"):
     """Exhaustive fused scan -> (dist (Q, k) ascending, rows (Q, k)).
 
     N must be a multiple of block_n (the column store pads capacity;
-    padding rows carry valid=False).  k <= MAX_FUSED_K.
+    padding rows carry valid=False).  k <= MAX_FUSED_K.  `surface` picks the
+    segment-minima producer: "xla" (default, fused epilogue) or "pallas"
+    (ops kernel above).
     """
     n = codes.shape[0]
     q0, d = queries.shape  # d = true dims (codes may be nibble-packed)
@@ -241,9 +277,14 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
         queries = jnp.concatenate(
             [queries, jnp.zeros((qpad, d), jnp.float32)])
 
-    segmins = segment_min_scan(queries, codes, norms, valid, bits=bits,
-                               metric=metric, block_n=block_n, seg=seg,
-                               exact=exact, interpret=interpret)
+    if surface == "pallas":
+        segmins = segment_min_scan(queries, codes, norms, valid, bits=bits,
+                                   metric=metric, block_n=block_n, seg=seg,
+                                   exact=exact, interpret=interpret)
+    else:
+        segmins = segment_min_scan_xla(queries, codes, norms, valid,
+                                       bits=bits, metric=metric, seg=seg,
+                                       exact=exact)
     nseg = n // seg
     s = min(k + _TIE_MARGIN, nseg)
     _, seg_idx = jax.lax.top_k(-segmins, s)                   # (Qp, S)

@@ -9,9 +9,10 @@ from syzgydb_tpu.ops import pallas_scan
 from syzgydb_tpu.ops import quantize as qz
 
 
+@pytest.mark.parametrize("surface", ["pallas", "xla"])
 @pytest.mark.parametrize("metric", ["euclidean", "cosine"])
 @pytest.mark.parametrize("bits", [4, 8, 32])
-def test_fused_scan_matches_xla(rng, metric, bits):
+def test_fused_scan_matches_xla(rng, metric, bits, surface):
     n, d, q, k, block = 512, 128, 4, 10, 128
     db = rng.uniform(-1, 1, size=(n, d))
     codes = qz.codes_to_device_repr(db, bits)
@@ -23,7 +24,7 @@ def test_fused_scan_matches_xla(rng, metric, bits):
     vals, rows = pallas_scan.fused_scan_topk(
         jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
         jnp.asarray(valid), bits=bits, metric=metric, k=k, block_n=block,
-        interpret=True)
+        interpret=True, surface=surface)
     ref = dist_ops.score_block(jnp.asarray(queries), jnp.asarray(codes),
                                jnp.asarray(norms), jnp.asarray(valid),
                                bits, metric)
@@ -36,7 +37,8 @@ def test_fused_scan_matches_xla(rng, metric, bits):
             set(np.asarray(ref_rows)[i].tolist())
 
 
-def test_fused_scan_winners_in_late_blocks(rng):
+@pytest.mark.parametrize("surface", ["pallas", "xla"])
+def test_fused_scan_winners_in_late_blocks(rng, surface):
     """The threshold-skip must not drop winners that appear after the
     running top-k has tightened (the correctness-critical case)."""
     n, d, q, k, block = 1024, 64, 2, 16, 128
@@ -51,7 +53,7 @@ def test_fused_scan_winners_in_late_blocks(rng):
     vals, rows = pallas_scan.fused_scan_topk(
         jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
         jnp.asarray(valid), bits=32, metric="euclidean", k=k, block_n=block,
-        interpret=True)
+        interpret=True, surface=surface)
     ref = dist_ops.score_block(jnp.asarray(queries), jnp.asarray(codes),
                                jnp.asarray(norms), jnp.asarray(valid),
                                32, "euclidean")
@@ -68,7 +70,8 @@ def test_fused_scan_winners_in_late_blocks(rng):
                                                  n - 2, n - 1}
 
 
-def test_fused_scan_duplicate_distances(rng):
+@pytest.mark.parametrize("surface", ["pallas", "xla"])
+def test_fused_scan_duplicate_distances(rng, surface):
     """Exact duplicates (tied distances) across blocks: the merge must keep
     k distinct rows, never repeat one."""
     n, d, q, k, block = 512, 32, 1, 8, 128
@@ -81,7 +84,7 @@ def test_fused_scan_duplicate_distances(rng):
     vals, rows = pallas_scan.fused_scan_topk(
         jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
         jnp.asarray(valid), bits=32, metric="euclidean", k=k, block_n=block,
-        interpret=True)
+        interpret=True, surface=surface)
     r = np.asarray(rows)[0]
     assert len(set(r.tolist())) == k  # distinct rows
     # f32 cancellation in the dot-product form leaves a ~sqrt(1e-6) residue
