@@ -66,7 +66,8 @@ def _hamming_bf16_kernel(qcodes_ref, hashes_ref, valid_ref, out_ref,
             acc = acc + jax.lax.population_count(x).astype(jnp.int32)
         validf = valid_ref[lo:lo + sub, :][:, 0][None, :]   # (1, sub)
         out_ref[:, lo:lo + sub] = jnp.where(
-            validf > 0, acc.astype(jnp.bfloat16), jnp.bfloat16(16384.0))
+            validf > 0, acc.astype(out_ref.dtype),
+            jnp.asarray(16384.0, out_ref.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("words", "block_n", "interpret"))
@@ -95,16 +96,21 @@ def hamming_scores(qcodes, hashes, *, words: int,
         cost_estimate=pl.CostEstimate(
             flops=2 * q * n * words, transcendentals=0,
             bytes_accessed=n * words * 4 + q * n),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(qcodes, hashes)
 
 
-@functools.partial(jax.jit, static_argnames=("words", "block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("words", "block_n", "interpret",
+                                             "out_dtype"))
 def hamming_scores_bf16(qcodes, hashes, valid, *, words: int,
                         block_n: int = DEFAULT_BLOCK_N,
-                        interpret: bool = False):
-    """(Q, W) x (N, W) sketches + (N,) valid -> (Q, N) bf16 distances
-    (invalid rows = 16384, exact in bf16), ready for lax.approx_min_k with no conversion."""
+                        interpret: bool = False, out_dtype=jnp.bfloat16):
+    """(Q, W) x (N, W) sketches + (N,) valid -> (Q, N) float distances
+    (invalid rows = 16384), ready for lax.approx_min_k with no conversion.
+    out_dtype: bf16 halves surface bytes; f32 keeps approx_min_k on its
+    fastest PartialReduce path (measure per backend)."""
     n = hashes.shape[0]
     q = qcodes.shape[0]
     assert n % block_n == 0, (n, block_n)
@@ -125,9 +131,15 @@ def hamming_scores_bf16(qcodes, hashes, valid, *, words: int,
     return pl.pallas_call(
         functools.partial(_hamming_bf16_kernel, words=words),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((q, n), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((q, n), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * q * n * words, transcendentals=0,
-            bytes_accessed=n * words * 4 + q * n * 2),
+            bytes_accessed=n * words * 4
+            + q * n * jnp.dtype(out_dtype).itemsize),
+        # the compiler charges the whole (Q, N) result against the kernel's
+        # scoped-VMEM stack at large N; raise the 16MB default like
+        # pallas_scan does or 1M-row surfaces refuse to compile
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(qcodes, hashes, valid.astype(jnp.float32)[:, None])

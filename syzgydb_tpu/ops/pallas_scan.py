@@ -221,6 +221,110 @@ def gather_segments(arr, seg_idx, seg: int):
     return g.reshape((qn, s * seg) + tail)
 
 
+def _surface_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
+                    *, bits, metric, exact):
+    """Distance surrogate surface in NATURAL (Q, block) layout.
+
+    The whole point vs letting XLA do it: the int8/packed codes convert to
+    bf16 INSIDE VMEM — XLA's dot materializes a bf16 copy of the full code
+    matrix in HBM first (768MB at 1M x 384), which is where the measured
+    3.2ms surface time went.  HBM traffic here = codes read + bf16 surface
+    write.  Row subtiles bound live vector registers (same lesson as the
+    bf16 hamming kernel)."""
+    queries = q_ref[:]                                       # (Q, D) f32
+    if bits in (4, 8, 16):
+        scale, offset = qz.affine_constants(bits)
+        qsum = jnp.sum(queries, axis=-1)[:, None]            # (Q, 1)
+    qn2 = jnp.sum(queries * queries, axis=-1)[:, None]       # (Q, 1)
+    fast = bits in (4, 8) and not exact
+    cast = jnp.bfloat16 if fast else jnp.float32
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    dn = (((1,), (1,)), ((), ()))
+    if bits == 4:
+        qe = queries[:, 0::2].astype(cast)                   # (Q, P)
+        qo = queries[:, 1::2].astype(cast)
+    else:
+        qc = queries.astype(cast)
+
+    b = codes_ref.shape[0]
+    sub = min(_SUBTILE, b)
+    for t in range(b // sub):
+        lo = t * sub
+        codes = codes_ref[lo:lo + sub, :]                    # (sub, D|P)
+        if bits == 4:
+            h = ((codes >> 4).astype(jnp.int32) - 8).astype(cast)
+            low = ((codes & 0xF).astype(jnp.int32) - 8).astype(cast)
+            raw = jax.lax.dot_general(
+                qe, h, dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+            raw = raw + jax.lax.dot_general(
+                qo, low[:, : qo.shape[1]], dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+        else:
+            raw = jax.lax.dot_general(
+                qc, codes.astype(cast), dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+        if bits in (4, 8, 16):
+            dots = scale * raw + offset * qsum               # (Q, sub)
+        else:
+            dots = raw
+        norms = norms_ref[lo:lo + sub, :][:, 0][None, :]     # (1, sub)
+        if metric == "euclidean":
+            dist = jnp.maximum(qn2 - 2.0 * dots + norms, 0.0)
+        else:
+            denom2 = qn2 * norms
+            inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
+            cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
+            dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
+        validf = valid_ref[lo:lo + sub, :][:, 0][None, :]
+        out_ref[:, lo:lo + sub] = jnp.where(
+            validf > 0, dist.astype(out_ref.dtype),
+            jnp.asarray(jnp.inf, out_ref.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "metric", "block_n",
+                                             "exact", "interpret"))
+def score_surface(queries, codes, norms, valid, *, bits: int, metric: str,
+                  block_n: int = DEFAULT_BLOCK_N, exact: bool = False,
+                  interpret: bool = False):
+    """(Q, D) x (N, D|P) -> (Q, N) surrogate-distance surface.
+
+    bf16 out (f32 in exact mode); invalid rows = +inf.  Queries must be
+    pre-padded to a multiple of 8 rows."""
+    n, w = codes.shape
+    q, d = queries.shape
+    assert n % block_n == 0, (n, block_n)
+    out_t = jnp.float32 if exact else jnp.bfloat16
+    grid_spec = pl.GridSpec(
+        grid=(n // block_n,),
+        in_specs=[
+            pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, block_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_surface_kernel, bits=bits, metric=metric,
+                          exact=exact),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q, n), out_t),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * d * n, transcendentals=0,
+            bytes_accessed=n * w * codes.dtype.itemsize + 4 * n
+            + q * n * jnp.dtype(out_t).itemsize),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(queries.astype(jnp.float32), codes, norms[:, None],
+      valid.astype(jnp.float32)[:, None])
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "metric", "seg",
                                              "exact"))
 def segment_min_scan_xla(queries, codes, norms, valid, *, bits: int,
@@ -281,6 +385,14 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
         segmins = segment_min_scan(queries, codes, norms, valid, bits=bits,
                                    metric=metric, block_n=block_n, seg=seg,
                                    exact=exact, interpret=interpret)
+    elif surface == "kernel":
+        # natural-layout surface kernel (in-VMEM code conversion), min in XLA
+        surf = score_surface(queries, codes, norms, valid, bits=bits,
+                             metric=metric, block_n=block_n, exact=exact,
+                             interpret=interpret)
+        segmins = jnp.min(
+            surf.reshape(queries.shape[0], n // seg, seg), axis=-1).astype(
+            jnp.float32)
     else:
         segmins = segment_min_scan_xla(queries, codes, norms, valid,
                                        bits=bits, metric=metric, seg=seg,

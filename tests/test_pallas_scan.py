@@ -9,7 +9,7 @@ from syzgydb_tpu.ops import pallas_scan
 from syzgydb_tpu.ops import quantize as qz
 
 
-@pytest.mark.parametrize("surface", ["pallas", "xla"])
+@pytest.mark.parametrize("surface", ["pallas", "xla", "kernel"])
 @pytest.mark.parametrize("metric", ["euclidean", "cosine"])
 @pytest.mark.parametrize("bits", [4, 8, 32])
 def test_fused_scan_matches_xla(rng, metric, bits, surface):
@@ -37,7 +37,7 @@ def test_fused_scan_matches_xla(rng, metric, bits, surface):
             set(np.asarray(ref_rows)[i].tolist())
 
 
-@pytest.mark.parametrize("surface", ["pallas", "xla"])
+@pytest.mark.parametrize("surface", ["pallas", "xla", "kernel"])
 def test_fused_scan_winners_in_late_blocks(rng, surface):
     """The threshold-skip must not drop winners that appear after the
     running top-k has tightened (the correctness-critical case)."""
@@ -70,7 +70,7 @@ def test_fused_scan_winners_in_late_blocks(rng, surface):
                                                  n - 2, n - 1}
 
 
-@pytest.mark.parametrize("surface", ["pallas", "xla"])
+@pytest.mark.parametrize("surface", ["pallas", "xla", "kernel"])
 def test_fused_scan_duplicate_distances(rng, surface):
     """Exact duplicates (tied distances) across blocks: the merge must keep
     k distinct rows, never repeat one."""

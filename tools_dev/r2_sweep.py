@@ -64,18 +64,22 @@ def main():
         return dist_ops.top_k_smallest(dd, k)
 
     timeit(pipeline, 20, "XLA score+topk pipeline [old]")
-    for seg in (32, 64, 128):
+    timeit(lambda: pallas_scan.score_surface(
+        qdev, codes, norms, valid, bits=bits, metric=metric),
+        20, "score_surface kernel only")
+    for seg in (32, 64):
         timeit(lambda seg=seg: pallas_scan.fused_scan_topk(
             qdev, codes, norms, valid, bits=bits, metric=metric, k=k,
-            seg=seg, surface="xla"), 20, f"fused XLA-surface seg={seg}")
+            seg=seg, surface="kernel"), 20, f"fused kernel-surface seg={seg}")
     timeit(lambda: pallas_scan.fused_scan_topk(
         q1, codes, norms, valid, bits=bits, metric=metric, k=k,
-        surface="xla"), 20, "fused XLA-surface Q=1")
+        surface="kernel"), 20, "fused kernel-surface Q=1")
 
     # correctness vs pipeline
     rv, ri = pipeline()
     fv, fi = pallas_scan.fused_scan_topk(qdev, codes, norms, valid, bits=bits,
-                                         metric=metric, k=k, surface="xla")
+                                         metric=metric, k=k,
+                                         surface="kernel")
     rv, ri, fv, fi = (np.asarray(x) for x in (rv, ri, fv, fi))
     same = np.mean([len(set(ri[i]) & set(fi[i])) / k for i in range(q_batch)])
     log(f"fused-xla index agreement vs pipeline: {same:.4f} "
