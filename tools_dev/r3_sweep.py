@@ -85,17 +85,25 @@ def main():
         log(f"  -> {qn/dt:.0f} QPS")
 
     # direct surface + approx_min_k (no sketch, no rerank): medium candidate
+    @jax.jit
+    def direct(qdev, codes, norms, valid):
+        surf = pallas_scan.score_surface(qdev, codes, norms, valid,
+                                         bits=bits, metric=metric)
+        return jax.lax.approx_min_k(surf.astype(jnp.float32), k,
+                                    recall_target=0.95)
+
     for qn in (64, 256):
         qdev = jnp.asarray(make_queries(qn))
+        dt = timeit(lambda qdev=qdev: direct(qdev, codes, norms, valid),
+                    10, f"surface+approx_min_k Q={qn}")
+        log(f"  -> {qn/dt:.0f} QPS")
 
-        @jax.jit
-        def direct(qdev=qdev):
-            surf = pallas_scan.score_surface(qdev, codes, norms, valid,
-                                             bits=bits, metric=metric)
-            return jax.lax.approx_min_k(surf.astype(jnp.float32), k,
-                                        recall_target=0.95)
-
-        dt = timeit(direct, 10, f"surface+approx_min_k Q={qn}")
+    # fused segment-min paths at larger Q (surface traffic dominates there)
+    for qn, surf_kind in ((256, "xla"), (256, "kernel"), (1024, "xla")):
+        qdev = jnp.asarray(make_queries(qn))
+        dt = timeit(lambda qdev=qdev, sk=surf_kind: pallas_scan.fused_scan_topk(
+            qdev, codes, norms, valid, bits=bits, metric=metric, k=k,
+            seg=32, surface=sk), 10, f"fused {surf_kind}-surface Q={qn}")
         log(f"  -> {qn/dt:.0f} QPS")
 
     # ---- ANN candidate variants -------------------------------------------
@@ -104,48 +112,49 @@ def main():
     jax.block_until_ready(hashes)
     budget = 2048
 
+    def rr(cand, qdev, codes, norms, valid):
+        return rerank_topk(qdev, codes, norms, valid, cand, bits, metric, k)
+
+    @jax.jit
+    def v_xla(qcodes, qdev, codes, norms, valid, hashes):
+        _, cand = _hamming_candidates_xla(qcodes, hashes, valid, budget,
+                                          index.words)
+        return rr(cand, qdev, codes, norms, valid)
+
+    @jax.jit
+    def v_bf16(qcodes, qdev, codes, norms, valid, hashes):
+        ham = pallas_hamming.hamming_scores_bf16(
+            qcodes, hashes, valid, words=index.words)
+        _, cand = jax.lax.approx_min_k(ham, budget, recall_target=0.95)
+        return rr(cand, qdev, codes, norms, valid)
+
+    @jax.jit
+    def v_bf16_f32sel(qcodes, qdev, codes, norms, valid, hashes):
+        ham = pallas_hamming.hamming_scores_bf16(
+            qcodes, hashes, valid, words=index.words)
+        _, cand = jax.lax.approx_min_k(ham.astype(jnp.float32), budget,
+                                       recall_target=0.95)
+        return rr(cand, qdev, codes, norms, valid)
+
+    @jax.jit
+    def v_f32(qcodes, qdev, codes, norms, valid, hashes):
+        ham = pallas_hamming.hamming_scores_bf16(
+            qcodes, hashes, valid, words=index.words,
+            out_dtype=jnp.float32)
+        _, cand = jax.lax.approx_min_k(ham, budget, recall_target=0.95)
+        return rr(cand, qdev, codes, norms, valid)
+
     def variants(qn):
         qdev = jnp.asarray(make_queries(qn))
         qcodes = jnp.asarray(index.encode_np(np.asarray(qdev))).astype(
             jnp.uint32)
 
-        def rr(cand):
-            return rerank_topk(qdev, codes, norms, valid, cand, bits,
-                               metric, k)
-
-        @jax.jit
-        def v_xla(qcodes=qcodes, qdev=qdev):
-            _, cand = _hamming_candidates_xla(qcodes, hashes, valid, budget,
-                                              index.words)
-            return rr(cand)
-
-        @jax.jit
-        def v_bf16(qcodes=qcodes, qdev=qdev):
-            ham = pallas_hamming.hamming_scores_bf16(
-                qcodes, hashes, valid, words=index.words)
-            _, cand = jax.lax.approx_min_k(ham, budget, recall_target=0.95)
-            return rr(cand)
-
-        @jax.jit
-        def v_bf16_f32sel(qcodes=qcodes, qdev=qdev):
-            ham = pallas_hamming.hamming_scores_bf16(
-                qcodes, hashes, valid, words=index.words)
-            _, cand = jax.lax.approx_min_k(ham.astype(jnp.float32), budget,
-                                           recall_target=0.95)
-            return rr(cand)
-
-        @jax.jit
-        def v_f32(qcodes=qcodes, qdev=qdev):
-            ham = pallas_hamming.hamming_scores_bf16(
-                qcodes, hashes, valid, words=index.words,
-                out_dtype=jnp.float32)
-            _, cand = jax.lax.approx_min_k(ham, budget, recall_target=0.95)
-            return rr(cand)
-
         for name, fn in (("xla-loop", v_xla), ("bf16-surface", v_bf16),
                          ("bf16->f32-select", v_bf16_f32sel),
                          ("f32-surface", v_f32)):
-            dt = timeit(fn, 10, f"ANN {name} Q={qn}")
+            dt = timeit(lambda fn=fn, q1=qcodes, q2=qdev: fn(
+                q1, q2, codes, norms, valid, hashes), 10,
+                f"ANN {name} Q={qn}")
             if dt == dt:
                 log(f"  -> {qn/dt:.0f} QPS")
 
