@@ -4,6 +4,14 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
+Paths measured (all through the same kernels Collection dispatches to):
+  * precision "high": exhaustive segment-min scan (bf16 MXU pass + exact
+    f32 rerank of winning segments) at batch 1024 — exact results,
+    headline throughput (ops/pallas_scan.fused_scan_topk).
+  * precision "medium": sketch-prefiltered ANN at batch 64 with a candidate
+    budget sweep (index/hamming.py).
+  * recall ground truth: full-f32 (HIGHEST) exhaustive pipeline.
+
 vs_baseline: the reference (smhanov/syzgydb) publishes no numbers and no Go
 toolchain exists in this image (BASELINE.md), so the baseline is a measured
 host-side float32 NumPy/BLAS exhaustive scan of the same workload on this
@@ -35,10 +43,12 @@ def main() -> None:
 
     from syzgydb_tpu.index.hamming import SignHashIndex
     from syzgydb_tpu.ops import distance as dist_ops
+    from syzgydb_tpu.ops import pallas_scan
     from syzgydb_tpu.ops import quantize as qz
     from syzgydb_tpu.utils.rng import MyRandom
 
-    n, d, bits, metric, k, q_batch = 1_000_000, 384, 8, "cosine", 10, 64
+    n, d, bits, metric, k = 1_000_000, 384, 8, "cosine", 10
+    q_big, q_ann = 1024, 64
     rng = np.random.default_rng(12345)
 
     import os
@@ -46,7 +56,7 @@ def main() -> None:
     if os.path.exists(cache):
         _log("bench: loading cached dataset")
         blob = np.load(cache)
-        db, queries = blob["db"], blob["queries"]
+        db = blob["db"]
         codes_np, norms_np = blob["codes"], blob["norms"]
     else:
         _log("bench: generating data")
@@ -62,21 +72,25 @@ def main() -> None:
         spread /= np.linalg.norm(spread, axis=1, keepdims=True)
         db = centers[assign] + 0.35 * spread
         db /= np.linalg.norm(db, axis=1, keepdims=True)
-        noise = rng.standard_normal((q_batch, d), dtype=np.float32)
-        noise /= np.linalg.norm(noise, axis=1, keepdims=True)
-        queries = db[rng.integers(0, n, size=q_batch)] + 0.2 * noise
-        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
         _log("bench: quantizing")
         codes_np = qz.codes_to_device_repr(db, bits)
         norms_np = dist_ops.db_row_stats(codes_np, bits)
         try:
-            np.savez(cache, db=db, queries=queries, codes=codes_np,
+            np.savez(cache, db=db, queries=db[:64], codes=codes_np,
                      norms=norms_np)
         except OSError:
             pass  # disk-constrained host: just regenerate next time
-    # pad rows to a 4096 multiple (valid=False) — the Pallas kernels tile the
-    # row axis in 4096-row blocks (a real Collection's capacity is a power of
-    # two, so this mirrors production layout)
+
+    qrng = np.random.default_rng(777)
+    noise = qrng.standard_normal((q_big, d)).astype(np.float32)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    queries = db[qrng.integers(0, n, size=q_big)] + 0.2 * noise
+    queries = np.float32(queries / np.linalg.norm(queries, axis=1,
+                                                  keepdims=True))
+
+    # pad rows to a 4096 multiple (valid=False) — the device kernels tile
+    # the row axis in 4096-row blocks (a real Collection's capacity is a
+    # power of two, so this mirrors production layout)
     npad = (-n) % 4096
     ntot = n + npad
     valid_np = np.zeros(ntot, dtype=bool)
@@ -88,36 +102,31 @@ def main() -> None:
     norms = jnp.asarray(np.concatenate(
         [norms_np, np.zeros(npad, norms_np.dtype)]))
     valid = jnp.asarray(valid_np)
-    qdev = jnp.asarray(queries)
+    qdev = jnp.asarray(queries)           # (1024, D)
+    qann = qdev[:q_ann]
 
     index = SignHashIndex(d, metric, MyRandom(7))
-    # encode sketches straight from the HBM-resident codes: nothing large
-    # ever crosses the (slow) device<->host link
     _log("bench: encoding sketches on device")
     hashes = index.encode_codes_device(codes, bits)
     jax.block_until_ready(hashes)
-    _log("bench: sketches done")
-    qcodes = jnp.asarray(index.encode_np(queries))
+    qcodes = jnp.asarray(index.encode_np(queries[:q_ann]))
 
     from syzgydb_tpu.index.hamming import hamming_candidates, rerank_topk
 
     # NOTE: deliberately NOT wrapped in an outer jit — the inner functions
     # are jitted already, and re-jitting the fused program triggers a
     # pathologically slow local XLA compile on this single-core host.
-    def ann_step(qdev, qcodes, budget):
-        _, cand = hamming_candidates(qcodes, hashes, valid, budget,
-                                     index.words)
-        return rerank_topk(qdev, codes, norms, valid, cand, bits, metric, k)
+    def ann_step(qd, qc, budget):
+        _, cand = hamming_candidates(qc, hashes, valid, budget, index.words)
+        return rerank_topk(qd, codes, norms, valid, cand, bits, metric, k)
 
-    from syzgydb_tpu.ops import pallas_scan
-
-    def exact_step(qdev):
-        # fused segment-min Pallas scan — same dispatch Collection uses
-        return pallas_scan.fused_scan_topk(qdev, codes, norms, valid,
+    def high_step(qd):
+        # precision="high": exhaustive segment-min scan, exact results
+        return pallas_scan.fused_scan_topk(qd, codes, norms, valid,
                                            bits=bits, metric=metric, k=k,
-                                           block_n=4096)
+                                           seg=32, surface="xla")
 
-    def timeit(fn, reps=20):
+    def timeit(fn, reps=10):
         # time a whole block of reps; end with a tiny value fetch —
         # block_until_ready under-reports on tunneled PJRT backends, a
         # materialized value cannot lie (adds ~30ms fixed, amortized)
@@ -127,30 +136,46 @@ def main() -> None:
         np.asarray(out[-1][0][:1, :1])
         return (time.perf_counter() - t0) / reps
 
-    _log("bench: timing exact scan")
-    t_exact = timeit(lambda: exact_step(qdev))
-    _log(f"bench: exact {t_exact*1000:.1f}ms/batch")
-    qps_exact = q_batch / t_exact
-    _, eidx = exact_step(qdev)
-    eidx = np.asarray(eidx)
+    # ground truth: full-f32 HIGHEST exhaustive top-k
+    _log("bench: computing f32-exact ground truth")
+    truth = np.zeros((q_big, k), dtype=np.int64)
+    for s in range(0, q_big, 256):
+        dd = dist_ops.score_block(qdev[s:s + 256], codes, norms, valid,
+                                  bits, metric, exact=True)
+        _, ti = dist_ops.top_k_smallest(dd, k)
+        truth[s:s + 256] = np.asarray(ti)
 
-    def recall_of(aidx):
+    def recall_of(aidx, nq):
         return float(np.mean([
-            len(set(eidx[i].tolist()) & set(aidx[i].tolist())) / k
-            for i in range(q_batch)]))
+            len(set(truth[i].tolist()) & set(aidx[i].tolist())) / k
+            for i in range(nq)]))
 
-    # budget sweep: report the fastest config reaching recall@10 >= 0.90
+    _log("bench: timing high-precision scan (batch 1024)")
+    t_high = timeit(lambda: high_step(qdev))
+    _, hidx = high_step(qdev)
+    recall_high = recall_of(np.asarray(hidx), q_big)
+    qps_high = q_big / t_high
+    _log(f"bench: high {t_high*1000:.1f}ms/1024q = {qps_high:.0f} QPS "
+         f"recall {recall_high:.4f}")
+
+    _log("bench: timing bf16 exhaustive pipeline (batch 1024)")
+    t_exact = timeit(lambda: (
+        dist_ops.top_k_smallest(dist_ops.score_block(
+            qdev, codes, norms, valid, bits, metric, exact=False), k)), 5)
+    qps_exact = q_big / t_exact
+
+    # ANN budget sweep at batch 64 (the single-RPC serving shape)
     sweep = []
-    for budget in (2048, 8192, 16384):
+    for budget in (512, 1024, 2048, 8192):
         _log(f"bench: timing ann budget={budget}")
-        t = timeit(lambda: ann_step(qdev, qcodes, budget))
-        _, aidx = ann_step(qdev, qcodes, budget)
-        sweep.append({"budget": budget, "qps": q_batch / t,
-                      "recall": recall_of(np.asarray(aidx))})
+        t = timeit(lambda: ann_step(qann, qcodes, budget))
+        _, aidx = ann_step(qann, qcodes, budget)
+        sweep.append({"budget": budget, "qps": q_ann / t,
+                      "recall": recall_of(np.asarray(aidx), q_ann)})
     good = [s for s in sweep if s["recall"] >= 0.90]
     chosen = max(good, key=lambda s: s["qps"]) if good else \
         max(sweep, key=lambda s: s["recall"])
-    qps_ann, recall, budget = chosen["qps"], chosen["recall"], chosen["budget"]
+    qps_ann, recall_ann = chosen["qps"], chosen["recall"]
 
     # host NumPy/BLAS baseline on a 100k subsample, scaled to 1M
     # (best of 3: the single shared CPU core makes one-shot timing noisy,
@@ -158,24 +183,37 @@ def main() -> None:
     _log("bench: host baseline")
     sub = 100_000
     host_db = db[:sub]
+    hq = queries[:64]
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        sims = queries @ host_db.T
-        sims /= np.linalg.norm(queries, axis=1, keepdims=True)
+        sims = hq @ host_db.T
+        sims /= np.linalg.norm(hq, axis=1, keepdims=True)
         np.argpartition(sims, -k, axis=1)[:, -k:]
         best = min(best, time.perf_counter() - t0)
     t_host = best * (n / sub)
-    qps_host = q_batch / t_host
+    qps_host = 64 / t_host
+
+    # headline: the fastest path whose recall@10 >= 0.99 vs f32-exact truth
+    if recall_high >= 0.99:
+        value, recall, path = qps_high, recall_high, "high(batch1024)"
+    else:
+        value, recall, path = qps_ann, recall_ann, \
+            f"medium(budget{chosen['budget']})"
 
     print(json.dumps({
         "metric": "qps_per_chip_1Mx384d_cosine_8bit_top10",
-        "value": round(qps_ann, 2),
+        "value": round(value, 2),
         "unit": "queries/s",
-        "vs_baseline": round(qps_ann / qps_host, 2),
+        "vs_baseline": round(value / qps_host, 2),
         "recall_at_10": round(recall, 4),
+        "path": path,
+        "qps_high_precision": round(qps_high, 2),
+        "recall_high_precision": round(recall_high, 4),
         "qps_exact_scan": round(qps_exact, 2),
-        "percent_searched": round(budget / n * 100, 2),
+        "qps_ann_batch64": round(qps_ann, 2),
+        "recall_ann": round(recall_ann, 4),
+        "percent_searched_ann": round(chosen["budget"] / n * 100, 2),
         "baseline_host_numpy_qps": round(qps_host, 2),
         "budget_sweep": [{k2: round(v, 4) for k2, v in s.items()}
                          for s in sweep],

@@ -8,8 +8,15 @@ and the same search modes (collection.go:569-711):
 
   * K == 0 and Radius == 0  -> paginated ID-ordered listing (lexicographic on
     the decimal ID string — reference quirk, spanfile.go:541-547)
-  * precision "exact"       -> exhaustive fused scan, PercentSearched == 100
-  * precision "medium"      -> sketch-prefiltered scan (index/hamming.py)
+  * precision "exact"       -> exhaustive fused scan in full f32 precision,
+                               PercentSearched == 100
+  * precision "high"        -> TPU-native extension: exhaustive segment-min
+                               scan (bf16 MXU pass + exact f32 rerank of the
+                               winning segments, ops/pallas_scan.py) — exact
+                               results at ~5x medium's batched throughput,
+                               PercentSearched == 100
+  * precision "medium"      -> sketch-prefiltered scan (index/hamming.py);
+                               fastest for single queries
 
 TPU-native structure: documents are durable in a host span log
 (core/storage.py) and live columnar in numpy arrays (core/columns.py) that
@@ -640,9 +647,10 @@ class Collection:
         mask, n_passing = self._filter_mask(args)
         k = min(args.k, n_passing)
 
-        use_index = (precision != "exact" and self.index.calibrated
+        use_index = (precision not in ("exact", "high")
+                     and self.index.calibrated
                      and n_records >= MIN_INDEX_SIZE)
-        if self._small() and (precision == "exact" or not use_index):
+        if self._small() and not use_index:
             return self._host_scan_knn(qvecs, k, mask, n_passing, n_records)
 
         queries = jnp.asarray(np.float32(qvecs))
@@ -688,9 +696,10 @@ class Collection:
         precision = args.precision or "medium"
         mask, n_passing = self._filter_mask(args)
 
-        use_index = (precision != "exact" and self.index.calibrated
+        use_index = (precision not in ("exact", "high")
+                     and self.index.calibrated
                      and n_records >= MIN_INDEX_SIZE)
-        if self._small() and (precision == "exact" or not use_index):
+        if self._small() and not use_index:
             return self._host_scan(args, qvec, mask, n_passing, n_records)
 
         queries = jnp.asarray(np.float32(qvec)[None, :])

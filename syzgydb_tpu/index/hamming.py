@@ -93,16 +93,12 @@ def hamming_candidates(qcodes: jnp.ndarray, db_hashes: jnp.ndarray,
                        valid: jnp.ndarray, budget: int, words: int):
     """Top-`budget` rows by Hamming distance of packed sketches.
 
-    On TPU with large budgets, the distance surface comes from the fused
-    Pallas kernel (ops/pallas_hamming.py: one HBM pass instead of W
-    accumulator sweeps); elsewhere the XLA per-word loop is used.
-    """
-    n = db_hashes.shape[0]
-    if _on_tpu() and budget > 128:
-        for block in (4096, 2048, 1024):
-            if n % block == 0:
-                return _hamming_candidates_pallas(qcodes, db_hashes, valid,
-                                                  budget, words, block)
+    Measured head-to-head on v5e at 1M rows (tools_dev/r3_sweep.py): the
+    XLA per-word accumulator loop beats the fused Pallas bf16 surface at
+    Q=64 (10.2ms vs 13.4ms e2e) and ties it at Q=256 — approx_min_k's
+    PartialReduce dominates either way — so XLA is the default and the
+    kernel stays available for future profiling
+    (_hamming_candidates_pallas)."""
     return _hamming_candidates_xla(qcodes, db_hashes, valid, budget, words)
 
 

@@ -425,3 +425,37 @@ def test_rejects_corrupt_dat_without_poisoning_server(tmp_path):
     srv = make_server(data_folder=str(tmp_path))
     assert "good" in srv.collections
     assert "bad" not in srv.collections
+
+
+def test_precision_high_matches_exact(tmp_path, rng, monkeypatch):
+    """precision='high' (TPU-native mode: exhaustive segment-min scan) must
+    return the same documents as 'exact' — off-TPU it dispatches through the
+    same exhaustive paths; on TPU it rides fused_scan_topk."""
+    from syzgydb_tpu.core import collection as coll_mod
+    from syzgydb_tpu import Collection, CollectionOptions, SearchArgs, COSINE
+
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "hi.dat"), distance_method=COSINE,
+        dimension_count=12, quantization=8, create_and_overwrite=True,
+        index_seed=21))
+    n = 800
+    vecs = rng.uniform(-1, 1, size=(n, 12))
+    c.add_documents(list(range(n)), vecs, [b"{}"] * n)
+    q = rng.uniform(-1, 1, size=12)
+    for force_device in (False, True):
+        if force_device:
+            monkeypatch.setattr(coll_mod, "HOST_SCAN_MAX_ELEMS", 0)
+            c._dev = None
+            c._dev_version = -1
+        hi = c.search(SearchArgs(vector=q, k=7, precision="high"))
+        ex = c.search(SearchArgs(vector=q, k=7, precision="exact"))
+        assert [r.id for r in hi.results] == [r.id for r in ex.results]
+        assert hi.percent_searched == 100.0
+    # batched path too
+    qs = rng.uniform(-1, 1, size=(5, 12))
+    batch = c.search_many([SearchArgs(vector=v, k=4, precision="high")
+                           for v in qs])
+    for v, b in zip(qs, batch):
+        ex = c.search(SearchArgs(vector=v, k=4, precision="exact"))
+        assert [r.id for r in b.results] == [r.id for r in ex.results]
+    c.close()
