@@ -97,7 +97,11 @@ async function renderCollection(name) {
       <div class="row">
         <input id="q" class="grow"
                placeholder="text query, or comma-separated vector">
-        <label class="stat"><input id="exact" type="checkbox"> exact</label>
+        <label class="stat">precision <select id="precision">
+          <option value="">medium</option>
+          <option value="high">high</option>
+          <option value="exact">exact</option>
+        </select></label>
         <button onclick="runSearch('${name}')">Search</button>
       </div>
       <div class="stat" id="searchStats" style="margin-top:8px"></div>
@@ -114,14 +118,14 @@ async function runSearch(name) {
   const qEl = document.getElementById("q");
   if (!qEl) return;
   const q = qEl.value.trim();
-  const exact = document.getElementById("exact").checked;
+  const precision = document.getElementById("precision").value;
   const body = {};
   if (q) {
     const parts = q.split(",").map(s => parseFloat(s));
     if (parts.length > 1 && parts.every(p => !isNaN(p))) body.vector = parts;
     else body.text = q;
     body.k = 100;
-    if (exact) body.precision = "exact";
+    if (precision) body.precision = precision;
   } else {
     body.limit = 50;
   }
