@@ -99,19 +99,79 @@ def _merge_topk(vals, gidx, k):
     return -neg, jnp.take_along_axis(gidx, pos, axis=1)
 
 
+_SEG = 32          # segment width for the fused local scan
+_SEG_MARGIN = 8    # extra segments kept for value ties
+
+
+def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k):
+    """Per-device segment-min scan: surrogate surface -> top segments ->
+    contiguous gather -> exact local distances -> local top-k.
+
+    The same traffic cut that makes single-chip precision='high' ~3x the
+    plain pipeline (ops/pallas_scan.py design notes), inside shard_map:
+    the (Q, N_local) surface reduces to (Q, N_local/SEG) minima before any
+    full-width top_k, and only the winning SEG-row slabs are gathered."""
+    n_local = c.shape[0]
+    precision = jax.lax.Precision.HIGHEST if exact else None
+    dots = _local_dots(q, c, bits, precision)            # (Q, N_local)
+    qn2 = jax.lax.psum(jnp.sum(q * q, axis=-1, keepdims=True), FEATURE_AXIS)
+    if metric == "euclidean":
+        surr = jnp.maximum(qn2 - 2.0 * dots + nrm[None, :], 0.0)
+    else:
+        denom2 = qn2 * nrm[None, :]
+        inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
+        cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
+        surr = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
+    surr = jnp.where(v[None, :], surr, jnp.inf)
+
+    nq = q.shape[0]
+    segmins = jnp.min(surr.reshape(nq, n_local // _SEG, _SEG), axis=-1)
+    s = min(k + _SEG_MARGIN, n_local // _SEG)
+    _, seg_idx = jax.lax.top_k(-segmins, s)              # (Q, S)
+
+    def gather_seg(arr):
+        flat = arr.reshape(n_local // _SEG, -1)
+        g = jnp.take(flat, seg_idx, axis=0)              # (Q, S, _SEG*tail)
+        return g.reshape((nq, s * _SEG) + arr.shape[1:])
+
+    rows = (seg_idx[:, :, None] * _SEG +
+            jnp.arange(_SEG, dtype=jnp.int32)[None, None, :]
+            ).reshape(nq, s * _SEG)
+    csurr = jnp.take_along_axis(surr, rows, axis=1)      # (Q, S*_SEG)
+    # exact metric transform on the winners only
+    if metric == "euclidean":
+        cdist = jnp.sqrt(csurr)
+    else:
+        cn = gather_seg(nrm)
+        cos = 1.0 - 2.0 * csurr
+        cdist = jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / jnp.pi
+        qn = jnp.sqrt(qn2)
+        cdist = jnp.where((qn == 0.0) | (cn == 0.0), 1.0, cdist)
+    cdist = jnp.where(jnp.isfinite(csurr), cdist, jnp.inf)
+    kk = min(k, cdist.shape[1])
+    neg, pos = jax.lax.top_k(-cdist, kk)
+    return -neg, jnp.take_along_axis(rows, pos, axis=1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "bits", "metric", "k", "exact"))
 def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, *,
                        bits: int, metric: str, k: int, exact: bool = False):
     """Exhaustive sharded scan -> (dist (Q, k), global row ids (Q, k))."""
     _check_packed4(mesh, queries, bits)
+    fused = k <= 128 and codes.shape[0] % (mesh.shape[DATA_AXIS] * _SEG) == 0
 
     def local(q, c, nrm, v):
-        dist = _local_distances(q, c, nrm, v, bits, metric, exact)
-        kk = min(k, dist.shape[1])
-        neg, idx = jax.lax.top_k(-dist, kk)
+        if fused:
+            vals, idx = _local_segmin_topk(q, c, nrm, v, bits, metric,
+                                           exact, k)
+        else:
+            dist = _local_distances(q, c, nrm, v, bits, metric, exact)
+            kk = min(k, dist.shape[1])
+            neg, idx = jax.lax.top_k(-dist, kk)
+            vals = -neg
         shift = jax.lax.axis_index(DATA_AXIS) * c.shape[0]
-        return -neg, (idx + shift).astype(jnp.int32)
+        return vals, (idx + shift).astype(jnp.int32)
 
     vals, gidx = jax.shard_map(
         local, mesh=mesh,
