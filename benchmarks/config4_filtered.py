@@ -45,18 +45,33 @@ def main():
         ]:
             c.search(SearchArgs(vector=queries[0], k=k,
                                 filter_query=query_str,
-                                precision="exact"))  # warm + mask build
+                                precision="high"))  # warm + mask build
             t.lap()
             for q in queries:
                 res = c.search(SearchArgs(vector=q, k=k,
                                           filter_query=query_str,
-                                          precision="exact"))
+                                          precision="high"))
             dt = t.lap()
             ok = all(json_matches(r.metadata, label) for r in res.results)
             results[label] = {"qps": round(n_queries / dt, 2),
                               "constraint_ok": ok,
                               "pct_searched": round(res.percent_searched, 1)}
             log(f"{label}: {results[label]}")
+
+        # DISTINCT filters: every query carries a filter never seen before,
+        # so the boolean mask is built fresh each time — this is what the
+        # vectorized columnar engine (query/columnar.py) accelerates; the
+        # per-row fallback pays a full-corpus json+eval pass per query.
+        t.lap()
+        for i, q in enumerate(queries):
+            lo = 10 * (i % 8)
+            res = c.search(SearchArgs(
+                vector=q, k=k, precision="high",
+                filter_query=f"cat == {i % 10} AND score > {lo}"))
+        dt = t.lap()
+        results["distinct_filters"] = {"qps": round(n_queries / dt, 2),
+                                       "constraint_ok": bool(res.results)}
+        log(f"distinct_filters: {results['distinct_filters']}")
         c.close()
 
     emit({

@@ -16,6 +16,11 @@ from ..ops import distance as dist_ops
 from ..ops import quantize as qz
 
 _INITIAL_CAPACITY = 1024
+# above this, grow 25% at a time instead of doubling: at 10M+ rows the
+# power-of-two jump wastes multiple GB of HBM (capacity stays 4096-aligned,
+# which is all the device kernels' block tiling needs)
+_LINEAR_GROWTH_ABOVE = 1 << 22
+_GROWTH_ALIGN = 4096
 
 
 class ColumnStore:
@@ -45,7 +50,11 @@ class ColumnStore:
     def _grow(self, min_capacity: int) -> None:
         new_cap = max(_INITIAL_CAPACITY, self.capacity)
         while new_cap < min_capacity:
-            new_cap *= 2
+            if new_cap >= _LINEAR_GROWTH_ABOVE:
+                new_cap = -(-(new_cap + new_cap // 4) //
+                            _GROWTH_ALIGN) * _GROWTH_ALIGN
+            else:
+                new_cap *= 2
         if new_cap == self.capacity:
             return
 

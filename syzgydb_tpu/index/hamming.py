@@ -82,6 +82,26 @@ def _encode_device(vectors: jnp.ndarray, planes: jnp.ndarray,
     return jnp.sum(shaped * weights[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
+@functools.partial(jax.jit, static_argnames=("bits", "dims"))
+def _encode_codes_jit(codes, planes, offsets, *, bits: int, dims: int):
+    """Dequantize + project + pack-bits in ONE fused program so the f32
+    dequant view stays a compiler transient, not a materialized array."""
+    from ..ops import distance as dist_ops
+    if bits in (32, 64):
+        vecs = codes.astype(jnp.float32)
+    elif bits == 4:
+        # packed nibbles: interleave high/low planes back to (N, D)
+        scale, offset = qz.affine_constants(4)
+        h, l = dist_ops.split_nibbles(codes)
+        n = codes.shape[0]
+        vecs = jnp.stack([h, l], axis=-1).reshape(n, -1)[:, :dims]
+        vecs = vecs.astype(jnp.float32) * scale + offset
+    else:
+        scale, offset = qz.affine_constants(bits)
+        vecs = codes.astype(jnp.float32) * scale + offset
+    return _encode_device(vecs, planes, offsets)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() in ("tpu", "axon")
@@ -234,26 +254,32 @@ class SignHashIndex:
                               jnp.asarray(self.planes),
                               jnp.asarray(self.offsets))
 
+    # rows per sketch-encode dispatch: bounds the f32 dequant intermediate
+    # ((chunk, D) f32) — encoding a 16M-row capacity in one shot materializes
+    # a 24GiB transient and OOMs a 16GB chip (seen at config5's 10M scale)
+    ENCODE_CHUNK_ROWS = 1 << 20
+
     def encode_codes_device(self, device_codes, bits: int) -> jnp.ndarray:
         """Encode directly from the HBM-resident quantized codes: dequantize
-        on device, project, pack — no float copy of the DB ever leaves HBM."""
-        from ..ops import distance as dist_ops
+        on device, project, pack — no float copy of the DB ever leaves HBM.
+        Chunked on single-device placements to bound the f32 transient."""
         codes = jnp.asarray(device_codes)
-        if bits in (32, 64):
-            vecs = codes.astype(jnp.float32)
-        elif bits == 4:
-            # packed nibbles: interleave high/low planes back to (N, D); the
-            # unpacked floats are a transient inside this one-shot jit
-            scale, offset = qz.affine_constants(4)
-            h, l = dist_ops.split_nibbles(codes)
-            n = codes.shape[0]
-            vecs = jnp.stack([h, l], axis=-1).reshape(n, -1)[:, : self.dims]
-            vecs = vecs.astype(jnp.float32) * scale + offset
-        else:
-            scale, offset = qz.affine_constants(bits)
-            vecs = codes.astype(jnp.float32) * scale + offset
-        return _encode_device(vecs, jnp.asarray(self.planes),
-                              jnp.asarray(self.offsets))
+        n = codes.shape[0]
+        try:
+            single = len(codes.devices()) == 1
+        except Exception:
+            single = True
+        if single and n > self.ENCODE_CHUNK_ROWS:
+            step = self.ENCODE_CHUNK_ROWS
+            return jnp.concatenate(
+                [self._encode_codes_block(codes[s:s + step], bits)
+                 for s in range(0, n, step)], axis=0)
+        return self._encode_codes_block(codes, bits)
+
+    def _encode_codes_block(self, codes, bits: int) -> jnp.ndarray:
+        return _encode_codes_jit(codes, jnp.asarray(self.planes),
+                                 jnp.asarray(self.offsets), bits=bits,
+                                 dims=self.dims)
 
     # -- calibration -------------------------------------------------------
 
