@@ -509,6 +509,11 @@ class Collection:
         generation)."""
         flt = args.filter
         cache_key = None
+        if flt is None and not args.filter_query:
+            # unfiltered: no copy, no recount — callers with a device cache
+            # use the HBM-resident validity column directly (at 10M rows the
+            # per-query host copy + upload alone cost >100ms)
+            return self.columns.valid, len(self.columns)
         if flt is None and args.filter_query:
             cache_key = args.filter_query
             hit = self._filter_cache.get(cache_key)
@@ -655,7 +660,8 @@ class Collection:
 
         queries = jnp.asarray(np.float32(qvecs))
         dev = self._device_state()
-        valid = jnp.asarray(mask)
+        unfiltered = args.filter is None and not args.filter_query
+        valid = dev["valid"] if unfiltered else jnp.asarray(mask)
 
         if use_index:
             budget = min(max(self.options.search_budget,
@@ -704,7 +710,8 @@ class Collection:
 
         queries = jnp.asarray(np.float32(qvec)[None, :])
         dev = self._device_state()
-        valid = jnp.asarray(mask)
+        unfiltered = args.filter is None and not args.filter_query
+        valid = dev["valid"] if unfiltered else jnp.asarray(mask)
 
         if use_index:
             budget = min(max(self.options.search_budget,
