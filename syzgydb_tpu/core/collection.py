@@ -29,12 +29,14 @@ exist here — distance math never leaves the chip.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import threading
 import time
 from typing import Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -175,6 +177,20 @@ def validate_options(options: CollectionOptions) -> None:
                               options.index_bits_per_table)
     if options.search_budget < 1:
         raise ValueError("search_budget must be >= 1")
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _scatter_apply(codes, norms, valid, hashes, idx, c_new, n_new, v_new,
+                   h_new):
+    """Donated in-place scatter of a dirty-row batch into the device
+    columns.  Donation is the point: an eager .at[].set COPIES the whole
+    operand, which at 10M rows is ~4GB of HBM traffic per mutation batch —
+    measured to serialize config5's streaming phase behind the collection
+    lock.  With donation XLA updates the resident buffers in place."""
+    return (codes.at[idx].set(c_new, mode="drop"),
+            norms.at[idx].set(n_new, mode="drop"),
+            valid.at[idx].set(v_new, mode="drop"),
+            hashes.at[idx].set(h_new, mode="drop"))
 
 
 class Collection:
@@ -472,13 +488,14 @@ class Collection:
             out[:m] = col[rows]
             return jnp.asarray(out)
 
-        import jax
         dev = self._dev
-        new = {k: dev[k].at[idx].set(take(col), mode="drop")
-               for k, col in (("codes", self.columns.codes),
-                              ("norms", self.columns.norms),
-                              ("valid", self.columns.valid),
-                              ("hashes", self.columns.hashes))}
+        out = _scatter_apply(dev["codes"], dev["norms"], dev["valid"],
+                             dev["hashes"], idx,
+                             take(self.columns.codes),
+                             take(self.columns.norms),
+                             take(self.columns.valid),
+                             take(self.columns.hashes))
+        new = dict(zip(("codes", "norms", "valid", "hashes"), out))
         if self._mesh is not None:
             from ..parallel import mesh as mesh_mod
             want = {"codes": mesh_mod.row_sharding(self._mesh),
