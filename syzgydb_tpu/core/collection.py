@@ -471,14 +471,18 @@ class Collection:
         under both single-device and mesh placements (SURVEY.md §2.2,
         concurrent-workload row).
 
-        The row-index set is padded to a power-of-two bucket (padding aims
-        one past the end and is dropped by the scatter) so XLA compiles a
-        handful of scatter shapes, not one per dirty-count.  Under a mesh
+        The row-index set is padded to a bucket of at least 1024 rows
+        (padding aims one past the end and is dropped by the scatter) so XLA
+        compiles ONE scatter shape per capacity in the common case — on
+        tunneled backends every new shape costs seconds of remote compile,
+        which dominated config5's streaming medians when buckets tracked
+        the dirty-count.  Under a mesh
         XLA keeps scatter output sharded like its operand; the device_put
         below is a no-op guard that reshards (device-to-device over ICI)
         only if that ever changes."""
         m = len(rows)
-        bucket = max(8, 1 << (m - 1).bit_length())
+        bucket = max(1024, 1 << (m - 1).bit_length())
+        bucket = min(bucket, max(1024, self.columns.capacity))
         idx_np = np.full(bucket, self.columns.capacity, dtype=np.int32)
         idx_np[:m] = rows
         idx = jnp.asarray(idx_np)
