@@ -30,6 +30,8 @@ def main():
 
     with tempfile.TemporaryDirectory() as tmp:
         srv = Server(data_folder=tmp)
+        srv.batcher.window_s = float(
+            os.environ.get("SYZGY_BATCH_MS", "4")) / 1000.0
         c = Collection(CollectionOptions(
             name=os.path.join(tmp, "c1.dat"), distance_method=COSINE,
             dimension_count=d, quantization=64, create_and_overwrite=True,
@@ -45,20 +47,31 @@ def main():
         base = f"http://127.0.0.1:{port}/api/v1/collections/c1/search"
 
         queries = make_vectors(rng, clients, d)
+        # pre-encode request bodies: the clients share the server's single
+        # core, so client-side json work must stay out of the measurement
+        bodies = [json.dumps({"vector": q.tolist(), "k": k,
+                              "precision": "high"}).encode()
+                  for q in queries]
 
-        def one(vec):
-            body = json.dumps({"vector": vec.tolist(), "k": k,
-                               "precision": "high"}).encode()
+        def one(i):
             req = urllib.request.Request(
-                base, data=body, headers={"Content-Type": "application/json"})
+                base, data=bodies[i],
+                headers={"Content-Type": "application/json"})
             t0 = time.perf_counter()
             with urllib.request.urlopen(req) as resp:
                 out = json.loads(resp.read())
             assert len(out["results"]) == k
             return (time.perf_counter() - t0) * 1000.0
 
-        # warm (compile + placement)
-        one(queries[0])
+        # warm every batch-bucket shape (compile + placement): one
+        # concurrent burst populates the {8,16,32}-query jit cache
+        for _ in range(2):
+            burst = [threading.Thread(target=one, args=(i,))
+                     for i in range(clients)]
+            for th in burst:
+                th.start()
+            for th in burst:
+                th.join()
 
         lats = []
         lock = threading.Lock()
@@ -66,7 +79,7 @@ def main():
         def client(i):
             mine = []
             for _ in range(per_client):
-                mine.append(one(queries[i]))
+                mine.append(one(i))
             with lock:
                 lats.extend(mine)
 

@@ -603,12 +603,21 @@ class Collection:
                           for a in args_list])
         if qvecs.shape[1] != self.dimension_count:
             raise ValueError("query vector dimension mismatch")
+        # pad the batch to a power-of-two row count: concurrent serving
+        # produces arbitrary group sizes, and every distinct Q shape is a
+        # separate XLA compile (seconds each through a remote compiler) —
+        # bucketing caps the shape set at {8,16,32,64,...}
+        b0 = qvecs.shape[0]
+        bucket = max(8, 1 << (b0 - 1).bit_length())
+        if bucket != b0:
+            qvecs = np.concatenate(
+                [qvecs, np.zeros((bucket - b0, qvecs.shape[1]))])
         with self._lock:
             n_records = len(self.columns)
             if n_records == 0:
                 out = [SearchResults([], 0.0) for _ in args_list]
             else:
-                out = self._knn_many(qvecs, a0, n_records)
+                out = self._knn_many(qvecs, a0, n_records)[:b0]
         dt = (time.perf_counter() - t0) * 1000.0
         for r in out:
             r.search_time_ms = dt

@@ -29,9 +29,10 @@ DEFAULTS = {
     # at trained weights (random init embeds nothing meaningful).
     "embedder": "ollama",
     "embedder_checkpoint": "",
-    # coalescing window (ms) for concurrent REST searches — one batched
-    # device dispatch answers the whole group (server/batcher.py); 0 disables
-    "search_batch_ms": 4.0,
+    # max coalescing window (ms) for concurrent REST searches — one batched
+    # device dispatch answers the whole group; closes early when arrivals
+    # stop, and lone queries never wait (server/batcher.py); 0 disables
+    "search_batch_ms": 48.0,
 }
 
 
@@ -46,7 +47,7 @@ class Config:
     random_seed: int = 0
     embedder: str = "ollama"
     embedder_checkpoint: str = ""
-    search_batch_ms: float = 4.0
+    search_batch_ms: float = 48.0
 
 
 global_config = Config()
