@@ -13,9 +13,9 @@ Batching keys on (collection, k, precision, filter_query): only homogeneous
 kNN searches share a device dispatch.  Radius searches, callable filters, and
 list-mode queries bypass the batcher entirely.
 
-The leader only sleeps when there is evidence of concurrency (another search
-in flight, or a member already waiting) — an idle server answers a lone query
-with zero added latency.
+A lone query on an idle server pays only one idle-gap (~6ms) before
+dispatching; once any follower joins, the leader commits to the full
+coalescing window (measured: early-close heuristics splinter client waves).
 """
 
 from __future__ import annotations
