@@ -12,9 +12,11 @@ and the same search modes (collection.go:569-711):
                                PercentSearched == 100
   * precision "high"        -> TPU-native extension: exhaustive segment-min
                                scan (bf16 MXU pass + exact f32 rerank of the
-                               winning segments, ops/pallas_scan.py) — exact
-                               results at ~5x medium's batched throughput,
-                               PercentSearched == 100
+                               winning segments, ops/pallas_scan.py) — near-
+                               exact (bf16-rounded segment selection with a
+                               16-segment tie margin; measured recall@10 =
+                               1.0000 at 1M x 384) at ~5x medium's batched
+                               throughput, PercentSearched == 100
   * precision "medium"      -> sketch-prefiltered scan (index/hamming.py);
                                fastest for single queries
 
@@ -787,7 +789,11 @@ class Collection:
                                         searched, n_records)
 
         # exhaustive: bounded top-k with escalation — never pulls the full
-        # (Q, N) distance matrix across the (slow) device->host link
+        # (Q, N) distance matrix across the (slow) device->host link.
+        # NOTE: when nearly the whole collection is in radius the final
+        # (dist, rows) fetch is proportional to the RESULT size — that
+        # data volume is what the caller asked for (the JSON response
+        # carries it all anyway), not an avoidable transfer.
         searched = n_passing
         exact = precision == "exact"
         kk = min(1024, n_passing)
@@ -928,6 +934,10 @@ class Collection:
         return sorted(self.columns.doc_ids())
 
     def compute_average_distance(self, samples: int = 100) -> float:
+        with self._lock:
+            return self._compute_average_distance_locked(samples)
+
+    def _compute_average_distance_locked(self, samples: int) -> float:
         ids = self.columns.doc_ids()
         if len(ids) < 2 or samples <= 0:
             return 0.0

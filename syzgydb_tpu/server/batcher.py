@@ -24,6 +24,8 @@ import threading
 import time
 from typing import Optional
 
+import numpy as np
+
 from ..core.collection import Collection, SearchArgs, SearchResults
 
 DEFAULT_WINDOW_S = 0.048
@@ -64,7 +66,6 @@ class SearchBatcher:
         self.idle_gap_s = idle_gap_s
         self._lock = threading.Lock()
         self._groups: dict[tuple, _Group] = {}
-        self._inflight = 0
         self._dispatching = 0
         # observability: how many device dispatches vs queries served
         self.dispatches = 0
@@ -78,18 +79,20 @@ class SearchBatcher:
     def search(self, coll: Collection, args: SearchArgs) -> SearchResults:
         batchable = self.window_s > 0 and self._batchable(args)
         if batchable:
-            try:  # malformed vectors must fail their own request, not the group
-                batchable = len(args.vector) == coll.dimension_count
-            except TypeError:
+            try:  # malformed vectors must fail their own request, not the
+                # group: a right-length vector with a non-numeric element
+                # would otherwise blow up the whole search_many batch
+                v = np.asarray(args.vector, dtype=np.float64)
+                batchable = v.shape == (coll.dimension_count,)
+            except (TypeError, ValueError):
                 batchable = False
         if not batchable:
-            with self._count():
-                return coll.search(args)
+            return coll.search(args)
+
         key = (id(coll), args.k, args.precision or "medium",
                args.filter_query or "")
         pend = _Pending(args)
         with self._lock:
-            self._inflight += 1
             group = self._groups.get(key)
             if group is None or group.closed or \
                     len(group.members) >= self.max_batch:
@@ -99,33 +102,35 @@ class SearchBatcher:
             else:
                 leader = False
             group.members.append(pend)
+
+        if not leader:
+            group.done.wait()
+            if pend.error is not None:
+                raise pend.error
+            assert pend.result is not None
+            return pend.result
+
+        # leader: two-phase wait.  Phase 1: even an apparently lone query
+        # waits one idle-gap (~6ms) — under serving load the rest of a
+        # client wave is usually mid-flight client-side, and a solo
+        # dispatch splinters the wave.  Phase 2: once ANY follower joins,
+        # commit to the full window; early-close heuristics measurably
+        # splinter waves (GIL scheduling leaves 5-10ms arrival silences),
+        # costing 3-5x in queries-per-dispatch.
         try:
-            if not leader:
-                group.done.wait()
-                if pend.error is not None:
-                    raise pend.error
-                assert pend.result is not None
-                return pend.result
-            # leader: two-phase wait.  Phase 1: even an apparently lone
-            # query waits one idle-gap (~6ms) — under serving load the rest
-            # of a client wave is usually mid-flight client-side, and a solo
-            # dispatch splinters the wave.  Phase 2: once ANY follower
-            # joins, commit to the full window; early-close heuristics
-            # measurably splinter waves (GIL scheduling leaves 5-10ms
-            # arrival silences), costing 3-5x in queries-per-dispatch.
-            if True:
-                start = time.monotonic()
-                deadline = start + self.window_s
-                while True:
-                    time.sleep(0.0005)
-                    now = time.monotonic()
-                    with self._lock:
-                        n = len(group.members)
-                        busy = self._dispatching > 0
-                    if n >= self.max_batch or now >= deadline:
-                        break
-                    if n == 1 and not busy and                             now - start > self.idle_gap_s:
-                        break  # genuinely alone: dispatch now
+            start = time.monotonic()
+            deadline = start + self.window_s
+            while True:
+                time.sleep(0.0005)
+                now = time.monotonic()
+                with self._lock:
+                    n = len(group.members)
+                    busy = self._dispatching > 0
+                if n >= self.max_batch or now >= deadline:
+                    break
+                if n == 1 and not busy and now - start > self.idle_gap_s:
+                    break  # genuinely alone: dispatch now
+
             with self._lock:
                 group.closed = True
                 if self._groups.get(key) is group:
@@ -144,31 +149,26 @@ class SearchBatcher:
                 finally:
                     with self._lock:
                         self._dispatching -= 1
-                self.dispatches += 1
-                self.queries += len(members)
+                        self.dispatches += 1
+                        self.queries += len(members)
             except BaseException as exc:  # propagate to every member
                 for m in members:
                     m.error = exc
-            finally:
-                group.done.set()
-            if pend.error is not None:
-                raise pend.error
-            assert pend.result is not None
-            return pend.result
         finally:
+            # no matter where the leader died: close the group so future
+            # requests start fresh, and wake every waiter with an error
+            # rather than leaving them (and all future joiners) wedged
             with self._lock:
-                self._inflight -= 1
-
-    def _count(self):
-        batcher = self
-
-        class _Ctx:
-            def __enter__(self):
-                with batcher._lock:
-                    batcher._inflight += 1
-
-            def __exit__(self, *exc):
-                with batcher._lock:
-                    batcher._inflight -= 1
-
-        return _Ctx()
+                group.closed = True
+                if self._groups.get(key) is group:
+                    del self._groups[key]
+                waiters = list(group.members)
+            if not group.done.is_set():
+                for m in waiters:
+                    if m.result is None and m.error is None:
+                        m.error = RuntimeError("search batch leader aborted")
+                group.done.set()
+        if pend.error is not None:
+            raise pend.error
+        assert pend.result is not None
+        return pend.result
