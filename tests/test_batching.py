@@ -162,3 +162,42 @@ def test_rest_concurrent_searches_batched(tmp_path, rng):
     finally:
         httpd.shutdown()
         c.close()
+
+
+def test_batcher_dispatch_failure_wakes_all_members(tmp_path, rng, monkeypatch):
+    """A failing batched dispatch must propagate the error to every member
+    and never wedge the group key for future requests."""
+    c, _ = make_coll(tmp_path, rng, n=50)
+    batcher = SearchBatcher(window_s=0.05)
+
+    boom = RuntimeError("device fell over")
+
+    def exploding_search_many(args_list):
+        raise boom
+
+    monkeypatch.setattr(c, "search_many", exploding_search_many)
+    q = rng.uniform(-1, 1, size=16)
+    errors = [None] * 8
+
+    def worker(i):
+        try:
+            batcher.search(c, SearchArgs(vector=q, k=3))
+        except BaseException as exc:
+            errors[i] = exc
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads), "wedged waiters"
+    # every member that joined the failed group saw the error; solo
+    # dispatches (group of one) go through coll.search and succeed
+    assert all(e is None or e is boom for e in errors)
+    assert any(e is boom for e in errors)
+
+    # the key is NOT wedged: a fresh (non-batched) search still works
+    monkeypatch.undo()
+    res = batcher.search(c, SearchArgs(vector=q, k=3))
+    assert len(res.results) == 3
+    c.close()
