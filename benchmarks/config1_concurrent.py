@@ -73,6 +73,8 @@ def main():
             for th in burst:
                 th.join()
 
+        srv.batcher.dispatches = srv.batcher.queries = 0  # exclude warmup
+
         lats = []
         lock = threading.Lock()
 

@@ -72,8 +72,14 @@ def _pack_bits_np(bits: np.ndarray) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=())
 def _encode_device(vectors: jnp.ndarray, planes: jnp.ndarray,
                    offsets: jnp.ndarray) -> jnp.ndarray:
-    """(N, D) f32 -> (N, words) uint32 packed sign bits (device)."""
-    proj = jnp.dot(vectors, planes, preferred_element_type=jnp.float32)
+    """(N, D) f32 -> (N, words) uint32 packed sign bits (device).
+
+    HIGHEST precision: sign bits near a hyperplane must not depend on
+    whether a vector was sketched host-side (encode_np, full f32) or on
+    device — same-collection sketches must be identical across an insert
+    session and a reopen-rebuild (derived-index determinism invariant)."""
+    proj = jnp.dot(vectors, planes, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     bits = (proj - offsets[None, :]) > 0.0
     n, total = bits.shape
     words = total // 32

@@ -159,7 +159,12 @@ def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, *,
                        bits: int, metric: str, k: int, exact: bool = False):
     """Exhaustive sharded scan -> (dist (Q, k), global row ids (Q, k))."""
     _check_packed4(mesh, queries, bits)
-    fused = k <= 128 and codes.shape[0] % (mesh.shape[DATA_AXIS] * _SEG) == 0
+    # exact-mode cosine must not take the fused path: its final distances
+    # derive from the rsqrt surrogate, while exact parity requires the
+    # dots/denom division + arccos chain (euclidean's sqrt transform is the
+    # same math either way, so it stays fused)
+    fused = k <= 128 and codes.shape[0] % (mesh.shape[DATA_AXIS] * _SEG) == 0 \
+        and not (exact and metric == "cosine")
 
     def local(q, c, nrm, v):
         if fused:

@@ -163,6 +163,11 @@ class _Handler(BaseHTTPRequestHandler):
             except json.JSONDecodeError:
                 return self._error("Invalid request body", 400)
             name = req.get("name", "")
+            if not name or not all(c.isalnum() or c in "._-" for c in name) \
+                    or name.startswith(".") or os.sep in name:
+                # the name becomes a filename under data_folder: separators,
+                # absolute paths and dot-prefixes must never escape it
+                return self._error("Invalid collection name", 400)
             dm = req.get("distance_function", "")
             if dm == "euclidean":
                 method = EUCLIDEAN
@@ -170,37 +175,47 @@ class _Handler(BaseHTTPRequestHandler):
                 method = COSINE
             else:
                 return self._error("Invalid distance method", 400)
+            # reserve the name under the mutex, construct OUTSIDE it:
+            # Collection() touches disk (and possibly the device), and one
+            # slow create must not stall every other request on the server
             with self.srv.mutex:
                 if name in self.srv.collections:
                     return self._error("Collection already exists", 400)
-                opts = CollectionOptions(
-                    name=self.srv.collection_file(name),
-                    distance_method=method,
-                    dimension_count=int(req.get("vector_size", 0)),
-                    quantization=int(req.get("quantization", 0) or 64))
-                # TPU-native tuning knobs (superset of the reference API)
-                for knob in ("search_budget", "index_tables",
-                             "index_bits_per_table"):
-                    if knob in req:
-                        setattr(opts, knob, int(req[knob]))
-                try:
-                    coll = Collection(opts)
-                except ValueError as exc:
-                    # bad options are the caller's fault; Collection
-                    # validates before creating the file, so nothing is
-                    # left behind and a corrected retry succeeds
-                    return self._error(
-                        f"Failed to create collection: {exc}", 400)
-                except Exception as exc:
-                    return self._error(
-                        f"Failed to create collection: {exc}", 500)
+                self.srv.collections[name] = None  # reservation
+            opts = CollectionOptions(
+                name=self.srv.collection_file(name),
+                distance_method=method,
+                dimension_count=int(req.get("vector_size", 0)),
+                quantization=int(req.get("quantization", 0) or 64))
+            # TPU-native tuning knobs (superset of the reference API)
+            for knob in ("search_budget", "index_tables",
+                         "index_bits_per_table"):
+                if knob in req:
+                    setattr(opts, knob, int(req[knob]))
+            try:
+                coll = Collection(opts)
+            except ValueError as exc:
+                # bad options are the caller's fault; Collection validates
+                # before creating the file, so nothing is left behind and a
+                # corrected retry succeeds
+                with self.srv.mutex:
+                    self.srv.collections.pop(name, None)
+                return self._error(
+                    f"Failed to create collection: {exc}", 400)
+            except Exception as exc:
+                with self.srv.mutex:
+                    self.srv.collections.pop(name, None)
+                return self._error(
+                    f"Failed to create collection: {exc}", 500)
+            with self.srv.mutex:
                 self.srv.collections[name] = coll
             return self._respond(201, {
                 "message": "Collection created successfully.",
                 "collection_name": name})
         if self.command == "GET":
             with self.srv.mutex:
-                items = list(self.srv.collections.items())
+                items = [(n, c) for n, c in self.srv.collections.items()
+                         if c is not None]  # skip in-flight reservations
             infos = [self.srv.stats_with_name(n, c) for n, c in items]
             infos.sort(key=lambda d: -d["document_count"])
             return self._respond(200, infos, pretty=True)
@@ -258,6 +273,8 @@ class _Handler(BaseHTTPRequestHandler):
         except (json.JSONDecodeError, AssertionError):
             return self._error("Invalid request body", 400)
 
+        if not all(isinstance(r, dict) for r in records):
+            return self._error("Invalid request body", 400)
         texts, text_idx = [], []
         for i, rec in enumerate(records):
             if rec.get("text") and rec.get("vector") is None:
@@ -339,10 +356,17 @@ class _Handler(BaseHTTPRequestHandler):
 
             def one(key, default=""):
                 return q.get(key, [default])[0]
-            args.offset = int(one("offset") or 0)
-            args.limit = int(one("limit") or 0)
-            args.radius = float(one("radius") or 0)
-            args.k = int(one("k") or 0)
+
+            def num(key, cast):
+                try:  # unparseable values fall back to 0, matching the
+                    # reference's ignored Atoi errors (rest.go:403-409)
+                    return cast(one(key) or 0)
+                except ValueError:
+                    return cast(0)
+            args.offset = num("offset", int)
+            args.limit = num("limit", int)
+            args.radius = num("radius", float)
+            args.k = num("k", int)
             args.precision = one("precision")
             text = one("text")
             filter_str = one("filter")
@@ -411,7 +435,14 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error("Not found", 404)
         rel = path.lstrip("/") or "index.html"
         full = os.path.realpath(os.path.join(root, rel))
-        if not full.startswith(os.path.realpath(root)):
+        rootreal = os.path.realpath(root)
+        # commonpath, not startswith: "html_private" must not pass as being
+        # under the "html" root (bare-prefix traversal)
+        try:
+            inside = os.path.commonpath([full, rootreal]) == rootreal
+        except ValueError:
+            inside = False
+        if not inside:
             return self._error("Forbidden", 403)
         if os.path.isdir(full):
             full = os.path.join(full, "index.html")

@@ -312,3 +312,99 @@ def test_create_rejects_overflowing_sketch_bits(server):
         "name": "noveclen", "vector_size": 3,
         "distance_function": "cosine"})
     assert code == 201
+
+
+def test_static_traversal_blocked(tmp_path, monkeypatch):
+    """A raw ../ path must not escape html_root — including the bare-prefix
+    case where a SIBLING directory name starts with the root's name."""
+    import http.client
+    import threading
+    from syzgydb_tpu.server import config as cfg_mod
+    from syzgydb_tpu.server.rest import Server, make_http_server
+
+    root = tmp_path / "html"
+    root.mkdir()
+    (root / "index.html").write_text("ok")
+    evil = tmp_path / "html_private"
+    evil.mkdir()
+    (evil / "secrets.txt").write_text("SECRET")
+
+    monkeypatch.setattr(cfg_mod.global_config, "html_root", str(root))
+    srv = Server(data_folder=str(tmp_path))
+    httpd = make_http_server(srv)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port)
+        # raw, un-normalized path (clients like curl --path-as-is send this)
+        conn.putrequest("GET", "/../html_private/secrets.txt",
+                        skip_host=False)
+        conn.endheaders()
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status in (403, 404), resp.status
+        assert b"SECRET" not in body
+        conn.close()
+    finally:
+        httpd.shutdown()
+
+
+def test_collection_name_path_escape_rejected(tmp_path):
+    """Names with separators/.. must 400, never create files outside
+    data_folder (os.path.join discards the folder for absolute names)."""
+    import json
+    import threading
+    import urllib.request
+    from syzgydb_tpu.server.rest import Server, make_http_server
+
+    srv = Server(data_folder=str(tmp_path))
+    httpd = make_http_server(srv)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        for bad in ("/tmp/evil", "../evil", "a/b", ".hidden", ""):
+            body = json.dumps({"name": bad, "vector_size": 4,
+                               "distance_function": "cosine"}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v1/collections", data=body,
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(req)
+                raise AssertionError(f"{bad!r} accepted")
+            except urllib.error.HTTPError as exc:
+                assert exc.code == 400, (bad, exc.code)
+        import os
+        assert not os.path.exists("/tmp/evil.dat")
+    finally:
+        httpd.shutdown()
+
+
+def test_get_search_bad_numeric_params_parity(tmp_path, rng):
+    """Unparseable numeric GET params fall back to 0 like the reference's
+    ignored Atoi errors (rest.go:403-409) instead of a 500."""
+    import json
+    import threading
+    import urllib.request
+    from syzgydb_tpu import Collection, CollectionOptions, COSINE
+    from syzgydb_tpu.server.rest import Server, make_http_server
+
+    srv = Server(data_folder=str(tmp_path))
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "p.dat"), distance_method=COSINE,
+        dimension_count=4, quantization=8, create_and_overwrite=True,
+        index_seed=2))
+    c.add_documents([1, 2], rng.uniform(-1, 1, (2, 4)), [b"{}", b"{}"])
+    srv.collections["p"] = c
+    httpd = make_http_server(srv)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/v1/collections/p/search"
+                f"?k=abc&offset=x&limit=&radius=nope") as resp:
+            assert resp.status == 200
+            out = json.loads(resp.read())
+            assert len(out["results"]) == 2  # k=0 -> list mode
+    finally:
+        httpd.shutdown()
+        c.close()
