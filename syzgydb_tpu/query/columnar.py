@@ -273,15 +273,90 @@ class ColumnarFilterEngine:
         val, err = out
         return val & ~err & json_ok
 
+    def _project_native(self, fields: list, columns) -> bool:
+        """Project `fields` with the C extractor; True on success.
+
+        Rows the C parser flags (escapes in relevant strings, exotic
+        literals, broken JSON, non-object docs) are re-parsed by python so
+        semantics stay identical to the pure-python path."""
+        try:
+            from ..native import jp_extract
+        except Exception:
+            return False
+        n = columns.size
+        live = columns.valid[:n]
+        docs = [columns.metadata[r] if live[r] else None for r in range(n)]
+        out = jp_extract(docs, fields)
+        if out is None:
+            return False
+        kinds, nums, strs, flags = out
+
+        build_ok = "" not in self._cols
+        json_ok = self._cols.get("") or FieldColumn(n)
+        for i, f in enumerate(fields):
+            col = FieldColumn(n)
+            k = kinds[:, i]
+            col.present = k != 0
+            col.is_num = k == 1
+            col.is_str = k == 2
+            col.is_bool = k == 3
+            col.is_none = k == 4
+            col.nums = nums[:, i].copy()
+            col.strs = strs[:, i].copy()
+            col.scalar = not bool((k == 5).any())
+            self._cols[f] = col
+        ok_rows = (flags == 0) & live
+        if build_ok:
+            json_ok.present[:] = False
+            json_ok.present[ok_rows] = True
+            self._cols[""] = json_ok
+
+        # python fallback for flagged live rows (rare: escapes, NaN, broken)
+        for r in np.flatnonzero((flags == 1) & live):
+            r = int(r)
+            try:
+                data = json.loads(columns.metadata[r], parse_int=float)
+            except Exception:
+                json_ok.present[r] = False
+                continue
+            if not isinstance(data, dict):
+                self._nondict = True
+                json_ok.present[r] = False
+                continue
+            json_ok.present[r] = True
+            for i, f in enumerate(fields):
+                col = self._cols[f]
+                col.present[r] = col.is_num[r] = col.is_str[r] = False
+                col.is_bool[r] = col.is_none[r] = False
+                if f in data:
+                    col.set(r, data[f])
+        return True
+
     def _project(self, fields: set, columns):
-        """ONE json parse pass per mutation generation projects EVERY
-        top-level key it encounters — the parse (the expensive part) is
-        amortized across all fields any future query touches."""
+        """Projection strategies, fastest available first:
+
+        1. native (native/jsonproj.cpp via syzgydb_tpu.native.jp_extract):
+           one C pass over the concatenated docs extracts the REQUESTED
+           fields ~10x faster than json.loads; rows the C parser can't
+           handle with exact python semantics are re-parsed by python.
+        2. pure python: ONE json pass per mutation generation projects
+           EVERY top-level key it encounters (amortized across all fields
+           any future query touches)."""
         if self._version != columns.version:
             self._cols.clear()
             self._nondict = False
             self._version = columns.version
         n = columns.size
+        missing = [f for f in fields if f not in self._cols]
+        if missing or "" not in self._cols:
+            if self._project_native(missing or list(fields), columns):
+                for f in fields:
+                    self._cols.setdefault(f, FieldColumn(n))
+                if self._nondict or \
+                        any(not self._cols[f].scalar for f in fields):
+                    return None, None
+                return ({f: self._cols[f] for f in fields},
+                        self._cols[""].present)
         if "" not in self._cols:
             cols: dict[str, FieldColumn] = {}
             json_ok = FieldColumn(n)  # .present doubles as json-ok mask

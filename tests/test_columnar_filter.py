@@ -67,8 +67,17 @@ QUERIES = [
 ]
 
 
+@pytest.mark.parametrize("engine_kind", ["native", "python"])
 @pytest.mark.parametrize("query", QUERIES)
-def test_vectorized_matches_per_row_oracle(query):
+def test_vectorized_matches_per_row_oracle(query, engine_kind, monkeypatch):
+    if engine_kind == "python":
+        # force the pure-python projection path
+        monkeypatch.setattr(columnar.ColumnarFilterEngine,
+                            "_project_native", lambda self, f, c: False)
+    else:
+        from syzgydb_tpu.native import get_jsonproj
+        if get_jsonproj() is None:
+            pytest.skip("native jsonproj unavailable")
     cols = FakeColumns(METAS)
     engine = columnar.ColumnarFilterEngine()
     got = engine.evaluate(query, cols)
@@ -100,6 +109,41 @@ def test_array_valued_field_falls_back():
     metas = [json.dumps({"age": [1, 2]}).encode()] + METAS
     engine = columnar.ColumnarFilterEngine()
     assert engine.evaluate("age == 30", FakeColumns(metas)) is None
+
+
+def test_native_projection_matches_python():
+    """Field-by-field parity of the two projection engines on tricky docs."""
+    from syzgydb_tpu.native import get_jsonproj
+    if get_jsonproj() is None:
+        pytest.skip("native jsonproj unavailable")
+    tricky = METAS + [
+        json.dumps({"age": 1e308, "name": "uni\u00e9code", "z": -0.5e-3}).encode(),
+        json.dumps({"name": "tab\there", "esc": "a\"b"}).encode(),
+        b'{"age": NaN}',              # python accepts, C falls back
+        b'{"dup": 1, "dup": "two"}',  # last wins
+        b'  {"ws": 1}  ',
+        b'{"age": 1} trailing',       # both reject
+    ]
+    fields = ["age", "name", "esc", "dup", "ws", "z"]
+    cols = FakeColumns(tricky)
+    nat = columnar.ColumnarFilterEngine()
+    assert nat._project_native(fields, cols)
+    py = columnar.ColumnarFilterEngine()
+    py._project_native = lambda f, c: False
+    pcols, pok = py._project(set(fields), cols)
+    ncols = {f: nat._cols[f] for f in fields}
+    nok = nat._cols[""].present
+    np.testing.assert_array_equal(nok, pok, err_msg="json_ok")
+    for f in fields:
+        a, b = ncols[f], pcols[f]
+        for attr in ("present", "is_num", "is_str", "is_bool", "is_none"):
+            np.testing.assert_array_equal(
+                getattr(a, attr), getattr(b, attr), err_msg=f"{f}.{attr}")
+        np.testing.assert_array_equal(a.nums[a.is_num | a.is_bool],
+                                      b.nums[b.is_num | b.is_bool],
+                                      err_msg=f"{f}.nums")
+        assert list(a.strs[a.is_str]) == list(b.strs[b.is_str]), f
+        assert a.scalar == b.scalar, f
 
 
 def test_projection_cached_across_queries():
