@@ -29,6 +29,10 @@ DEFAULTS = {
     # at trained weights (random init embeds nothing meaningful).
     "embedder": "ollama",
     "embedder_checkpoint": "",
+    # "auto" = shard every collection over all visible devices at startup
+    # (jax.sharding.Mesh data axis; Collection.use_mesh); "off" = single
+    # device. Auto is a no-op on one device.
+    "use_mesh": "off",
     # max coalescing window (ms) for concurrent REST searches — one batched
     # device dispatch answers the whole group; closes early when arrivals
     # stop, and lone queries never wait (server/batcher.py); 0 disables
@@ -47,6 +51,7 @@ class Config:
     random_seed: int = 0
     embedder: str = "ollama"
     embedder_checkpoint: str = ""
+    use_mesh: str = "off"
     search_batch_ms: float = 48.0
 
 
@@ -123,6 +128,7 @@ def load_config(argv: Optional[list[str]] = None,
         random_seed=int(merged["random_seed"]),
         embedder=str(merged["embedder"]),
         embedder_checkpoint=str(merged["embedder_checkpoint"]),
+        use_mesh=str(merged["use_mesh"]),
         search_batch_ms=float(merged["search_batch_ms"]),
     )
     os.makedirs(cfg.data_folder, exist_ok=True)

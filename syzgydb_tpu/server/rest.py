@@ -59,6 +59,9 @@ class Server:
         # concurrent single-query searches coalesce into one device batch
         self.batcher = SearchBatcher(
             window_s=config.global_config.search_batch_ms / 1000.0)
+        # set by make_server when use_mesh=auto finds a multi-device mesh;
+        # newly created collections shard onto it too
+        self.mesh = None
 
     def collection_file(self, name: str) -> str:
         return os.path.join(self.data_folder, name + ".dat")
@@ -207,6 +210,8 @@ class _Handler(BaseHTTPRequestHandler):
                     self.srv.collections.pop(name, None)
                 return self._error(
                     f"Failed to create collection: {exc}", 500)
+            if self.srv.mesh is not None:
+                coll.use_mesh(self.srv.mesh)
             with self.srv.mutex:
                 self.srv.collections[name] = coll
             return self._respond(201, {
@@ -453,9 +458,24 @@ class _Handler(BaseHTTPRequestHandler):
             self._respond(200, f.read(), content_type=ctype)
 
 
+def _server_mesh():
+    """Build the serving mesh when use_mesh=auto finds >1 device."""
+    if config.global_config.use_mesh != "auto":
+        return None
+    import jax
+    from ..parallel.mesh import MeshConfig, make_mesh
+    if len(jax.devices()) < 2:
+        return None
+    mesh = make_mesh(MeshConfig())
+    log.info("sharding collections over %d devices (data axis)",
+             len(mesh.devices.ravel()))
+    return mesh
+
+
 def make_server(data_folder: Optional[str] = None,
                 load_existing: bool = True) -> Server:
     srv = Server(data_folder)
+    srv.mesh = _server_mesh()
     if config.global_config.embedder == "device":
         # on-TPU embedding instead of the Ollama HTTP service
         from ..models.embedder import TextEmbedder
@@ -475,7 +495,10 @@ def make_server(data_folder: Optional[str] = None,
             name = srv.file_to_collection_name(path)
             log.info("Loading collection from file: %s", path)
             try:
-                srv.collections[name] = Collection(_open_existing(path))
+                coll = Collection(_open_existing(path))
+                if srv.mesh is not None:
+                    coll.use_mesh(srv.mesh)
+                srv.collections[name] = coll
             except Exception:
                 # one bad/corrupt .dat must not take the whole server down
                 # (ADVICE r1, high); skip it and keep serving the others

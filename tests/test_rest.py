@@ -408,3 +408,57 @@ def test_get_search_bad_numeric_params_parity(tmp_path, rng):
     finally:
         httpd.shutdown()
         c.close()
+
+
+def test_use_mesh_auto_shards_collections(tmp_path, rng, monkeypatch):
+    """use_mesh=auto shards loaded AND newly-created collections over the
+    virtual device mesh; searches stay oracle-correct."""
+    import json
+    import urllib.request
+    import threading
+    from syzgydb_tpu import Collection, CollectionOptions, SearchArgs, COSINE
+    from syzgydb_tpu.server import config as cfg_mod
+    from syzgydb_tpu.server import rest as rest_mod
+
+    # a pre-existing collection on disk
+    c0 = Collection(CollectionOptions(
+        name=str(tmp_path / "pre.dat"), distance_method=COSINE,
+        dimension_count=8, quantization=8, create_and_overwrite=True,
+        index_seed=4))
+    vecs = rng.uniform(-1, 1, size=(300, 8))
+    c0.add_documents(list(range(300)), vecs, [b"{}"] * 300)
+    c0.close()
+
+    monkeypatch.setattr(cfg_mod.global_config, "use_mesh", "auto")
+    monkeypatch.setattr(cfg_mod.global_config, "data_folder", str(tmp_path))
+    srv = rest_mod.make_server(data_folder=str(tmp_path))
+    assert srv.mesh is not None  # conftest provides 8 virtual devices
+    assert srv.collections["pre"]._mesh is srv.mesh
+
+    httpd = rest_mod.make_http_server(srv)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps({"name": "fresh", "vector_size": 8,
+                           "quantization": 8,
+                           "distance_function": "cosine"}).encode()
+        urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/collections", data=body,
+            headers={"Content-Type": "application/json"}))
+        assert srv.collections["fresh"]._mesh is srv.mesh
+
+        # sharded search through REST matches the single-device oracle
+        q = vecs[17]
+        body = json.dumps({"vector": q.tolist(), "k": 3,
+                           "precision": "exact"}).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v1/collections/pre/search",
+                data=body,
+                headers={"Content-Type": "application/json"})) as resp:
+            got = [r["id"] for r in json.loads(resp.read())["results"]]
+        assert got[0] == 17
+    finally:
+        httpd.shutdown()
+        for c in srv.collections.values():
+            if c is not None:
+                c.close()
