@@ -147,6 +147,10 @@ class Collection:
                radius: Optional[float] = None, limit: Optional[int] = None,
                offset: Optional[int] = None, precision: Optional[str] = None,
                filter: Optional[str] = None) -> SearchResponse:
+        """precision: "" / "medium" (sketch ANN, fastest single query),
+        "high" (exhaustive segment-min scan, near-exact, best batched
+        throughput), or "exact" (full-f32 scan).  Concurrent searches are
+        coalesced into shared device batches server-side."""
         body = {k2: v for k2, v in {
             "vector": vector, "text": text, "k": k, "radius": radius,
             "limit": limit, "offset": offset, "precision": precision,
