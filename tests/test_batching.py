@@ -201,3 +201,17 @@ def test_batcher_dispatch_failure_wakes_all_members(tmp_path, rng, monkeypatch):
     res = batcher.search(c, SearchArgs(vector=q, k=3))
     assert len(res.results) == 3
     c.close()
+
+
+def test_search_many_under_mesh(tmp_path, rng):
+    """Batched kNN through a sharded collection matches sequential."""
+    from syzgydb_tpu.parallel import mesh as mesh_mod
+    c, _ = make_coll(tmp_path, rng, n=512)
+    c.use_mesh(mesh_mod.make_mesh(mesh_mod.MeshConfig(data=8, feature=1)))
+    queries = rng.uniform(-1, 1, size=(5, 16))
+    batch = c.search_many([SearchArgs(vector=q, k=4, precision="exact")
+                           for q in queries])
+    for q, b in zip(queries, batch):
+        s = c.search(SearchArgs(vector=q, k=4, precision="exact"))
+        assert [r.id for r in b.results] == [r.id for r in s.results]
+    c.close()
