@@ -16,8 +16,8 @@
 //   * duplicate keys: last occurrence wins (python dict behavior).
 //   * numbers parse with strtod (== float(json number) for doubles).
 //
-// Row flags: 0 = parsed ok (dict), 1 = python-fallback needed,
-//            2 = top-level JSON is not an object (engine bails to per-row).
+// Row flags: 0 = parsed ok (dict), 1 = python-fallback needed (includes
+// non-object top levels — python distinguishes broken from non-dict).
 // Value kinds per (row, field): 0 absent, 1 number, 2 string, 3 true/false
 // (number slot holds 0/1), 4 null, 5 non-scalar (array/object).
 
@@ -32,6 +32,33 @@ struct Cursor {
     const uint8_t* end;
     bool fail = false;  // fall back to python for this row
 };
+
+// strict JSON number grammar: -?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?
+// — strtod alone accepts 01, 1., 0x10, inf/nan, which json.loads rejects
+inline bool is_json_number(const uint8_t* p, size_t n) {
+    size_t i = 0;
+    if (i < n && p[i] == '-') ++i;
+    if (i >= n) return false;
+    if (p[i] == '0') {
+        ++i;
+    } else if (p[i] >= '1' && p[i] <= '9') {
+        while (i < n && p[i] >= '0' && p[i] <= '9') ++i;
+    } else {
+        return false;
+    }
+    if (i < n && p[i] == '.') {
+        ++i;
+        if (i >= n || p[i] < '0' || p[i] > '9') return false;
+        while (i < n && p[i] >= '0' && p[i] <= '9') ++i;
+    }
+    if (i < n && (p[i] == 'e' || p[i] == 'E')) {
+        ++i;
+        if (i < n && (p[i] == '+' || p[i] == '-')) ++i;
+        if (i >= n || p[i] < '0' || p[i] > '9') return false;
+        while (i < n && p[i] >= '0' && p[i] <= '9') ++i;
+    }
+    return i == n;
+}
 
 inline void skip_ws(Cursor& c) {
     while (c.p < c.end && (*c.p == ' ' || *c.p == '\t' || *c.p == '\n' ||
@@ -50,6 +77,7 @@ inline bool scan_string(Cursor& c, const uint8_t** out, uint32_t* len,
     bool esc = false;
     while (c.p < c.end) {
         uint8_t ch = *c.p;
+        if (ch < 0x20) return false;  // raw control char: json.loads rejects
         if (ch == '\\') {
             esc = true;
             c.p += 2;  // skip escaped char (\uXXXX handled by fallback)
@@ -113,12 +141,19 @@ bool skip_value(Cursor& c, int depth) {
         }
         return false;
     }
-    // number / true / false / null — scan the token
+    // number / true / false / null — scan and VALIDATE the token
+    // (accepting arbitrary junk here would mark broken docs parsed-ok)
     const uint8_t* start = c.p;
     while (c.p < c.end && *c.p != ',' && *c.p != '}' && *c.p != ']' &&
            *c.p != ' ' && *c.p != '\t' && *c.p != '\n' && *c.p != '\r')
         ++c.p;
-    return c.p > start;
+    size_t tl = static_cast<size_t>(c.p - start);
+    if (tl == 0) return false;
+    if (tl == 4 && (memcmp(start, "true", 4) == 0 ||
+                    memcmp(start, "null", 4) == 0))
+        return true;
+    if (tl == 5 && memcmp(start, "false", 5) == 0) return true;
+    return is_json_number(start, tl);
 }
 
 }  // namespace
@@ -229,7 +264,8 @@ void jp_extract(const uint8_t* data, const uint64_t* starts,
                                *c.p != '\r')
                             ++c.p;
                         size_t tl = static_cast<size_t>(c.p - tstart);
-                        if (tl == 0 || tl >= sizeof(buf)) {
+                        if (tl == 0 || tl >= sizeof(buf) ||
+                            !is_json_number(tstart, tl)) {
                             ok = false;
                             break;
                         }

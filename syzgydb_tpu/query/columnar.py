@@ -311,9 +311,18 @@ class ColumnarFilterEngine:
             json_ok.present[ok_rows] = True
             self._cols[""] = json_ok
 
-        # python fallback for flagged live rows (rare: escapes, NaN, broken)
+        # python fallback for flagged live rows (rare: escapes, NaN, broken).
+        # Reset the row's masks FIRST: a flagged row may carry partial native
+        # state (e.g. is_str with strs=None when only the escape decode was
+        # the problem), and a failed re-parse must leave it fully absent or
+        # string predicates crash on the poisoned entry.
         for r in np.flatnonzero((flags == 1) & live):
             r = int(r)
+            for f in fields:
+                col = self._cols[f]
+                col.present[r] = col.is_num[r] = col.is_str[r] = False
+                col.is_bool[r] = col.is_none[r] = False
+                col.strs[r] = None
             try:
                 data = json.loads(columns.metadata[r], parse_int=float)
             except Exception:
@@ -324,12 +333,9 @@ class ColumnarFilterEngine:
                 json_ok.present[r] = False
                 continue
             json_ok.present[r] = True
-            for i, f in enumerate(fields):
-                col = self._cols[f]
-                col.present[r] = col.is_num[r] = col.is_str[r] = False
-                col.is_bool[r] = col.is_none[r] = False
+            for f in fields:
                 if f in data:
-                    col.set(r, data[f])
+                    self._cols[f].set(r, data[f])
         return True
 
     def _project(self, fields: set, columns):

@@ -117,6 +117,15 @@ def test_native_projection_matches_python():
     if get_jsonproj() is None:
         pytest.skip("native jsonproj unavailable")
     tricky = METAS + [
+        b'{"a": 1, "b": bogus}',      # junk token in skipped field
+        b"{'a': 1}",                  # single quotes
+        b'{"age": 01}',               # leading zero: json rejects
+        b'{"age": 1.}',               # trailing dot: json rejects
+        b'{"age": 0x10}',             # hex: json rejects
+        b'{"age": -Infinity}',        # python accepts (non-standard)
+        b'{"name": "x\ny"}',         # raw control char: json rejects
+        b'{"name": "x\\qy"}',       # invalid escape: json rejects
+        b'{"name": "a\\u00e9b"}',   # unicode escape: python decodes
         json.dumps({"age": 1e308, "name": "uni\u00e9code", "z": -0.5e-3}).encode(),
         json.dumps({"name": "tab\there", "esc": "a\"b"}).encode(),
         b'{"age": NaN}',              # python accepts, C falls back
@@ -180,3 +189,21 @@ def test_collection_filtered_search_uses_vectorized_path(tmp_path, rng):
     want_ids = {i for i in range(n) if flt(i, metas[i])}
     assert {r.id for r in res.results} <= want_ids
     c.close()
+
+
+def test_invalid_escape_row_does_not_crash_string_predicates():
+    """A row whose string field has an invalid escape (native flags it,
+    python re-parse fails) must be rejected, not crash CONTAINS/>/
+    STARTS_WITH with a None in the string column (review finding)."""
+    from syzgydb_tpu.native import get_jsonproj
+    if get_jsonproj() is None:
+        pytest.skip("native jsonproj unavailable")
+    metas = [json.dumps({"a": "xqy"}).encode(), b'{"a": "x\\qy"}']
+    cols = FakeColumns(metas)
+    for q in ("a CONTAINS 'x'", "a STARTS_WITH 'x'", "a > 'b'", "a EXISTS"):
+        engine = columnar.ColumnarFilterEngine()
+        got = engine.evaluate(q, cols)
+        assert got is not None
+        flt = build_filter(q)
+        want = np.array([flt(i, m) for i, m in enumerate(metas)])
+        np.testing.assert_array_equal(got, want, err_msg=q)
