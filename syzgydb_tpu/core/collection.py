@@ -465,6 +465,10 @@ class Collection:
                         codes_dev, self.quantization),
                 }
             self._dev_version = self.columns.version
+            # prewarm the scatter program (a no-op update): its first
+            # compile costs ~0.7s at 10M rows and would otherwise land on
+            # the first query after the first mutation
+            self._dev = self._scatter_rows(np.empty(0, dtype=np.int64))
         return self._dev
 
     def _scatter_rows(self, rows: np.ndarray) -> dict:
