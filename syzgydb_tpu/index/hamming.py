@@ -171,6 +171,12 @@ def _hamming_candidates_xla(qcodes: jnp.ndarray, db_hashes: jnp.ndarray,
     return -neg, idx
 
 
+# NOTE (r2, tools_dev/segrerank_probe.py): replacing the per-row candidate
+# gather with segment-level selection + contiguous slab gathers (the trick
+# that makes precision="high" fast) was measured and REJECTED for the sketch
+# path: recall collapses to 0.44-0.73 at equal budget because Hamming
+# neighborhoods do not cluster in row order — a winning segment drags
+# SEG-1 useless rows along.  seg=16 at 2x budget merely ties row-gather.
 @functools.partial(jax.jit, static_argnames=("bits", "metric", "k"))
 def rerank_topk(queries: jnp.ndarray, codes: jnp.ndarray, norms: jnp.ndarray,
                 valid: jnp.ndarray, cand: jnp.ndarray, bits: int, metric: str,
