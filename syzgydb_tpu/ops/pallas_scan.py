@@ -282,6 +282,82 @@ def _surface_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
             jnp.asarray(jnp.inf, out_ref.dtype))
 
 
+def _segmin_nat_loop_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
+                            *, bits, metric, exact, seg):
+    """fori_loop variant of _segmin_nat_kernel: the unrolled 8-subtile body
+    made Mosaic compile for >30min at Q=1024; a loop body compiles once.
+
+    Status (r2, v5e attempts): dynamic lane-dim ref writes are rejected
+    ("cannot statically prove index is a multiple of 128"), hence the
+    rotate-accumulator; that version exceeds the 128MB VMEM budget at
+    Q=1024 (Mosaic keeps the whole per-step surface live through the
+    carry).  Not production; surface="xla" is the default.  Revisit with
+    scratch-buffer semantics or smaller Q tiles."""
+    queries = q_ref[:]                                       # (Q, D)
+    if bits in (4, 8, 16):
+        scale, offset = qz.affine_constants(bits)
+        qsum = jnp.sum(queries, axis=-1)[:, None]            # (Q, 1)
+    qn2 = jnp.sum(queries * queries, axis=-1)[:, None]       # (Q, 1)
+    fast = bits in (4, 8) and not exact
+    cast = jnp.bfloat16 if fast else jnp.float32
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    dn = (((1,), (1,)), ((), ()))
+    if bits == 4:
+        qe = queries[:, 0::2].astype(cast)
+        qo = queries[:, 1::2].astype(cast)
+    else:
+        qc = queries.astype(cast)
+
+    b = codes_ref.shape[0]
+    nq = queries.shape[0]
+    sub = min(_SUBTILE, b)
+
+    nout = b // seg
+    step_cols = sub // seg
+
+    def body(t, acc):
+        lo = t * sub
+        codes = codes_ref[pl.ds(lo, sub), :]                 # (sub, D|P)
+        if bits == 4:
+            h = ((codes >> 4).astype(jnp.int32) - 8).astype(cast)
+            low = ((codes & 0xF).astype(jnp.int32) - 8).astype(cast)
+            raw = jax.lax.dot_general(
+                qe, h, dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+            raw = raw + jax.lax.dot_general(
+                qo, low[:, : qo.shape[1]], dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+        else:
+            raw = jax.lax.dot_general(
+                qc, codes.astype(cast), dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+        if bits in (4, 8, 16):
+            dots = scale * raw + offset * qsum
+        else:
+            dots = raw
+        norms = norms_ref[pl.ds(lo, sub), :][:, 0][None, :]
+        if metric == "euclidean":
+            dist = jnp.maximum(qn2 - 2.0 * dots + norms, 0.0)
+        else:
+            denom2 = qn2 * norms
+            inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
+            cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
+            dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
+        validf = valid_ref[pl.ds(lo, sub), :][:, 0][None, :]
+        dist = jnp.where(validf > 0, dist, jnp.inf)
+        mins = jnp.min(dist.reshape(nq, step_cols, seg), axis=-1)
+        # place this step's step_cols minima at lane offset t*step_cols via
+        # a dynamic lane rotate — Mosaic cannot prove alignment of a
+        # dynamic lane-dim ref write, but rotates take traced shifts
+        padded = jnp.pad(mins, ((0, 0), (0, nout - step_cols)),
+                         constant_values=jnp.inf)
+        rolled = pltpu.roll(padded, shift=t * step_cols, axis=1)
+        return jnp.minimum(acc, rolled)
+
+    acc = jnp.full((nq, nout), jnp.inf, jnp.float32)
+    out_ref[:] = jax.lax.fori_loop(0, b // sub, body, acc)
+
+
 def _segmin_nat_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
                        *, bits, metric, exact, seg):
     """Natural-layout segment-min: the (Q, sub) distance slice reduces to
@@ -364,7 +440,7 @@ def segment_min_scan_nat(queries, codes, norms, valid, *, bits: int,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_segmin_nat_kernel, bits=bits, metric=metric,
+        functools.partial(_segmin_nat_loop_kernel, bits=bits, metric=metric,
                           exact=exact, seg=seg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((q, n // seg), jnp.float32),
