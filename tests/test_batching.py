@@ -215,3 +215,26 @@ def test_search_many_under_mesh(tmp_path, rng):
         s = c.search(SearchArgs(vector=q, k=4, precision="exact"))
         assert [r.id for r in b.results] == [r.id for r in s.results]
     c.close()
+
+
+def test_batcher_overflow_splits_groups(tmp_path, rng):
+    """More same-key requests than max_batch must split into multiple
+    groups, all served correctly."""
+    c, _ = make_coll(tmp_path, rng, n=100)
+    batcher = SearchBatcher(window_s=0.05, max_batch=4)
+    q = rng.uniform(-1, 1, size=16)
+    want = [r.id for r in c.search(SearchArgs(vector=q, k=3)).results]
+    results = [None] * 14
+
+    def worker(i):
+        results[i] = batcher.search(c, SearchArgs(vector=q, k=3))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(14)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert all(r is not None for r in results)
+    assert all([x.id for x in r.results] == want for r in results)
+    assert batcher.dispatches >= 4  # 14 queries / max_batch 4
+    c.close()
