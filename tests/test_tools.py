@@ -10,7 +10,7 @@ from syzgydb_tpu import Collection, CollectionOptions, COSINE
 from syzgydb_tpu.tools.dump import dump_index, export_json, import_json
 
 
-@pytest.mark.parametrize("quant", [64, 32, 8])
+@pytest.mark.parametrize("quant", [64, 32, 8, 4])
 def test_export_import_roundtrip(tmp_path, rng, quant):
     src = str(tmp_path / "src.dat")
     dst = str(tmp_path / "dst.dat")
