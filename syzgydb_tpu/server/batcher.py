@@ -29,13 +29,16 @@ import numpy as np
 from ..core.collection import Collection, SearchArgs, SearchResults
 
 DEFAULT_WINDOW_S = 0.048
-# close the window early once arrivals stop: light concurrency pays ~the
-# idle gap, heavy load fills the whole window (measured on v5e, 32 clients
-# at 100k x 128: window 4ms -> 127 QPS, 16 -> 213, 48 -> 309 QPS with p50
-# 101ms; lone queries always skip the wait entirely).  The gap must exceed
-# the arrival spacing of a loaded single-core HTTP stack (~2-3ms) or groups
-# splinter: 2ms gap measured 3.6 queries/dispatch vs ~20 without.
+# Two-phase window policy (measured on v5e, 32 clients at 100k x 128:
+# window 4ms -> 127 QPS, 16 -> 213, 48 -> 309 QPS with p50 101ms):
+# a genuinely lone query dispatches after ONE idle gap (~6ms); once any
+# follower joins — or a same-key dispatch is in flight whose waiters will
+# join on completion — the leader commits to the FULL window.  Arrival-gap
+# early closes were measured to splinter client waves under GIL scheduling
+# (3.6 queries/dispatch vs ~20).
 IDLE_GAP_S = 0.006
+# bound follower waits: a wedged leader must never hang a request forever
+FOLLOWER_TIMEOUT_S = 30.0
 MAX_BATCH = 64
 
 
@@ -66,7 +69,7 @@ class SearchBatcher:
         self.idle_gap_s = idle_gap_s
         self._lock = threading.Lock()
         self._groups: dict[tuple, _Group] = {}
-        self._dispatching = 0
+        self._dispatching: dict[tuple, int] = {}  # per batch key
         # observability: how many device dispatches vs queries served
         self.dispatches = 0
         self.queries = 0
@@ -104,9 +107,11 @@ class SearchBatcher:
             group.members.append(pend)
 
         if not leader:
-            group.done.wait()
+            if not group.done.wait(timeout=FOLLOWER_TIMEOUT_S):
+                raise RuntimeError("search batch timed out waiting for its "
+                                   "leader dispatch")
             if pend.error is not None:
-                raise pend.error
+                _reraise(pend.error)
             assert pend.result is not None
             return pend.result
 
@@ -125,7 +130,10 @@ class SearchBatcher:
                 now = time.monotonic()
                 with self._lock:
                     n = len(group.members)
-                    busy = self._dispatching > 0
+                    # only a SAME-KEY in-flight dispatch predicts imminent
+                    # arrivals; unrelated collections' traffic must not
+                    # make a lone query pay the full window
+                    busy = self._dispatching.get(key, 0) > 0
                 if n >= self.max_batch or now >= deadline:
                     break
                 if n == 1 and not busy and now - start > self.idle_gap_s:
@@ -138,17 +146,21 @@ class SearchBatcher:
                 members = list(group.members)
             try:
                 with self._lock:
-                    self._dispatching += 1
+                    self._dispatching[key] = self._dispatching.get(key, 0) + 1
                 try:
                     if len(members) == 1:
                         members[0].result = coll.search(members[0].args)
                     else:
                         res = coll.search_many([m.args for m in members])
-                        for m, r in zip(members, res):
+                        for m, r in zip(members, res, strict=True):
                             m.result = r
                 finally:
                     with self._lock:
-                        self._dispatching -= 1
+                        n_d = self._dispatching.get(key, 1) - 1
+                        if n_d:
+                            self._dispatching[key] = n_d
+                        else:
+                            self._dispatching.pop(key, None)
                         self.dispatches += 1
                         self.queries += len(members)
             except BaseException as exc:  # propagate to every member
@@ -169,6 +181,16 @@ class SearchBatcher:
                         m.error = RuntimeError("search batch leader aborted")
                 group.done.set()
         if pend.error is not None:
-            raise pend.error
+            _reraise(pend.error)
         assert pend.result is not None
         return pend.result
+
+
+def _reraise(exc: BaseException):
+    """Raise a fresh same-type exception per waiter: up to max_batch threads
+    re-raising ONE shared instance race on its __traceback__ and chain each
+    other's frames into the logged stack."""
+    try:
+        raise type(exc)(*exc.args) from exc
+    except TypeError:
+        raise exc

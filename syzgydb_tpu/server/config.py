@@ -34,8 +34,9 @@ DEFAULTS = {
     # device. Auto is a no-op on one device.
     "use_mesh": "off",
     # max coalescing window (ms) for concurrent REST searches — one batched
-    # device dispatch answers the whole group; closes early when arrivals
-    # stop, and lone queries never wait (server/batcher.py); 0 disables
+    # device dispatch answers the whole group. A lone query dispatches after
+    # ~6ms; once any follower joins the leader waits the full window
+    # (server/batcher.py two-phase policy); 0 disables batching
     "search_batch_ms": 48.0,
 }
 

@@ -191,10 +191,15 @@ def test_batcher_dispatch_failure_wakes_all_members(tmp_path, rng, monkeypatch):
     for t in threads:
         t.join(timeout=30)
     assert not any(t.is_alive() for t in threads), "wedged waiters"
-    # every member that joined the failed group saw the error; solo
-    # dispatches (group of one) go through coll.search and succeed
-    assert all(e is None or e is boom for e in errors)
-    assert any(e is boom for e in errors)
+    # every member that joined the failed group saw the error (fresh
+    # same-type instances chained to the original — raising ONE shared
+    # instance from N threads races on its traceback); solo dispatches
+    # (group of one) go through coll.search and succeed
+    def is_boom(e):
+        return isinstance(e, RuntimeError) and str(e) == str(boom) and \
+            (e is boom or e.__cause__ is boom)
+    assert all(e is None or is_boom(e) for e in errors)
+    assert any(is_boom(e) for e in errors)
 
     # the key is NOT wedged: a fresh (non-batched) search still works
     monkeypatch.undo()
