@@ -37,8 +37,12 @@ DEFAULT_WINDOW_S = 0.048
 # early closes were measured to splinter client waves under GIL scheduling
 # (3.6 queries/dispatch vs ~20).
 IDLE_GAP_S = 0.006
-# bound follower waits: a wedged leader must never hang a request forever
-FOLLOWER_TIMEOUT_S = 30.0
+# Last-resort bound on follower waits so a leader thread killed in the
+# narrow pre-dispatch window can never hang a request forever.  Must be
+# FAR beyond any legitimate dispatch: the first dispatch of a new batch
+# shape can spend minutes in XLA compilation (observed through the
+# tunneled remote compiler).
+FOLLOWER_TIMEOUT_S = 900.0
 MAX_BATCH = 64
 
 
