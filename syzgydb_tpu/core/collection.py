@@ -195,9 +195,20 @@ def _scatter_apply(codes, norms, valid, hashes, idx, c_new, n_new, v_new,
             hashes.at[idx].set(h_new, mode="drop"))
 
 
+import itertools
+
+_collection_tokens = itertools.count(1)
+
+
 class Collection:
     def __init__(self, options: CollectionOptions, rng: Optional[MyRandom] = None):
         from .storage import SpanLog  # local import to keep module load light
+
+        # process-unique identity token for batch grouping: id(coll) can be
+        # REUSED by a new collection after this one is garbage-collected,
+        # which would let a stale batch key alias across collections
+        # (server/batcher.py keys on this instead)
+        self.batch_token = next(_collection_tokens)
 
         if options.quantization == 0:
             options.quantization = 64
@@ -247,6 +258,10 @@ class Collection:
         self._closed = False
         self._mesh = None
         self._filter_cache: dict = {}
+        # list-mode pagination cache: (columns.version, ids in lexicographic
+        # decimal-string order); _list_sort_count counts rebuilds (test pin)
+        self._sorted_ids_cache: tuple[int, list[int]] | None = None
+        self._list_sort_count = 0
         from ..query.columnar import ColumnarFilterEngine
         self._columnar_filter = ColumnarFilterEngine()
         # observability: device placements by kind (tests assert streaming
@@ -625,6 +640,11 @@ class Collection:
             else:
                 out = self._knn_many(qvecs, a0, n_records)[:b0]
         dt = (time.perf_counter() - t0) * 1000.0
+        # every member reports the group's shared dispatch wall time: one
+        # device dispatch served them all, and that dispatch IS the search
+        # time (reference semantics, rest.go:450-452).  Queue/coalescing
+        # wait is NOT in here — the REST layer reports it separately as
+        # queue_wait_time.
         for r in out:
             r.search_time_ms = dt
         return out
@@ -710,19 +730,20 @@ class Collection:
             if self._mesh is not None:
                 from ..parallel import search as psearch
                 shards = self._mesh.shape["data"]
-                dist, rows = psearch.sharded_ann_topk(
+                dist, rows, nsc = psearch.sharded_ann_topk(
                     self._mesh, qcode, queries, dev["codes"], dev["norms"],
                     dev["hashes"], valid, bits=self.quantization,
                     metric=self.metric, k=k,
                     local_budget=max(1, budget // shards),
-                    words=self.index.words)
+                    words=self.index.words, with_counts=True)
             else:
                 _, cand = hamming.hamming_candidates(
                     qcode, dev["hashes"], valid, budget, self.index.words)
-                dist, rows = hamming.rerank_topk(
+                dist, rows, nsc = hamming.rerank_topk(
                     queries, dev["codes"], dev["norms"], valid, cand,
-                    self.quantization, self.metric, k)
-            return self._knn_results_many(dist, rows, k, searched, n_records)
+                    self.quantization, self.metric, k, with_counts=True)
+            return self._knn_results_many(dist, rows, k, searched, n_records,
+                                          counts=nsc)
 
         # exhaustive device scan (mode (b), and large-N medium w/o index)
         searched = n_passing
@@ -764,14 +785,15 @@ class Collection:
                         dev["norms"], dev["hashes"], valid,
                         bits=self.quantization, metric=self.metric, k=kk,
                         local_budget=max(1, b // shards),
-                        words=self.index.words)
+                        words=self.index.words, with_counts=True)
             else:
                 def ann_topk(kk, b):
                     _, cand = hamming.hamming_candidates(
                         qcode, dev["hashes"], valid, b, self.index.words)
                     return hamming.rerank_topk(
                         queries, dev["codes"], dev["norms"], valid,
-                        cand, self.quantization, self.metric, kk)
+                        cand, self.quantization, self.metric, kk,
+                        with_counts=True)
 
             # Escalate the candidate budget until the worst returned
             # distance exceeds the radius or candidates are exhausted —
@@ -781,7 +803,7 @@ class Collection:
             cap = min(n_passing, self.columns.capacity)
             b = budget
             while True:
-                dist, rows = ann_topk(b, b)
+                dist, rows, nsc = ann_topk(b, b)
                 d0 = np.asarray(dist[0])
                 finite = d0[np.isfinite(d0)]
                 if b >= cap or len(finite) < b or \
@@ -790,7 +812,7 @@ class Collection:
                 b = min(b * 4, cap)
             searched = min(b, n_passing)
             return self._radius_results(dist, rows, args.radius,
-                                        searched, n_records)
+                                        searched, n_records, counts=nsc)
 
         # exhaustive: bounded top-k with escalation — never pulls the full
         # (Q, N) distance matrix across the (slow) device->host link.
@@ -871,54 +893,95 @@ class Collection:
                             md if md is not None else b"", d)
 
     @staticmethod
-    def _fetch_results(dist, rows):
-        """Single device->host fetch for (dist, rows): the floats are
-        bitcast into an int32 payload so one RPC carries both (per-transfer
-        latency dominates small fetches on tunneled backends).  The packing
-        must ride the INTEGER path: f32 ops flush denormal bit patterns
-        (row ids < 2^23 bitcast to denormals) to zero on TPU."""
+    def _fetch_results(dist, rows, counts=None):
+        """Single device->host fetch for (dist, rows[, counts]): the floats
+        are bitcast into an int32 payload so one RPC carries everything
+        (per-transfer latency dominates small fetches on tunneled backends).
+        The packing must ride the INTEGER path: f32 ops flush denormal bit
+        patterns (row ids < 2^23 bitcast to denormals) to zero on TPU."""
         import jax
-        packed = jnp.concatenate(
-            [jax.lax.bitcast_convert_type(dist.astype(jnp.float32),
-                                          jnp.int32),
-             rows.astype(jnp.int32)], axis=1)
+        cols = [jax.lax.bitcast_convert_type(dist.astype(jnp.float32),
+                                             jnp.int32),
+                rows.astype(jnp.int32)]
+        if counts is not None:
+            cols.append(counts.astype(jnp.int32)[:, None])
+        packed = jnp.concatenate(cols, axis=1)
         arr = np.asarray(packed)
+        if counts is not None:
+            cnt = arr[:, -1]
+            arr = arr[:, :-1]
+        else:
+            cnt = None
         k = arr.shape[1] // 2
-        return arr[:, :k].copy().view(np.float32), arr[:, k:]
+        return arr[:, :k].copy().view(np.float32), arr[:, k:], cnt
 
     def _knn_results_many(self, dist, rows, k: int, searched: int,
-                          n_records: int) -> list[SearchResults]:
-        dist, rows = self._fetch_results(dist, rows)
-        pct = self._pct(searched, n_records)
+                          n_records: int, counts=None) -> list[SearchResults]:
+        dist, rows, cnt = self._fetch_results(dist, rows, counts)
         return [SearchResults(
             [self._mk_result(int(r), float(d))
              for d, r in zip(dist[qi][:k], rows[qi][:k]) if np.isfinite(d)],
-            pct) for qi in range(dist.shape[0])]
+            self._pct(int(cnt[qi]) if cnt is not None else searched,
+                      n_records)) for qi in range(dist.shape[0])]
 
     def _radius_results(self, dist, rows, radius: float, searched: int,
-                        n_records: int) -> SearchResults:
-        dist, rows = self._fetch_results(dist, rows)
+                        n_records: int, counts=None) -> SearchResults:
+        dist, rows, cnt = self._fetch_results(dist, rows, counts)
         dist = dist[0]
         rows = rows[0]
         keep = np.flatnonzero(np.isfinite(dist) & (dist <= radius))
         results = [self._mk_result(int(rows[i]), float(dist[i])) for i in keep]
+        if cnt is not None:
+            searched = int(cnt[0])
         return SearchResults(results, self._pct(searched, n_records))
 
+    def _sorted_doc_ids(self) -> list[int]:
+        """Doc ids in lexicographic decimal-string order (the reference's
+        IterateSortedRecords quirk, spanfile.go:541-547), cached per mutation
+        generation: at 10M rows the O(N log N) string sort costs seconds and
+        must not be paid per paginated listing."""
+        ver = self.columns.version
+        cached = self._sorted_ids_cache
+        if cached is None or cached[0] != ver:
+            self._list_sort_count += 1
+            ids = sorted(((str(i), int(i)) for i in self.columns.doc_ids()),
+                         key=lambda p: p[0])
+            cached = (ver, [p[1] for p in ids])
+            self._sorted_ids_cache = cached
+        return cached[1]
+
     def _list_mode(self, args: SearchArgs, n_records: int) -> SearchResults:
-        results = []
-        skipped = 0
-        considered = 0  # filter-passing records visited (pointsSearched,
-        #                 collection.go:643-668) — reported as percent_searched
-        # lexicographic order on the decimal ID string: reference quirk
-        # (spanfile.go:541-547) preserved for pagination parity.
+        ordered = self._sorted_doc_ids()
         flt = args.filter
         if flt is None and args.filter_query:
             from .. import build_filter
             flt = build_filter(args.filter_query)
-        for rec_id in sorted(str(i) for i in self.columns.doc_ids()):
-            doc_id = int(rec_id)
+
+        if flt is None:
+            # unfiltered: O(page) slice of the cached order — "considered"
+            # counts records visited, exactly what the sequential walk
+            # produces (offset skips still visit, collection.go:643-668)
+            if args.limit:
+                page = ordered[args.offset:args.offset + args.limit]
+            else:
+                page = ordered[args.offset:]
+            # the sequential walk visits offset skips + the page, breaking
+            # once the limit fills; otherwise it reaches the end
+            if args.limit and len(page) == args.limit:
+                considered = args.offset + args.limit
+            else:
+                considered = len(ordered)
+            results = [SearchResult(i, self.columns.get_metadata(i), 0.0)
+                       for i in page]
+            return SearchResults(results, self._pct(considered, n_records))
+
+        results = []
+        skipped = 0
+        considered = 0  # filter-passing records visited (pointsSearched,
+        #                 collection.go:643-668) — reported as percent_searched
+        for doc_id in ordered:
             md = self.columns.get_metadata(doc_id)
-            if flt is not None and not flt(doc_id, md):
+            if not flt(doc_id, md):
                 continue
             considered += 1
             if skipped < args.offset:

@@ -177,14 +177,20 @@ def _hamming_candidates_xla(qcodes: jnp.ndarray, db_hashes: jnp.ndarray,
 # path: recall collapses to 0.44-0.73 at equal budget because Hamming
 # neighborhoods do not cluster in row order — a winning segment drags
 # SEG-1 useless rows along.  seg=16 at 2x budget merely ties row-gather.
-@functools.partial(jax.jit, static_argnames=("bits", "metric", "k"))
+@functools.partial(jax.jit, static_argnames=("bits", "metric", "k",
+                                             "with_counts"))
 def rerank_topk(queries: jnp.ndarray, codes: jnp.ndarray, norms: jnp.ndarray,
                 valid: jnp.ndarray, cand: jnp.ndarray, bits: int, metric: str,
-                k: int):
+                k: int, with_counts: bool = False):
     """Exact distances on gathered candidates, then top-k.
 
     queries (Q, D) f32; cand (Q, C) int32 rows into codes/norms.
-    Returns (dist (Q, k) f32 ascending, rows (Q, k) int32).
+    Returns (dist (Q, k) f32 ascending, rows (Q, k) int32); with
+    with_counts=True appends nscored (Q,) int32 — the number of VALID
+    candidates actually scored per query, the honest visited-points figure
+    for PercentSearched (reference counts every visited point,
+    collection.go:589; ours never visits filtered/invalid rows, so the
+    scored-candidate count is the visited count).
     """
     from ..ops import distance as dist_ops
     ccodes = jnp.take(codes, cand, axis=0)        # (Q, C, D|P)
@@ -221,10 +227,12 @@ def rerank_topk(queries: jnp.ndarray, codes: jnp.ndarray, norms: jnp.ndarray,
         vals, pos = jax.lax.approx_min_k(dist, kk, recall_target=0.95)
         # approx_min_k returns ascending values already
         rows = jnp.take_along_axis(cand, pos, axis=1)
-        return vals, rows
-    neg, pos = jax.lax.top_k(-dist, kk)
-    rows = jnp.take_along_axis(cand, pos, axis=1)
-    return -neg, rows
+    else:
+        neg, pos = jax.lax.top_k(-dist, kk)
+        vals, rows = -neg, jnp.take_along_axis(cand, pos, axis=1)
+    if with_counts:
+        return vals, rows, jnp.sum(cvalid, axis=1).astype(jnp.int32)
+    return vals, rows
 
 
 class SignHashIndex:

@@ -209,16 +209,18 @@ def sharded_scores(mesh: Mesh, queries, codes, norms, valid, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "bits", "metric", "k",
-                                    "local_budget", "words"))
+                                    "local_budget", "words", "with_counts"))
 def sharded_ann_topk(mesh: Mesh, qcodes, queries, codes, norms, hashes, valid,
                      *, bits: int, metric: str, k: int, local_budget: int,
-                     words: int):
+                     words: int, with_counts: bool = False):
     """Sharded sketch-prefilter + rerank.
 
     Each device ranks its rows by Hamming distance of the packed sketches,
     redoes exact distances on its `local_budget` best, and returns its local
     top-k; winners are concatenated and merged.  Total candidate budget =
-    local_budget * data_shards.
+    local_budget * data_shards.  with_counts=True appends nscored (Q,)
+    int32 — valid candidates actually scored across all shards (visited
+    points, for PercentSearched parity with collection.go:589).
     """
 
     def local(qc, q, c, nrm, h, v):
@@ -283,13 +285,20 @@ def sharded_ann_topk(mesh: Mesh, qcodes, queries, codes, norms, hashes, valid,
         neg, pos = jax.lax.top_k(-dist, kk)
         shift = jax.lax.axis_index(DATA_AXIS) * n_local
         rows = jnp.take_along_axis(cand, pos, axis=1) + shift
-        return -neg, rows.astype(jnp.int32)
+        nsc = jnp.sum(cvalid, axis=1, keepdims=True).astype(jnp.int32)
+        return -neg, rows.astype(jnp.int32), nsc
 
-    vals, gidx = jax.shard_map(
+    vals, gidx, nsc = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(None, FEATURE_AXIS), P(DATA_AXIS, FEATURE_AXIS),
                   P(DATA_AXIS), P(DATA_AXIS, None), P(DATA_AXIS)),
-        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS),
+                   P(None, DATA_AXIS)),
         check_vma=False,
     )(qcodes, queries, codes, norms, hashes, valid)
-    return _merge_topk(vals, gidx, min(k, vals.shape[1]))
+    dist, rows = _merge_topk(vals, gidx, min(k, vals.shape[1]))
+    if with_counts:
+        # counts replicate over 'feature' (same candidates per feature
+        # shard) and concatenate over 'data' -> (Q, ndata); sum the shards
+        return dist, rows, nsc.sum(axis=1).astype(jnp.int32)
+    return dist, rows

@@ -363,6 +363,14 @@ class ColumnarFilterEngine:
                     return None, None
                 return ({f: self._cols[f] for f in fields},
                         self._cols[""].present)
+            elif missing and "" in self._cols:
+                # native projected an earlier query's fields this generation
+                # but can't project the NEW fields — drop the cache so the
+                # full python pass below re-projects everything; otherwise
+                # the missing fields would silently default to all-absent
+                # columns (wrong filter results, not a fallback)
+                self._cols.clear()
+                self._nondict = False
         if "" not in self._cols:
             cols: dict[str, FieldColumn] = {}
             json_ok = FieldColumn(n)  # .present doubles as json-ok mask

@@ -47,12 +47,17 @@ MAX_BATCH = 64
 
 
 class _Group:
-    __slots__ = ("members", "closed", "done")
+    __slots__ = ("members", "closed", "done", "leader_thread")
 
     def __init__(self):
         self.members: list[_Pending] = []
         self.closed = False
         self.done = threading.Event()
+        # set by the creating (leader) thread so followers can detect a
+        # leader that died before reaching its try/finally (e.g. the thread
+        # was killed in the narrow pre-dispatch window) without waiting out
+        # the full last-resort timeout
+        self.leader_thread: Optional[threading.Thread] = None
 
 
 class _Pending:
@@ -96,7 +101,9 @@ class SearchBatcher:
         if not batchable:
             return coll.search(args)
 
-        key = (id(coll), args.k, args.precision or "medium",
+        # batch_token, not id(coll): CPython reuses object addresses, so a
+        # deleted collection's id() can alias a new one's and mix batches
+        key = (coll.batch_token, args.k, args.precision or "medium",
                args.filter_query or "")
         pend = _Pending(args)
         with self._lock:
@@ -104,6 +111,7 @@ class SearchBatcher:
             if group is None or group.closed or \
                     len(group.members) >= self.max_batch:
                 group = _Group()
+                group.leader_thread = threading.current_thread()
                 self._groups[key] = group
                 leader = True
             else:
@@ -111,9 +119,22 @@ class SearchBatcher:
             group.members.append(pend)
 
         if not leader:
-            if not group.done.wait(timeout=FOLLOWER_TIMEOUT_S):
-                raise RuntimeError("search batch timed out waiting for its "
-                                   "leader dispatch")
+            # liveness-checked wait: poll in 1s slices so a leader thread
+            # that died pre-dispatch wakes followers within ~1s; the long
+            # FOLLOWER_TIMEOUT_S remains only for a LIVE leader stuck in a
+            # legitimately long dispatch (cold XLA compiles through the
+            # tunnel have been observed at 500s)
+            deadline = time.monotonic() + FOLLOWER_TIMEOUT_S
+            while not group.done.wait(timeout=1.0):
+                lt = group.leader_thread
+                if lt is not None and not lt.is_alive() and \
+                        not group.done.is_set():
+                    raise RuntimeError(
+                        "search batch leader thread died before dispatch")
+                if time.monotonic() >= deadline:
+                    raise RuntimeError(
+                        "search batch timed out waiting for its leader "
+                        "dispatch")
             if pend.error is not None:
                 _reraise(pend.error)
             assert pend.result is not None

@@ -415,7 +415,14 @@ class _Handler(BaseHTTPRequestHandler):
             results = self.srv.batcher.search(coll, args)
         except ValueError as exc:
             return self._error(str(exc), 400)
-        search_ms = int((time.perf_counter() - t0) * 1000)
+        total_ms = (time.perf_counter() - t0) * 1000.0
+        # search_time keeps the reference's semantics — the Collection
+        # search dispatch alone (rest.go:450-452).  Under batching that is
+        # the group's shared device dispatch; the coalescing-window wait is
+        # reported separately as queue_wait_time so a client comparing
+        # implementations never sees batching latency booked as search time.
+        search_ms = int(results.search_time_ms)
+        queue_ms = int(max(0.0, total_ms - results.search_time_ms))
 
         out = []
         for r in results.results:
@@ -429,6 +436,7 @@ class _Handler(BaseHTTPRequestHandler):
             "results": out,
             "percent_searched": results.percent_searched,
             "search_time": search_ms,
+            "queue_wait_time": queue_ms,
             "embedding_time": embedding_ms,
         })
 

@@ -1,0 +1,200 @@
+"""Round-3 regression tests: batcher key hygiene, leader-liveness, O(page)
+list mode, visited-points percent_searched, and search_time/queue-wait split
+(VERDICT r2 items 5, 7, 8, 10 + ADVICE r2)."""
+
+import gc
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from syzgydb_tpu import Collection, CollectionOptions, SearchArgs, COSINE
+from syzgydb_tpu.server.batcher import SearchBatcher, _Group
+
+
+def make_collection(path, dims=8, quant=8, **kw):
+    return Collection(CollectionOptions(
+        name=path, distance_method=COSINE, dimension_count=dims,
+        quantization=quant, create_and_overwrite=True, index_seed=7, **kw))
+
+
+# -- batcher key hygiene (VERDICT item 10) --------------------------------
+
+def test_batch_token_unique_across_gc(tmp_path):
+    """id(coll) can be reused after GC; batch_token must never be."""
+    c1 = make_collection(str(tmp_path / "a.dat"))
+    tok1, addr1 = c1.batch_token, id(c1)
+    c1.close()
+    del c1
+    gc.collect()
+    seen = {tok1}
+    for i in range(8):  # several allocations to provoke address reuse
+        c = make_collection(str(tmp_path / f"b{i}.dat"))
+        assert c.batch_token not in seen, "token aliased across collections"
+        seen.add(c.batch_token)
+        c.close()
+        del c
+        gc.collect()
+
+
+# -- leader liveness (ADVICE r2) ------------------------------------------
+
+def test_follower_detects_dead_leader_quickly(tmp_path, rng):
+    """A follower whose leader thread died pre-dispatch must error within a
+    couple of seconds, not the 900s last-resort timeout."""
+    c = make_collection(str(tmp_path / "c.dat"), dims=4)
+    vecs = rng.standard_normal((20, 4))
+    c.add_documents(list(range(20)), vecs, [b"{}"] * 20)
+
+    batcher = SearchBatcher(window_s=30.0)  # huge window: follower must NOT
+    # be saved by the window elapsing
+
+    # forge a group whose leader thread is already dead
+    dead = threading.Thread(target=lambda: None)
+    dead.start()
+    dead.join()
+    key = (c.batch_token, 5, "medium", "")
+    group = _Group()
+    group.leader_thread = dead
+    batcher._groups[key] = group
+
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="leader"):
+        batcher.search(c, SearchArgs(vector=list(vecs[0]), k=5))
+    assert time.monotonic() - t0 < 10.0
+    c.close()
+
+
+# -- O(page) list mode (VERDICT item 8) -----------------------------------
+
+def test_list_mode_sort_cached_per_generation(tmp_path):
+    c = make_collection(str(tmp_path / "d.dat"), dims=4)
+    ids = [3, 30, 7, 100, 25, 9]
+    vecs = np.tile(np.arange(4, dtype=float), (len(ids), 1))
+    c.add_documents(ids, vecs, [json.dumps({"i": i}).encode() for i in ids])
+
+    r1 = c.search(SearchArgs(offset=1, limit=2))
+    sorts = c._list_sort_count
+    assert sorts >= 1
+    r2 = c.search(SearchArgs(offset=3, limit=2))
+    r3 = c.search(SearchArgs())
+    assert c._list_sort_count == sorts, "repeat pagination re-sorted"
+
+    # lexicographic decimal-string order: 100, 25, 3, 30, 7, 9
+    order = [100, 25, 3, 30, 7, 9]
+    assert [r.id for r in r3.results] == order
+    assert [r.id for r in r1.results] == order[1:3]
+    assert [r.id for r in r2.results] == order[3:5]
+
+    # mutation invalidates the cache
+    c.add_document(5, vecs[0], b"{}")
+    r4 = c.search(SearchArgs())
+    assert c._list_sort_count == sorts + 1
+    assert [r.id for r in r4.results] == [100, 25, 3, 30, 5, 7, 9]
+    c.close()
+
+
+def test_list_mode_fastpath_matches_walk(tmp_path):
+    """The unfiltered O(page) slice must agree exactly with the filtered
+    walk (an always-true callable forces the walk) on results AND
+    percent_searched."""
+    c = make_collection(str(tmp_path / "e.dat"), dims=4)
+    ids = list(range(40))
+    vecs = np.tile(np.arange(4, dtype=float), (len(ids), 1))
+    c.add_documents(ids, vecs, [b"{}"] * len(ids))
+    for offset, limit in [(0, 0), (0, 5), (3, 5), (38, 5), (40, 3), (55, 2),
+                          (0, 40), (10, 0)]:
+        fast = c.search(SearchArgs(offset=offset, limit=limit))
+        walk = c.search(SearchArgs(offset=offset, limit=limit,
+                                   filter=lambda i, m: True))
+        assert [r.id for r in fast.results] == [r.id for r in walk.results], \
+            (offset, limit)
+        assert fast.percent_searched == pytest.approx(
+            walk.percent_searched), (offset, limit)
+    c.close()
+
+
+# -- visited-points percent_searched (VERDICT item 7) ----------------------
+
+def test_ann_percent_searched_counts_scored_candidates(tmp_path, rng):
+    n, d = 2000, 16
+    c = make_collection(str(tmp_path / "f.dat"), dims=d,
+                        search_budget=512)
+    vecs = rng.standard_normal((n, d))
+    metas = [json.dumps({"grp": i % 10}).encode() for i in range(n)]
+    c.add_documents(list(range(n)), vecs, metas)
+
+    q = rng.standard_normal(d)
+    res = c.search(SearchArgs(vector=q, k=5))  # medium -> ANN
+    # budget 512 of 2000 rows: the scored count can be at most the budget
+    assert 0.0 < res.percent_searched <= 512 / n * 100 + 1e-9
+
+    # filtered: only ~200 rows pass; every one of them is scored
+    resf = c.search(SearchArgs(vector=q, k=5, filter_query="grp == 3"))
+    assert resf.percent_searched == pytest.approx(200 / n * 100, abs=0.5)
+
+    # batched medium searches carry per-query counts
+    many = c.search_many([SearchArgs(vector=rng.standard_normal(d), k=5)
+                          for _ in range(4)])
+    for r in many:
+        assert 0.0 < r.percent_searched <= 512 / n * 100 + 1e-9
+    c.close()
+
+
+def test_radius_ann_percent_searched_counts(tmp_path, rng):
+    n, d = 1500, 8
+    c = make_collection(str(tmp_path / "g.dat"), dims=d, search_budget=256)
+    vecs = rng.uniform(-1, 1, size=(n, d))  # inside the quantizer's clamp
+    # range so the stored row 0 stays within the radius of its own query
+    c.add_documents(list(range(n)), vecs, [b"{}"] * n)
+    q = vecs[0]
+    res = c.search(SearchArgs(vector=q, radius=0.05))
+    assert 0.0 < res.percent_searched <= 100.0
+    assert any(r.id == 0 for r in res.results)
+    c.close()
+
+
+# -- search_time / queue_wait_time split (VERDICT item 7b, ADVICE r2) ------
+
+def test_rest_search_reports_queue_wait_separately(tmp_path, monkeypatch):
+    from syzgydb_tpu.server import config as cfg_mod
+    from syzgydb_tpu.server import rest as rest_mod
+    import urllib.request
+
+    monkeypatch.setattr(
+        cfg_mod, "global_config",
+        cfg_mod.Config(data_folder=str(tmp_path), html_root=""))
+    srv = rest_mod.make_server(str(tmp_path))
+    httpd = rest_mod.make_http_server(srv)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        def req(method, path, body=None):
+            data = json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(r) as resp:
+                return json.loads(resp.read() or b"null")
+
+        req("POST", "/api/v1/collections",
+            {"name": "t", "vector_size": 4, "quantization": 8,
+             "distance_function": "cosine"})
+        recs = [{"id": i, "vector": [float(i), 1, 0, 0],
+                 "metadata": {"i": i}} for i in range(30)]
+        req("POST", "/api/v1/collections/t/records", recs)
+        out = req("POST", "/api/v1/collections/t/search",
+                  {"vector": [1.0, 0.5, 0, 0], "k": 3})
+        assert "search_time" in out and "queue_wait_time" in out
+        assert out["search_time"] >= 0 and out["queue_wait_time"] >= 0
+        # the batcher's idle-gap wait must land in queue_wait_time, not in
+        # search_time: a lone query's search_time is the dispatch alone
+        assert out["search_time"] <= out["search_time"] + \
+            out["queue_wait_time"]
+    finally:
+        httpd.shutdown()
+        for c in srv.collections.values():
+            c.close()
