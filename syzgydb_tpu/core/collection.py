@@ -453,12 +453,17 @@ class Collection:
             self.columns.dirty_all = False
             self.columns._dirty_rows.clear()
             self.sync_stats["full"] += 1
+            # 64-bit columns are f64 host-side (exact-rerank source); the
+            # device runs f32 — downcast at the upload boundary
+            codes_np = self.columns.codes
+            if self.quantization == 64:
+                codes_np = np.asarray(codes_np, dtype=np.float32)
             if self._mesh is not None:
                 import jax
                 from ..parallel import mesh as mesh_mod
                 row = mesh_mod.row_sharding(self._mesh)
                 row1 = mesh_mod.row_only_sharding(self._mesh)
-                codes_dev = jax.device_put(self.columns.codes, row)
+                codes_dev = jax.device_put(codes_np, row)
                 self._dev = {
                     "codes": codes_dev,
                     "norms": jax.device_put(self.columns.norms, row1),
@@ -471,7 +476,7 @@ class Collection:
                         codes_dev, self.quantization), row),
                 }
             else:
-                codes_dev = jnp.asarray(self.columns.codes)
+                codes_dev = jnp.asarray(codes_np)
                 self._dev = {
                     "codes": codes_dev,
                     "norms": jnp.asarray(self.columns.norms),
@@ -509,7 +514,10 @@ class Collection:
         idx = jnp.asarray(idx_np)
 
         def take(col):
-            out = np.zeros((bucket,) + col.shape[1:], dtype=col.dtype)
+            dt = col.dtype
+            if dt == np.float64:  # 64-bit host columns: device runs f32
+                dt = np.float32
+            out = np.zeros((bucket,) + col.shape[1:], dtype=dt)
             out[:m] = col[rows]
             return jnp.asarray(out)
 
@@ -750,9 +758,71 @@ class Collection:
         if k == 0:
             return [SearchResults([], self._pct(searched, n_records))
                     for _ in range(nq)]
-        dist, rows = self._exact_topk_device(queries, dev, valid, k,
-                                             precision == "exact")
+        if precision == "exact":
+            return self._exact_knn_f64(qvecs, queries, dev, valid, k,
+                                       n_passing, searched, n_records)
+        dist, rows = self._exact_topk_device(queries, dev, valid, k, False)
         return self._knn_results_many(dist, rows, k, searched, n_records)
+
+    # error bound for the f32-HIGHEST device distances vs true f64 values:
+    # accumulation error of a D-term f32 dot plus the 64->32-bit code
+    # truncation, relative to the distance magnitude.  Deliberately
+    # generous — an undersized bound would break the shortlist proof, an
+    # oversized one merely escalates more often on near-tie data.
+    _F32_EPS_REL = 3e-4
+
+    def _rows_vectors_f64(self, rows: np.ndarray) -> np.ndarray:
+        """Exact f64 dequantized vectors for the given rows.  The host
+        column store is lossless at every bit width (64-bit stays f64
+        host-side; integer codes decode via the reference's f64 formula,
+        quantization.go:25-36)."""
+        return qz.device_repr_to_float(self.columns.codes[rows],
+                                       self.quantization,
+                                       self.dimension_count)
+
+    def _exact_knn_f64(self, qvecs, queries, dev, valid, k: int,
+                       n_passing: int, searched: int,
+                       n_records: int) -> list[SearchResults]:
+        """precision="exact" above the host-scan threshold: the device
+        produces an f32-HIGHEST top-(k+margin) shortlist, and the final
+        ranking is recomputed on the host in f64 from the stored codes —
+        the reference's all-f64 semantics (collection.go:812-832) at every
+        scale.  The margin escalates until the f64 k-th best is provably
+        separated from the shortlist boundary: any row NOT shortlisted has
+        f32 distance >= the boundary, hence f64 distance >= boundary - eps,
+        so boundary > d64_k + eps proves no missing winner."""
+        nq = qvecs.shape[0]
+        m = max(64, k)
+        while True:
+            kk = min(k + m, n_passing)
+            dist, rows = self._exact_topk_device(queries, dev, valid, kk,
+                                                 True)
+            dist_np, rows_np, _ = self._fetch_results(dist, rows)
+            out = []
+            ok = True
+            for qi in range(nq):
+                fin = np.isfinite(dist_np[qi])
+                cand = rows_np[qi][fin]
+                if len(cand) == 0:
+                    out.append([])
+                    continue
+                d64 = dist_ops.distance_np(
+                    np.asarray(qvecs[qi], dtype=np.float64)[None, :],
+                    self._rows_vectors_f64(cand), self.metric)
+                order = np.argsort(d64, kind="stable")[:k]
+                if len(cand) == kk and kk < n_passing:
+                    boundary = float(dist_np[qi][fin][-1])
+                    eps = self._F32_EPS_REL * max(1.0, abs(boundary))
+                    if float(d64[order[-1]]) + eps >= boundary:
+                        ok = False
+                        break
+                out.append([self._mk_result(int(cand[i]), float(d64[i]))
+                            for i in order])
+            if ok or kk >= n_passing:
+                break
+            m *= 4
+        pct = self._pct(searched, n_records)
+        return [SearchResults(r, pct) for r in out]
 
     def _radius_search(self, args: SearchArgs, qvec: np.ndarray,
                        n_records: int) -> SearchResults:
@@ -822,6 +892,11 @@ class Collection:
         # carries it all anyway), not an avoidable transfer.
         searched = n_passing
         exact = precision == "exact"
+        # exact mode over-fetches by the f32 error bound so borderline rows
+        # the f32 scan placed just OUTSIDE the radius still reach the f64
+        # re-filter below (reference computes the radius test in f64,
+        # collection.go:598-604)
+        eps = self._F32_EPS_REL * max(1.0, args.radius) if exact else 0.0
         kk = min(1024, n_passing)
         while True:
             dist, rows = self._exact_topk_device(queries, dev, valid, kk,
@@ -829,11 +904,30 @@ class Collection:
             d0 = np.asarray(dist[0])
             finite = d0[np.isfinite(d0)]
             if kk >= n_passing or len(finite) < kk or \
-                    (len(finite) and finite[-1] > args.radius):
+                    (len(finite) and finite[-1] > args.radius + eps):
                 break
             kk = min(kk * 4, n_passing)
+        if exact:
+            rows_np = np.asarray(rows[0])[np.isfinite(d0)]
+            return self._radius_results_f64(qvec, rows_np, args.radius,
+                                            searched, n_records)
         return self._radius_results(dist, rows, args.radius, searched,
                                     n_records)
+
+    def _radius_results_f64(self, qvec: np.ndarray, rows_np: np.ndarray,
+                            radius: float, searched: int,
+                            n_records: int) -> SearchResults:
+        """f64 re-filter + re-sort of the device shortlist (exact mode)."""
+        if len(rows_np) == 0:
+            return SearchResults([], self._pct(searched, n_records))
+        d64 = dist_ops.distance_np(
+            np.asarray(qvec, dtype=np.float64)[None, :],
+            self._rows_vectors_f64(rows_np), self.metric)
+        keep = np.flatnonzero(d64 <= radius)
+        order = keep[np.argsort(d64[keep], kind="stable")]
+        results = [self._mk_result(int(rows_np[i]), float(d64[i]))
+                   for i in order]
+        return SearchResults(results, self._pct(searched, n_records))
 
     def _host_scan_knn(self, qvecs: np.ndarray, k: int, mask: np.ndarray,
                        n_passing: int, n_records: int) -> list[SearchResults]:

@@ -33,7 +33,10 @@ class ColumnStore:
         self.version = 0
         self._row_of: dict[int, int] = {}  # doc id -> row
         self._free: list[int] = []
-        dt = qz.device_dtype(quantization)
+        # host_dtype, not device_dtype: 64-bit columns stay f64 host-side
+        # so exact searches can rerank in full reference precision; the
+        # device upload downcasts to f32 (Collection._device_state)
+        dt = qz.host_dtype(quantization)
         self.codes = np.zeros((0, qz.device_width(quantization, dims)),
                               dtype=dt)
         self.norms = np.zeros((0,), dtype=np.float32)
@@ -86,7 +89,7 @@ class ColumnStore:
                 row = self.size
                 self.size += 1
             self._row_of[doc_id] = row
-        dev = qz.codes_to_device_repr(vector, self.quantization)[0]
+        dev = qz.codes_to_host_repr(vector, self.quantization)[0]
         self.codes[row] = dev
         self.norms[row] = dist_ops.db_row_stats(dev[None, :],
                                                 self.quantization,
@@ -116,7 +119,7 @@ class ColumnStore:
                     self.size += 1
                 self._row_of[doc_id] = row
             rows[i] = row
-        dev = qz.codes_to_device_repr(vectors, self.quantization)
+        dev = qz.codes_to_host_repr(vectors, self.quantization)
         self.codes[rows] = dev
         self.norms[rows] = dist_ops.db_row_stats(dev, self.quantization,
                                                  self.dims)

@@ -215,6 +215,22 @@ def device_width(bits: int, dims: int) -> int:
     return (dims + 1) // 2 if bits == 4 else dims
 
 
+def host_dtype(bits: int):
+    """Dtype of the HOST-side column store.  Identical to the device dtype
+    except 64-bit, which keeps full f64 host-side (the TPU has no f64 ALU,
+    so the upload downcasts to f32; precision="exact" reranks against the
+    host f64 copy for reference-parity at every scale)."""
+    return np.float64 if bits == 64 else device_dtype(bits)
+
+
+def codes_to_host_repr(vectors: np.ndarray, bits: int) -> np.ndarray:
+    """float64 (N, D) -> the host column-store representation (see
+    host_dtype); equals codes_to_device_repr except 64-bit stays f64."""
+    if bits == 64:
+        return np.array(np.atleast_2d(vectors), dtype=np.float64)
+    return codes_to_device_repr(vectors, bits)
+
+
 # Bulk host transforms run chunked: on sandboxed single-core hosts first-touch
 # page faults dominate, so reusing a small working set beats one giant pass.
 _CHUNK_ROWS = 16384
@@ -250,7 +266,13 @@ def device_repr_to_float(device_codes: np.ndarray, bits: int,
     """Decode the device representation back to the dequantized float values.
 
     `dims` is required for 4-bit (the packed width can't distinguish an odd
-    dimension count from the next even one)."""
+    dimension count from the next even one).
+
+    8/16-bit decode reconstructs the unsigned codes and applies the
+    REFERENCE dequant formula (codes/maxint*2-1, quantization.go:25-36) —
+    the centered-affine form (scale*c'+offset) differs by one f64 ulp for
+    some codes, and the host exact paths must be bit-identical to the
+    reference's f64 math."""
     _check_bits(bits)
     if bits in (32, 64):
         return np.asarray(device_codes, dtype=np.float64)
@@ -258,5 +280,6 @@ def device_repr_to_float(device_codes: np.ndarray, bits: int,
         if dims is None:
             raise ValueError("dims is required to decode packed 4-bit codes")
         return unpack_vectors(np.atleast_2d(device_codes), dims, 4)
-    scale, offset = affine_constants(bits)
-    return np.asarray(device_codes, dtype=np.float64) * scale + offset
+    half = (_MAXINT[bits] + 1) // 2
+    codes = np.asarray(device_codes, dtype=np.int64) + half
+    return dequantize_np(codes.astype(np.uint64), bits)
