@@ -11,12 +11,15 @@ and the same search modes (collection.go:569-711):
   * precision "exact"       -> exhaustive fused scan in full f32 precision,
                                PercentSearched == 100
   * precision "high"        -> TPU-native extension: exhaustive segment-min
-                               scan (bf16 MXU pass + exact f32 rerank of the
-                               winning segments, ops/pallas_scan.py) — near-
-                               exact (bf16-rounded segment selection with a
-                               16-segment tie margin; measured recall@10 =
-                               1.0000 at 1M x 384) at ~5x medium's batched
-                               throughput, PercentSearched == 100
+                               scan (bf16x2 MXU surface + HIGHEST-precision
+                               rerank of the winning segments,
+                               ops/pallas_scan.py) — EXACT f32 top-k,
+                               provably: selection is tie-aware and
+                               escalates its segment margin whenever bf16
+                               minima collisions could hide a winner
+                               (fused_scan_topk EXACTNESS note) — at ~5x
+                               medium's batched throughput,
+                               PercentSearched == 100
   * precision "medium"      -> sketch-prefiltered scan (index/hamming.py);
                                fastest for single queries
 
@@ -684,29 +687,53 @@ class Collection:
                 self.columns.size * self.dimension_count
                 <= HOST_SCAN_MAX_ELEMS)
 
-    def _exact_topk_device(self, queries, dev, valid, kk: int, exact: bool):
-        """Exhaustive device top-k over all rows for (Q, D) queries."""
+    def _exact_topk_device(self, queries, dev, valid, kk: int, exact: bool,
+                           tie_margin: Optional[int] = None):
+        """Exhaustive device top-k over all rows for (Q, D) queries.
+
+        Returns (dist, rows, tie_counts, s_used, nseg).  tie_counts is a
+        per-query device array implementing the provable-selection
+        contract (ops/pallas_scan.fused_scan_topk docstring): the result
+        is the true top-k when max(tie_counts) <= s_used; otherwise the
+        caller re-dispatches with tie_margin = the observed count.  The
+        non-segmented fallbacks select over the full surface and return
+        tie_counts=None (no escalation needed)."""
         if self._mesh is not None:
             from ..parallel import search as psearch
-            return psearch.sharded_exact_topk(
+            margin = psearch.DEFAULT_SEG_MARGIN if tie_margin is None \
+                else tie_margin
+            out = psearch.sharded_exact_topk(
                 self._mesh, queries, dev["codes"], dev["norms"], valid,
-                bits=self.quantization, metric=self.metric, k=kk, exact=exact)
+                bits=self.quantization, metric=self.metric, k=kk,
+                exact=exact, seg_margin=margin, with_ties=True)
+            if len(out) == 2:  # non-fused sharded path: full-surface top-k
+                return out[0], out[1], None, 0, 0
+            dist, rows, ties = out
+            nseg = (self.columns.capacity //
+                    self._mesh.shape["data"]) // psearch._SEG
+            return dist, rows, ties, min(kk + margin, nseg), nseg
         from ..ops import pallas_scan
-        # Fused segment-min Pallas kernel: streams the codes once and never
-        # materializes the (Q, N) distance matrix in HBM (ops/pallas_scan.py).
-        # Falls back to the XLA two-dispatch pipeline for large k (radius
-        # escalation) or off-TPU.
+        # Fused segment-min scan: streams the codes once and never
+        # materializes the f32 (Q, N) distance matrix in HBM
+        # (ops/pallas_scan.py).  Falls back to the XLA two-dispatch
+        # pipeline for large k (radius escalation) or off-TPU.
         if kk <= pallas_scan.MAX_FUSED_K and pallas_scan.supported():
             for block in (4096, 2048, 1024):
                 if self.columns.capacity % block == 0:
-                    return pallas_scan.fused_scan_topk(
+                    margin = pallas_scan._TIE_MARGIN if tie_margin is None \
+                        else tie_margin
+                    nseg = self.columns.capacity // pallas_scan.DEFAULT_SEG
+                    dist, rows, ties = pallas_scan.fused_scan_topk(
                         queries, dev["codes"], dev["norms"], valid,
                         bits=self.quantization, metric=self.metric,
-                        k=kk, block_n=block, exact=exact)
+                        k=kk, block_n=block, exact=exact,
+                        tie_margin=margin, with_ties=True)
+                    return dist, rows, ties, min(kk + margin, nseg), nseg
         dists = dist_ops.score_block(
             queries, dev["codes"], dev["norms"], valid,
             self.quantization, self.metric, exact=exact)
-        return dist_ops.top_k_smallest(dists, kk)
+        d, r = dist_ops.top_k_smallest(dists, kk)
+        return d, r, None, 0, 0
 
     def _knn_many(self, qvecs: np.ndarray, args: SearchArgs,
                   n_records: int) -> list[SearchResults]:
@@ -761,8 +788,21 @@ class Collection:
         if precision == "exact":
             return self._exact_knn_f64(qvecs, queries, dev, valid, k,
                                        n_passing, searched, n_records)
-        dist, rows = self._exact_topk_device(queries, dev, valid, k, False)
-        return self._knn_results_many(dist, rows, k, searched, n_records)
+        dist, rows, ties, s_used, nseg = self._exact_topk_device(
+            queries, dev, valid, k, False)
+        if ties is None:
+            return self._knn_results_many(dist, rows, k, searched, n_records)
+        while True:
+            dist_np, rows_np, tie_np = self._fetch_results(dist, rows, ties)
+            maxt = int(tie_np.max())
+            if s_used >= nseg or maxt <= s_used:
+                break
+            # provable-selection escalation: more segments tied under the
+            # threshold than the margin covered (adversarially clustered
+            # data) — re-dispatch with the observed count as the margin
+            dist, rows, ties, s_used, nseg = self._exact_topk_device(
+                queries, dev, valid, k, False, tie_margin=maxt - k + 8)
+        return self._knn_results_np(dist_np, rows_np, k, searched, n_records)
 
     # error bound for the f32-HIGHEST device distances vs true f64 values:
     # accumulation error of a D-term f32 dot plus the 64->32-bit code
@@ -793,11 +833,18 @@ class Collection:
         so boundary > d64_k + eps proves no missing winner."""
         nq = qvecs.shape[0]
         m = max(64, k)
+        tmargin = None
         while True:
             kk = min(k + m, n_passing)
-            dist, rows = self._exact_topk_device(queries, dev, valid, kk,
-                                                 True)
-            dist_np, rows_np, _ = self._fetch_results(dist, rows)
+            dist, rows, ties, s_used, nseg = self._exact_topk_device(
+                queries, dev, valid, kk, True, tie_margin=tmargin)
+            dist_np, rows_np, tie_np = self._fetch_results(dist, rows, ties)
+            if ties is not None and s_used < nseg and \
+                    int(tie_np.max()) > s_used:
+                # segment-selection tie overflow: the shortlist itself may
+                # be incomplete — widen the segment margin first
+                tmargin = int(tie_np.max()) - kk + 8
+                continue
             out = []
             ok = True
             for qi in range(nq):
@@ -898,9 +945,15 @@ class Collection:
         # collection.go:598-604)
         eps = self._F32_EPS_REL * max(1.0, args.radius) if exact else 0.0
         kk = min(1024, n_passing)
+        tmargin = None
         while True:
-            dist, rows = self._exact_topk_device(queries, dev, valid, kk,
-                                                 exact)
+            dist, rows, ties, s_used, nseg = self._exact_topk_device(
+                queries, dev, valid, kk, exact, tie_margin=tmargin)
+            if ties is not None and s_used < nseg:
+                maxt = int(np.asarray(ties).max())
+                if maxt > s_used:
+                    tmargin = maxt - kk + 8
+                    continue
             d0 = np.asarray(dist[0])
             finite = d0[np.isfinite(d0)]
             if kk >= n_passing or len(finite) < kk or \
@@ -1012,6 +1065,10 @@ class Collection:
     def _knn_results_many(self, dist, rows, k: int, searched: int,
                           n_records: int, counts=None) -> list[SearchResults]:
         dist, rows, cnt = self._fetch_results(dist, rows, counts)
+        return self._knn_results_np(dist, rows, k, searched, n_records, cnt)
+
+    def _knn_results_np(self, dist, rows, k: int, searched: int,
+                        n_records: int, cnt=None) -> list[SearchResults]:
         return [SearchResults(
             [self._mk_result(int(r), float(d))
              for d, r in zip(dist[qi][:k], rows[qi][:k]) if np.isfinite(d)],

@@ -114,21 +114,57 @@ class TextEmbedder:
 
     # -- checkpointing -------------------------------------------------------
 
+    _CKPT_MAGIC = b"SYZE"
+
     def save_checkpoint(self, path: str) -> None:
-        """Serialize params (flax msgpack) — pairs with load_pretrained."""
+        """Self-describing checkpoint: a small JSON config header followed
+        by the flax msgpack params — from_checkpoint() reconstructs the
+        matching Encoder without the caller knowing the architecture."""
+        import json as _json
+
         import flax.serialization
+        cfg = dataclasses.asdict(self.cfg)
+        cfg["dtype"] = jnp.dtype(self.cfg.dtype).name
+        hdr = _json.dumps(cfg).encode()
         with open(path, "wb") as f:
+            f.write(self._CKPT_MAGIC)
+            f.write(len(hdr).to_bytes(4, "little"))
+            f.write(hdr)
             f.write(flax.serialization.to_bytes(self.params))
 
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "TextEmbedder":
+        """Load a save_checkpoint() file, reconstructing its config; falls
+        back to default-config raw-params loading for legacy blobs."""
+        import json as _json
+        with open(path, "rb") as f:
+            magic = f.read(4)
+            if magic != cls._CKPT_MAGIC:
+                emb = cls()
+                emb.load_pretrained(path)
+                return emb
+            n = int.from_bytes(f.read(4), "little")
+            cfg_d = _json.loads(f.read(n).decode())
+            cfg_d["dtype"] = jnp.dtype(cfg_d["dtype"]).type
+            emb = cls(EmbedderConfig(**cfg_d))
+            import flax.serialization
+            emb.params = flax.serialization.from_bytes(emb.params, f.read())
+            return emb
+
     def load_pretrained(self, path: str) -> None:
-        """Load a checkpoint written by save_checkpoint (or any flax msgpack
-        blob matching this Encoder's tree).  Without one, the embedder runs
-        RANDOM weights — fine as a load/scale target, semantically
+        """Load checkpoint params into THIS instance's architecture: either
+        a save_checkpoint() file (config header must match this Encoder's
+        tree) or a raw flax msgpack params blob.  Without one, the embedder
+        runs RANDOM weights — fine as a load/scale target, semantically
         meaningless for retrieval; the server logs it as experimental
         (server/rest.py)."""
         import flax.serialization
         with open(path, "rb") as f:
-            self.params = flax.serialization.from_bytes(self.params, f.read())
+            blob = f.read()
+        if blob[:4] == self._CKPT_MAGIC:
+            n = int.from_bytes(blob[4:8], "little")
+            blob = blob[8 + n:]
+        self.params = flax.serialization.from_bytes(self.params, blob)
 
 
 def contrastive_loss(params, model: Encoder, ids_a, mask_a, ids_b, mask_b,

@@ -156,6 +156,69 @@ def packed4_dots_batched(queries: jnp.ndarray, ccodes: jnp.ndarray,
     return scale * raw + offset * qsum
 
 
+def split_bf16x2(queries: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 (Q, D) -> (hi, lo) bf16 pair with hi + lo ~= q to ~16 mantissa
+    bits.  dot(q, c) = dot(hi, c) + dot(lo, c) runs as two fast bf16 MXU
+    passes yet carries ~2^-16 relative query error instead of bf16's 2^-8 —
+    the trick that makes the segment-min surface's error bound tight enough
+    for the provably-exact selection threshold (fused_scan_topk)."""
+    hi = queries.astype(jnp.bfloat16)
+    lo = (queries - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def code_dots_accurate(queries: jnp.ndarray, codes: jnp.ndarray,
+                       bits: int) -> jnp.ndarray:
+    """(Q, D) f32 x (N, D|P) codes -> (Q, N) dots with a PROVABLE error
+    bound of ~1e-5 relative (vs bf16's 2^-8) while keeping the code stream
+    at its narrow dtype:
+
+    * 4/8-bit: codes are exact in bf16; the query rides split_bf16x2, so
+      the only residual error is the f32 accumulation (~D * 2^-24).
+    * 16/32/64-bit: HIGHEST-precision f32 dots (codes don't fit bf16's
+      mantissa; these widths are not the traffic-bound headline path).
+    """
+    dn = (((1,), (1,)), ((), ()))
+    if bits in (32, 64):
+        return jax.lax.dot_general(
+            queries, codes, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    use_bf16 = fast_dot_dtype() == jnp.bfloat16  # CPU backend can't dot bf16
+    scale, offset = qz.affine_constants(bits)
+    if bits == 4:
+        qe, qo = deinterleave_queries(queries)
+        h, l = split_nibbles(codes)
+        l = l[..., : qo.shape[-1]]
+        raw = jnp.zeros((queries.shape[0], codes.shape[0]), jnp.float32)
+        for qpart, cpart in ((qe, h), (qo, l)):
+            if use_bf16:
+                for qhalf in split_bf16x2(qpart):
+                    raw = raw + jax.lax.dot_general(
+                        qhalf, cpart.astype(jnp.bfloat16),
+                        dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+            else:
+                raw = raw + jax.lax.dot_general(
+                    qpart, cpart.astype(jnp.float32), dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    elif bits == 8 and use_bf16:
+        chalf = codes.astype(jnp.bfloat16)
+        raw = jnp.zeros((queries.shape[0], codes.shape[0]), jnp.float32)
+        for qhalf in split_bf16x2(queries):
+            raw = raw + jax.lax.dot_general(
+                qhalf, chalf, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+    else:  # 16-bit anywhere; 8-bit off-TPU
+        raw = jax.lax.dot_general(
+            queries, codes.astype(jnp.float32), dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    qsum = jnp.sum(queries, axis=-1, keepdims=True)
+    return scale * raw + offset * qsum
+
+
 def _code_matmul(queries: jnp.ndarray, codes: jnp.ndarray, bits: int,
                  precision) -> jnp.ndarray:
     """(Q, D) f32 x (N, D|P) codes -> (Q, N) f32 dot(q, dequant(v))."""

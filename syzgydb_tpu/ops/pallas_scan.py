@@ -174,9 +174,14 @@ def segment_min_scan(queries, codes, norms, valid, *, bits: int, metric: str,
 
 def _candidate_distances(queries, ccodes, cnorms, cvalid, bits, metric,
                          exact):
-    """Exact distances for gathered candidates (Q, C, D|P) -> (Q, C) f32."""
+    """Exact distances for gathered candidates (Q, C, D|P) -> (Q, C) f32.
+
+    Always HIGHEST precision: the candidate set is tiny (S*seg rows per
+    query vs N scanned), so true-f32 math costs nothing measurable here,
+    and it is what makes precision="high" PROVABLY return the exact f32
+    top-k once the tie-aware segment selection guarantees coverage."""
     from . import distance as dist_ops
-    precision = jax.lax.Precision.HIGHEST if exact else None
+    precision = jax.lax.Precision.HIGHEST
     if bits in (32, 64):
         dots = jnp.einsum("qd,qcd->qc", queries, ccodes.astype(jnp.float32),
                           preferred_element_type=jnp.float32,
@@ -185,12 +190,8 @@ def _candidate_distances(queries, ccodes, cnorms, cvalid, bits, metric,
         dots = dist_ops.packed4_dots_batched(queries, ccodes, precision)
     else:
         scale, offset = qz.affine_constants(bits)
-        from . import distance as _d
-        fast = bits == 8 and not exact
-        cast = _d.fast_dot_dtype() if fast else jnp.float32
-        raw = jnp.einsum("qd,qcd->qc",
-                         queries.astype(cast) if fast else queries,
-                         ccodes.astype(cast),
+        raw = jnp.einsum("qd,qcd->qc", queries,
+                         ccodes.astype(jnp.float32),
                          preferred_element_type=jnp.float32,
                          precision=precision)
         qsum = jnp.sum(queries, axis=-1, keepdims=True)
@@ -508,12 +509,20 @@ def segment_min_scan_xla(queries, codes, norms, valid, *, bits: int,
     epilogue/min into the matmul consumer chain, so the (Q, N) surface is
     at worst one bf16-sized transient instead of the f32 (Q, N) + full
     lax.top_k pass the old pipeline paid.  Measured faster than the Pallas
-    kernel on v5e (Mosaic's transposed-layout segmin ran at ~5 GB/s)."""
+    kernel on v5e (Mosaic's transposed-layout segmin ran at ~5 GB/s).
+
+    The dots use code_dots_accurate — the query rides a bf16 hi+lo split
+    (two fast MXU passes) so the surface distance error vs exact f32 is
+    bounded by ~1e-5 relative, tight enough for fused_scan_topk's provable
+    selection threshold; the codes still stream at their narrow dtype."""
     from . import distance as dist_ops
     n = codes.shape[0]
     q = queries.shape[0]
-    precision = jax.lax.Precision.HIGHEST if exact else None
-    dots = dist_ops._code_matmul(queries, codes, bits, precision)  # (Q, N)
+    if exact:
+        dots = dist_ops._code_matmul(queries, codes, bits,
+                                     jax.lax.Precision.HIGHEST)
+    else:
+        dots = dist_ops.code_dots_accurate(queries, codes, bits)   # (Q, N)
     if metric == "euclidean":
         qn2 = jnp.sum(queries * queries, axis=-1, keepdims=True)
         dist = jnp.maximum(qn2 - 2.0 * dots + norms[None, :], 0.0)
@@ -523,15 +532,12 @@ def segment_min_scan_xla(queries, codes, norms, valid, *, bits: int,
         inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
         cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
         dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
-    # Surface dtype trade-off, measured at 1M x 384 x 1024q on v5e:
-    # bf16 halves the materialized (Q, N) transient (25.7ms vs 40.4ms) but
-    # rounds segment minima to 8 mantissa bits, so on pathologically
-    # clustered data >TIE_MARGIN segments can collide at the k-th min and
-    # the true winner's segment may be excluded — which is why
-    # precision="high" is documented NEAR-exact (measured recall 1.0 on
-    # clustered corpora) while exact=True keeps the provable f32 chain.
-    # (An in-kernel f32 segment-min avoids the transient entirely but its
-    # Mosaic compile exceeds 30 minutes on this toolchain: segment_min_scan_nat.)
+    # Surface dtype: bf16 halves the materialized (Q, N) transient (25.7ms
+    # vs 40.4ms at 1M x 384 x 1024q on v5e).  Rounding segment minima to 8
+    # mantissa bits is SAFE because selection is tie-aware: fused_scan_topk
+    # counts every segment under a provable threshold and escalates the
+    # margin when bf16 collisions could hide a winner (exactness note
+    # there).  exact=True keeps an f32 surface.
     surf_t = jnp.float32 if exact else jnp.bfloat16
     dist = jnp.where(valid[None, :], dist.astype(surf_t),
                      jnp.asarray(jnp.inf, surf_t))
@@ -539,19 +545,43 @@ def segment_min_scan_xla(queries, codes, norms, valid, *, bits: int,
         jnp.float32)
 
 
+# Error bound of the non-exact surface distances vs true-f32 values,
+# RELATIVE to the surrogate magnitude: bf16x2 query split leaves ~2^-16
+# query error + ~D*2^-24 f32 accumulation; 1e-4 over-covers both by >2x
+# at D up to 4096.  Used to widen the tie threshold below.
+_SURFACE_EPS_REL = 1e-4
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "metric", "k", "block_n",
                                              "seg", "exact", "interpret",
-                                             "surface"))
+                                             "surface", "tie_margin",
+                                             "with_ties"))
 def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
                     k: int, block_n: int = DEFAULT_BLOCK_N,
                     seg: int = DEFAULT_SEG, exact: bool = False,
-                    interpret: bool = False, surface: str = "xla"):
+                    interpret: bool = False, surface: str = "xla",
+                    tie_margin: int = _TIE_MARGIN, with_ties: bool = False):
     """Exhaustive fused scan -> (dist (Q, k) ascending, rows (Q, k)).
 
     N must be a multiple of block_n (the column store pads capacity;
     padding rows carry valid=False).  k <= MAX_FUSED_K.  `surface` picks the
     segment-minima producer: "xla" (default, fused epilogue) or "pallas"
     (ops kernel above).
+
+    EXACTNESS (with_ties=True): the result is the true f32 top-k whenever
+    the returned per-query tie count is <= k + tie_margin.  Proof sketch:
+    let s_(k) be the k-th smallest surface segmin and delta the surface
+    error bound.  The k segment argmins are k distinct rows with true
+    distance <= s_(k) + delta, so the true k-th best d_(k) <= s_(k) +
+    delta; any winner's segment then has surface min <= d_(k) + delta <=
+    s_(k) + 2*delta, and its bf16-rounded value <= rnd(s_(k) + 2*delta) <=
+    m_k*(1+2^-8) + 2*delta =: T (m_k = k-th smallest bf16 segmin = rnd(
+    s_(k)), rounding monotone).  Every segment with value <= T is among
+    the top-c selected when c = |{segmin <= T}| <= k + tie_margin — so if
+    the tie count fits the margin, all winners were gathered and the
+    HIGHEST-precision rerank returns the exact f32 top-k.  Callers
+    escalate tie_margin to the returned count when it overflows
+    (Collection._exact_topk_device).
     """
     n = codes.shape[0]
     q0, d = queries.shape  # d = true dims (codes may be nibble-packed)
@@ -578,8 +608,8 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
                                        bits=bits, metric=metric, seg=seg,
                                        exact=exact)
     nseg = n // seg
-    s = min(k + _TIE_MARGIN, nseg)
-    _, seg_idx = jax.lax.top_k(-segmins, s)                   # (Qp, S)
+    s = min(k + tie_margin, nseg)
+    negv, seg_idx = jax.lax.top_k(-segmins, s)                # (Qp, S)
 
     ccodes = gather_segments(codes, seg_idx, seg)             # (Qp, S*seg, D)
     cnorms = gather_segments(norms, seg_idx, seg)             # (Qp, S*seg)
@@ -593,7 +623,26 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
     kk = min(k, dist.shape[1])
     neg, pos = jax.lax.top_k(-dist, kk)
     out_rows = jnp.take_along_axis(rows, pos, axis=1)
-    return (-neg)[:q0], out_rows[:q0]
+    if not with_ties:
+        return (-neg)[:q0], out_rows[:q0]
+
+    # tie accounting for the provable-selection contract (docstring above)
+    m_k = -negv[:, min(k, s) - 1]                             # (Qp,)
+    if metric == "euclidean":
+        # surrogate is the SQUARED distance: scale the relative bound by
+        # its magnitude (qn2 + max row norm bounds any candidate value)
+        qn2 = jnp.sum(queries * queries, axis=-1)
+        vmax = jnp.max(jnp.where(valid, norms, 0.0))
+        delta = _SURFACE_EPS_REL * (qn2 + vmax)
+    else:
+        # angular surrogate lives in [0, 1]
+        delta = jnp.full((queries.shape[0],), _SURFACE_EPS_REL, jnp.float32)
+    # bf16 carries a 2^-8 relative half-ulp rounding error and it enters
+    # the chain twice (winner's rounded value up, m_k's rounding down), so
+    # the provable factor is (1+2^-8)/(1-2^-8) < 1+2^-6 — widen by 1/64
+    thresh = m_k * (1.0 + 1.0 / 64.0) + 2.1 * delta
+    ties = jnp.sum(segmins <= thresh[:, None], axis=1).astype(jnp.int32)
+    return (-neg)[:q0], out_rows[:q0], ties[:q0]
 
 
 def supported() -> bool:

@@ -21,43 +21,72 @@ from ..ops import quantize as qz
 from .mesh import DATA_AXIS, FEATURE_AXIS
 
 
-def _local_dots(queries, codes, bits, precision):
+def _local_dots(queries, codes, bits, precision, accurate: bool = False):
     """Feature-partial dot(q, dequant(v)) with psum over the feature axis.
 
     queries: (Q, D_local) f32; codes: (N_local, D_local) — or, for 4-bit,
     (N_local, D_local/2) packed nibbles (each feature shard must hold an
     even, nibble-aligned dimension slice; sharded_* validates).
     Returns (Q, N_local) f32 full-D dots.
+
+    accurate=True rides ops.distance.code_dots_accurate semantics (bf16x2
+    query split / HIGHEST) so the segmin surface carries the ~1e-5 error
+    bound the provable selection threshold assumes; the scale/offset
+    epilogue is applied here after the feature psum either way.
     """
     from ..ops import distance as dist_ops
+    dn = (((1,), (1,)), ((), ()))
+    if accurate and precision is None:
+        precision = jax.lax.Precision.HIGHEST
+        use_bf16x2 = bits in (4, 8) and \
+            dist_ops.fast_dot_dtype() == jnp.bfloat16
+    else:
+        use_bf16x2 = False
     if bits in (32, 64):
         raw = jax.lax.dot_general(
-            queries, codes.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            queries, codes.astype(jnp.float32), dimension_numbers=dn,
             preferred_element_type=jnp.float32, precision=precision)
         return jax.lax.psum(raw, FEATURE_AXIS)
     scale, offset = qz.affine_constants(bits)
     if bits == 4:
         qe, qo = dist_ops.deinterleave_queries(queries)
         h, low = dist_ops.split_nibbles(codes)
-        cast = dist_ops.fast_dot_dtype() if precision is None else jnp.float32
-        dn = (((1,), (1,)), ((), ()))
-        raw = jax.lax.dot_general(
-            qe.astype(cast), h.astype(cast), dimension_numbers=dn,
-            preferred_element_type=jnp.float32, precision=precision)
-        raw = raw + jax.lax.dot_general(
-            qo.astype(cast), low[:, : qo.shape[1]].astype(cast),
-            dimension_numbers=dn,
-            preferred_element_type=jnp.float32, precision=precision)
-    else:
-        if precision is None and bits == 8:
-            cast = dist_ops.fast_dot_dtype()
-            lhs, rhs = queries.astype(cast), codes.astype(cast)
+        low = low[:, : qo.shape[1]]
+        if use_bf16x2:
+            raw = jnp.zeros((queries.shape[0], codes.shape[0]), jnp.float32)
+            for qpart, cpart in ((qe, h), (qo, low)):
+                for qhalf in dist_ops.split_bf16x2(qpart):
+                    raw = raw + jax.lax.dot_general(
+                        qhalf, cpart.astype(jnp.bfloat16),
+                        dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
         else:
-            lhs, rhs = queries, codes.astype(jnp.float32)
-        raw = jax.lax.dot_general(
-            lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+            cast = dist_ops.fast_dot_dtype() if precision is None \
+                else jnp.float32
+            raw = jax.lax.dot_general(
+                qe.astype(cast), h.astype(cast), dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=precision)
+            raw = raw + jax.lax.dot_general(
+                qo.astype(cast), low.astype(cast), dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=precision)
+    else:
+        if use_bf16x2 and bits == 8:
+            chalf = codes.astype(jnp.bfloat16)
+            raw = jnp.zeros((queries.shape[0], codes.shape[0]), jnp.float32)
+            for qhalf in dist_ops.split_bf16x2(queries):
+                raw = raw + jax.lax.dot_general(
+                    qhalf, chalf, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+        elif precision is None and bits == 8:
+            cast = dist_ops.fast_dot_dtype()
+            raw = jax.lax.dot_general(
+                queries.astype(cast), codes.astype(cast),
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=precision)
+        else:
+            raw = jax.lax.dot_general(
+                queries, codes.astype(jnp.float32), dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=precision)
     raw = jax.lax.psum(raw, FEATURE_AXIS)
     qsum = jax.lax.psum(jnp.sum(queries, axis=-1, keepdims=True), FEATURE_AXIS)
     return scale * raw + offset * qsum
@@ -100,20 +129,27 @@ def _merge_topk(vals, gidx, k):
 
 
 _SEG = 32          # segment width for the fused local scan
-_SEG_MARGIN = 8    # extra segments kept for value ties
+DEFAULT_SEG_MARGIN = 8    # extra segments kept for value ties
+_SEG_MARGIN = DEFAULT_SEG_MARGIN  # back-compat alias
+# surface error bound, relative (matches ops/pallas_scan._SURFACE_EPS_REL;
+# the local surface uses the same accurate-dots construction)
+_SURF_EPS_REL = 1e-4
 
 
-def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k):
+def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin):
     """Per-device segment-min scan: surrogate surface -> top segments ->
-    contiguous gather -> exact local distances -> local top-k.
+    contiguous gather -> HIGHEST-precision recompute -> local top-k.
 
     The same traffic cut that makes single-chip precision='high' ~3x the
     plain pipeline (ops/pallas_scan.py design notes), inside shard_map:
     the (Q, N_local) surface reduces to (Q, N_local/SEG) minima before any
-    full-width top_k, and only the winning SEG-row slabs are gathered."""
+    full-width top_k, and only the winning SEG-row slabs are gathered.
+    Returns (vals, local_rows, tie_counts): the provable-selection
+    contract of fused_scan_topk applies per shard — the local top-k is
+    exact when tie_counts <= k + seg_margin everywhere."""
     n_local = c.shape[0]
     precision = jax.lax.Precision.HIGHEST if exact else None
-    dots = _local_dots(q, c, bits, precision)            # (Q, N_local)
+    dots = _local_dots(q, c, bits, precision, accurate=True)  # (Q, N_local)
     qn2 = jax.lax.psum(jnp.sum(q * q, axis=-1, keepdims=True), FEATURE_AXIS)
     if metric == "euclidean":
         surr = jnp.maximum(qn2 - 2.0 * dots + nrm[None, :], 0.0)
@@ -126,8 +162,8 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k):
 
     nq = q.shape[0]
     segmins = jnp.min(surr.reshape(nq, n_local // _SEG, _SEG), axis=-1)
-    s = min(k + _SEG_MARGIN, n_local // _SEG)
-    _, seg_idx = jax.lax.top_k(-segmins, s)              # (Q, S)
+    s = min(k + seg_margin, n_local // _SEG)
+    negv, seg_idx = jax.lax.top_k(-segmins, s)           # (Q, S)
 
     def gather_seg(arr):
         flat = arr.reshape(n_local // _SEG, -1)
@@ -137,55 +173,121 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k):
     rows = (seg_idx[:, :, None] * _SEG +
             jnp.arange(_SEG, dtype=jnp.int32)[None, None, :]
             ).reshape(nq, s * _SEG)
-    csurr = jnp.take_along_axis(surr, rows, axis=1)      # (Q, S*_SEG)
-    # exact metric transform on the winners only
-    if metric == "euclidean":
-        cdist = jnp.sqrt(csurr)
-    else:
-        cn = gather_seg(nrm)
-        cos = 1.0 - 2.0 * csurr
-        cdist = jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / jnp.pi
-        qn = jnp.sqrt(qn2)
-        cdist = jnp.where((qn == 0.0) | (cn == 0.0), 1.0, cdist)
-    cdist = jnp.where(jnp.isfinite(csurr), cdist, jnp.inf)
+    # HIGHEST-precision recompute of the gathered candidates (feature
+    # partials psum'd) — the final distances are true f32, independent of
+    # the surface's fast-dot construction
+    ccodes = gather_seg(c)                               # (Q, C, D_l|P_l)
+    cnorms = gather_seg(nrm)
+    cvalid = gather_seg(v)
+    cdist = _candidate_distances_sharded(q, ccodes, cnorms, cvalid, bits,
+                                         metric, qn2)
     kk = min(k, cdist.shape[1])
     neg, pos = jax.lax.top_k(-cdist, kk)
-    return -neg, jnp.take_along_axis(rows, pos, axis=1)
+
+    # tie accounting (see ops/pallas_scan.fused_scan_topk EXACTNESS note):
+    # count segments under the provable threshold; the caller escalates
+    # seg_margin when any query's count exceeds s
+    m_k = -negv[:, min(k, s) - 1]
+    if metric == "euclidean":
+        vmax = jnp.max(jnp.where(v, nrm, 0.0))
+        delta = _SURF_EPS_REL * (qn2[:, 0] + vmax)
+    else:
+        delta = jnp.full((nq,), _SURF_EPS_REL, jnp.float32)
+    # same 1/64 factor as fused_scan_topk: bf16's 2^-8 half-ulp enters the
+    # chain twice (here the local surface stays f32, so this is pure slack)
+    thresh = m_k * (1.0 + 1.0 / 64.0) + 2.1 * delta
+    ties = jnp.sum(segmins <= thresh[:, None], axis=1).astype(jnp.int32)
+    return -neg, jnp.take_along_axis(rows, pos, axis=1), ties
+
+
+def _candidate_distances_sharded(q, ccodes, cnorms, cvalid, bits, metric,
+                                 qn2):
+    """HIGHEST-precision distances for gathered candidates under feature
+    sharding: per-shard partial dots psum'd over FEATURE_AXIS."""
+    from ..ops import distance as dist_ops
+    precision = jax.lax.Precision.HIGHEST
+    if bits in (32, 64):
+        raw = jnp.einsum("qd,qcd->qc", q, ccodes.astype(jnp.float32),
+                         preferred_element_type=jnp.float32,
+                         precision=precision)
+        dots = jax.lax.psum(raw, FEATURE_AXIS)
+    else:
+        scale, offset = qz.affine_constants(bits)
+        if bits == 4:
+            qe, qo = dist_ops.deinterleave_queries(q)
+            h, low = dist_ops.split_nibbles(ccodes)
+            raw = jnp.einsum("qd,qcd->qc", qe, h.astype(jnp.float32),
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
+            raw = raw + jnp.einsum(
+                "qd,qcd->qc", qo, low[..., : qo.shape[1]].astype(jnp.float32),
+                preferred_element_type=jnp.float32, precision=precision)
+        else:
+            raw = jnp.einsum("qd,qcd->qc", q, ccodes.astype(jnp.float32),
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
+        raw = jax.lax.psum(raw, FEATURE_AXIS)
+        qsum = jax.lax.psum(jnp.sum(q, axis=-1, keepdims=True), FEATURE_AXIS)
+        dots = scale * raw + offset * qsum
+    if metric == "euclidean":
+        dist = jnp.sqrt(jnp.maximum(qn2 - 2.0 * dots + cnorms, 0.0))
+    else:
+        qn = jnp.sqrt(qn2)
+        vn = jnp.sqrt(cnorms)
+        denom = qn * vn
+        cos = jnp.where(denom > 0.0,
+                        dots / jnp.where(denom > 0.0, denom, 1.0), 1.0)
+        dist = jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / jnp.pi
+        dist = jnp.where((qn == 0.0) | (vn == 0.0), 1.0, dist)
+    return jnp.where(cvalid, dist, jnp.inf)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "bits", "metric", "k", "exact"))
+                   static_argnames=("mesh", "bits", "metric", "k", "exact",
+                                    "seg_margin", "with_ties"))
 def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, *,
-                       bits: int, metric: str, k: int, exact: bool = False):
-    """Exhaustive sharded scan -> (dist (Q, k), global row ids (Q, k))."""
+                       bits: int, metric: str, k: int, exact: bool = False,
+                       seg_margin: int = DEFAULT_SEG_MARGIN,
+                       with_ties: bool = False):
+    """Exhaustive sharded scan -> (dist (Q, k), global row ids (Q, k)).
+
+    with_ties=True appends the per-query MAX across shards of the local
+    segment tie counts (fused path) — the provable-selection escalation
+    signal (_local_segmin_topk / ops/pallas_scan.fused_scan_topk); when
+    the non-fused full-surface path runs instead (large k, unaligned
+    shapes), selection is already exact and the 2-tuple is returned."""
     _check_packed4(mesh, queries, bits)
-    # exact-mode cosine must not take the fused path: its final distances
-    # derive from the rsqrt surrogate, while exact parity requires the
-    # dots/denom division + arccos chain (euclidean's sqrt transform is the
-    # same math either way, so it stays fused)
-    fused = k <= 128 and codes.shape[0] % (mesh.shape[DATA_AXIS] * _SEG) == 0 \
-        and not (exact and metric == "cosine")
+    # exact mode rides the fused path too: candidates are RECOMPUTED at
+    # HIGHEST precision through the full metric chain
+    # (_candidate_distances_sharded), so fused selection no longer changes
+    # the final distance values
+    fused = k <= 128 and codes.shape[0] % (mesh.shape[DATA_AXIS] * _SEG) == 0
 
     def local(q, c, nrm, v):
         if fused:
-            vals, idx = _local_segmin_topk(q, c, nrm, v, bits, metric,
-                                           exact, k)
+            vals, idx, ties = _local_segmin_topk(q, c, nrm, v, bits, metric,
+                                                 exact, k, seg_margin)
         else:
             dist = _local_distances(q, c, nrm, v, bits, metric, exact)
             kk = min(k, dist.shape[1])
             neg, idx = jax.lax.top_k(-dist, kk)
             vals = -neg
+            ties = jnp.zeros((q.shape[0],), jnp.int32)
         shift = jax.lax.axis_index(DATA_AXIS) * c.shape[0]
-        return vals, (idx + shift).astype(jnp.int32)
+        return vals, (idx + shift).astype(jnp.int32), ties[:, None]
 
-    vals, gidx = jax.shard_map(
+    vals, gidx, ties = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(None, FEATURE_AXIS), P(DATA_AXIS, FEATURE_AXIS),
                   P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS),
+                   P(None, DATA_AXIS)),
         check_vma=False,
     )(queries, codes, norms, valid)
-    return _merge_topk(vals, gidx, min(k, vals.shape[1]))
+    dist, rows = _merge_topk(vals, gidx, min(k, vals.shape[1]))
+    if with_ties and fused:
+        return dist, rows, ties.max(axis=1)
+    return dist, rows
 
 
 @functools.partial(jax.jit,

@@ -487,12 +487,13 @@ def make_server(data_folder: Optional[str] = None,
     if config.global_config.embedder == "device":
         # on-TPU embedding instead of the Ollama HTTP service
         from ..models.embedder import TextEmbedder
-        emb = TextEmbedder()
         ckpt = config.global_config.embedder_checkpoint
         if ckpt:
-            emb.load_pretrained(ckpt)
+            # self-describing checkpoint: architecture comes from its header
+            emb = TextEmbedder.from_checkpoint(ckpt)
             log.info("using on-device text embedder (checkpoint %s)", ckpt)
         else:
+            emb = TextEmbedder()
             log.warning(
                 "on-device embedder running RANDOM weights (experimental): "
                 "embeddings are not semantically meaningful — set "
