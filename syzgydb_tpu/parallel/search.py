@@ -311,10 +311,13 @@ def sharded_scores(mesh: Mesh, queries, codes, norms, valid, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "bits", "metric", "k",
-                                    "local_budget", "words", "with_counts"))
+                                    "local_budget", "words", "with_counts",
+                                    "use_kernel", "kernel_interpret"))
 def sharded_ann_topk(mesh: Mesh, qcodes, queries, codes, norms, hashes, valid,
                      *, bits: int, metric: str, k: int, local_budget: int,
-                     words: int, with_counts: bool = False):
+                     words: int, with_counts: bool = False,
+                     use_kernel: bool = False,
+                     kernel_interpret: bool = False):
     """Sharded sketch-prefilter + rerank.
 
     Each device ranks its rows by Hamming distance of the packed sketches,
@@ -323,15 +326,31 @@ def sharded_ann_topk(mesh: Mesh, qcodes, queries, codes, norms, hashes, valid,
     local_budget * data_shards.  with_counts=True appends nscored (Q,)
     int32 — valid candidates actually scored across all shards (visited
     points, for PercentSearched parity with collection.go:589).
+
+    use_kernel=True swaps the per-word XLA accumulator loop for the fused
+    bf16 Hamming surface kernel (ops/pallas_hamming.py) inside each shard —
+    the same kernel the single-chip path keeps available; measured
+    tie-or-lose for XLA at the Q values tried on v5e (index/hamming.py
+    notes), kept behind this flag for multi-chip profiling.
+    kernel_interpret runs it in Pallas interpret mode so CPU-mesh tests can
+    pin parity without TPU hardware.
     """
 
     def local(qc, q, c, nrm, h, v):
         n_local = c.shape[0]
-        ham = jnp.zeros((qc.shape[0], n_local), dtype=jnp.int32)
-        for w in range(words):
-            x = jnp.bitwise_xor(qc[:, w][:, None], h[None, :, w])
-            ham = ham + jax.lax.population_count(x).astype(jnp.int32)
-        ham = jnp.where(v[None, :], ham, jnp.int32(1 << 30))
+        kernel_ok = use_kernel and n_local % 1024 == 0
+        if kernel_ok:
+            from ..ops import pallas_hamming
+            bn = max(b for b in (4096, 2048, 1024) if n_local % b == 0)
+            ham = pallas_hamming.hamming_scores_bf16(
+                qc.astype(jnp.uint32), h, v, words=words, block_n=bn,
+                interpret=kernel_interpret)
+        else:
+            ham = jnp.zeros((qc.shape[0], n_local), dtype=jnp.int32)
+            for w in range(words):
+                x = jnp.bitwise_xor(qc[:, w][:, None], h[None, :, w])
+                ham = ham + jax.lax.population_count(x).astype(jnp.int32)
+            ham = jnp.where(v[None, :], ham, jnp.int32(1 << 30))
         budget = min(local_budget, n_local)
         if budget > 128:
             _, cand = jax.lax.approx_min_k(ham.astype(jnp.float32), budget,

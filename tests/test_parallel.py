@@ -202,3 +202,32 @@ def test_mesh_incremental_scatter_sync(tmp_path, rng, monkeypatch):
     assert c._dev["codes"].sharding.is_equivalent_to(
         mesh_mod.row_sharding(mesh), 2)
     c.close()
+
+
+def test_sharded_ann_kernel_path_parity(rng):
+    """The fused bf16 Hamming kernel (ops/pallas_hamming.py) wired into
+    sharded_ann_topk behind use_kernel must agree with the XLA accumulator
+    path — forced through Pallas interpret mode on the CPU mesh (VERDICT r2
+    next-step 9: a CPU-verified integration waiting for hardware)."""
+    m = mesh_mod.make_mesh(mesh_mod.MeshConfig(data=8, feature=1))
+    n, d, bits, k = 8192, 32, 8, 10  # n_local = 1024 = kernel block size
+    db, codes, norms, valid, queries = _setup(rng, n=n, d=d, bits=bits)
+    valid[::7] = False  # the kernel folds validity into its surface
+    index = SignHashIndex(d, "euclidean", MyRandom(5))
+    index.calibrate(db[:1024])
+    hashes = index.encode_batch(np.float32(db))
+    qcodes = index.encode_np(queries)
+
+    args = (m, jnp.asarray(qcodes), jnp.asarray(queries), jnp.asarray(codes),
+            jnp.asarray(norms), jnp.asarray(hashes), jnp.asarray(valid))
+    kw = dict(bits=bits, metric="euclidean", k=k, local_budget=96,
+              words=index.words)
+    d_xla, r_xla = psearch.sharded_ann_topk(*args, **kw)
+    d_ker, r_ker = psearch.sharded_ann_topk(*args, use_kernel=True,
+                                            kernel_interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(d_ker), np.asarray(d_xla),
+                               atol=1e-5)
+    for q in range(queries.shape[0]):
+        assert set(np.asarray(r_ker)[q].tolist()) == \
+            set(np.asarray(r_xla)[q].tolist())
+    assert all(int(r) % 7 != 0 for r in np.asarray(r_ker).ravel())
