@@ -62,6 +62,14 @@ FilterFn = Callable[[int, bytes], bool]
 # "medium" search just scans (the reference's trees also degenerate to a scan
 # below the split threshold, lshtree.go:79-133).
 MIN_INDEX_SIZE = 256
+# Batch-size crossover between the sketch index and the exhaustive
+# segment-min scan for precision="medium" (r3 analysis, BASELINE.md): the
+# scan reads the codes ONCE for the whole batch (N*D bytes amortized over Q
+# queries) while the index gathers budget*D bytes PER QUERY on top of a
+# (Q, N) sketch surface — above Q ~= N/(budget*F) the scan moves less data
+# AND returns exact results, so medium routes there.  F=2 covers the sketch
+# surface + gather overheads (TPU-measured; see BASELINE.md round 3).
+ANN_BATCH_CROSSOVER = 2
 DEFAULT_SEARCH_BUDGET = 2048
 # below this many stored elements (rows x dims) exhaustive searches run on
 # the host: a BLAS scan beats the fixed per-RPC device round-trip
@@ -746,6 +754,16 @@ class Collection:
         use_index = (precision not in ("exact", "high")
                      and self.index.calibrated
                      and n_records >= MIN_INDEX_SIZE)
+        if use_index:
+            budget = min(max(self.options.search_budget,
+                             4 * max(args.k, 1)), self.columns.capacity)
+            # adaptive medium (see ANN_BATCH_CROSSOVER): above the traffic
+            # crossover the exhaustive segment-min scan is both faster per
+            # query and exact, so a large batch should never pay the
+            # index's per-query gathers.  Compares against n_records (a
+            # masked scan still streams every row's codes).
+            if nq * budget * ANN_BATCH_CROSSOVER >= n_records:
+                use_index = False
         if self._small() and not use_index:
             return self._host_scan_knn(qvecs, k, mask, n_passing, n_records)
 
@@ -755,8 +773,6 @@ class Collection:
         valid = dev["valid"] if unfiltered else jnp.asarray(mask)
 
         if use_index:
-            budget = min(max(self.options.search_budget,
-                             4 * max(args.k, 1)), self.columns.capacity)
             searched = min(budget, n_passing)
             if k == 0:
                 return [SearchResults([], self._pct(searched, n_records))

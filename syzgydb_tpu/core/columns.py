@@ -47,10 +47,6 @@ class ColumnStore:
         # incremental-upload support: rows touched since the last device sync
         self._dirty_rows: set[int] = set()
         self.dirty_all = True
-        # True after reorder() laid live rows out in sketch order (the
-        # segment-granular ANN path keys on this; mutations dilute the
-        # ordering gradually but never break correctness — Collection docs)
-        self.layout_sorted = False
 
     # -- capacity ----------------------------------------------------------
 
@@ -149,24 +145,6 @@ class ColumnStore:
         self.metadata[row] = None
         self._free.append(row)
         self._dirty_rows.add(row)
-        self.version += 1
-
-    def reorder(self, new_order: np.ndarray) -> None:
-        """Physically permute rows [0, size): row i takes what was at
-        new_order[i].  Doc ids follow their vectors, so results are
-        unaffected; the device must re-place fully (dirty_all)."""
-        size = self.size
-        assert len(new_order) == size
-        for name in ("codes", "norms", "ids", "valid", "hashes"):
-            arr = getattr(self, name)
-            arr[:size] = arr[new_order]
-        self.metadata[:size] = [self.metadata[i] for i in new_order]
-        self._row_of = {int(self.ids[r]): r
-                        for r in range(size) if self.valid[r]}
-        self._free = [r for r in range(size) if not self.valid[r]]
-        self._dirty_rows.clear()
-        self.dirty_all = True
-        self.layout_sorted = True
         self.version += 1
 
     # -- access ------------------------------------------------------------
