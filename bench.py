@@ -121,10 +121,13 @@ def main() -> None:
         return rerank_topk(qd, codes, norms, valid, cand, bits, metric, k)
 
     def high_step(qd):
-        # precision="high": exhaustive segment-min scan, exact results
+        # precision="high": exhaustive segment-min scan, provably exact
+        # (with_ties=True is the production configuration — the tie counts
+        # ride the same dispatch, see pallas_scan.fused_scan_topk)
         return pallas_scan.fused_scan_topk(qd, codes, norms, valid,
                                            bits=bits, metric=metric, k=k,
-                                           seg=32, surface="xla")
+                                           seg=32, surface="xla",
+                                           with_ties=True)
 
     def timeit(fn, reps=10):
         # time a whole block of reps; end with a tiny value fetch —
@@ -177,6 +180,17 @@ def main() -> None:
         max(sweep, key=lambda s: s["recall"])
     qps_ann, recall_ann = chosen["qps"], chosen["recall"]
 
+    # index-vs-scan crossover (r3): ANN at larger batches, budget 512 —
+    # medium routes to the exhaustive scan above Q*budget*2 >= N
+    # (core/collection.ANN_BATCH_CROSSOVER); these rows document why
+    crossover = []
+    qc_all = jnp.asarray(index.encode_np(queries))
+    for q_n in (256, 1024):
+        _log(f"bench: timing ann batch={q_n} budget=512")
+        qd, qc = qdev[:q_n], qc_all[:q_n]
+        t = timeit(lambda: ann_step(qd, qc, 512), reps=5)
+        crossover.append({"batch": q_n, "budget": 512, "qps": q_n / t})
+
     # host NumPy/BLAS baseline on a 100k subsample, scaled to 1M
     # (best of 3: the single shared CPU core makes one-shot timing noisy,
     # and a contended baseline would unfairly inflate vs_baseline)
@@ -217,6 +231,8 @@ def main() -> None:
         "baseline_host_numpy_qps": round(qps_host, 2),
         "budget_sweep": [{k2: round(v, 4) for k2, v in s.items()}
                          for s in sweep],
+        "ann_large_batch": [{k2: round(v, 2) for k2, v in s.items()}
+                            for s in crossover],
     }))
 
 

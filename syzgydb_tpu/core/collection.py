@@ -699,13 +699,13 @@ class Collection:
                            tie_margin: Optional[int] = None):
         """Exhaustive device top-k over all rows for (Q, D) queries.
 
-        Returns (dist, rows, tie_counts, s_used, nseg).  tie_counts is a
+        Returns (dist, rows, ok_flags, s_used, nseg).  ok_flags is a
         per-query device array implementing the provable-selection
         contract (ops/pallas_scan.fused_scan_topk docstring): the result
-        is the true top-k when max(tie_counts) <= s_used; otherwise the
-        caller re-dispatches with tie_margin = the observed count.  The
+        is PROVABLY the true top-k where ok == 1; otherwise the caller
+        re-dispatches with a geometrically escalated tie_margin.  The
         non-segmented fallbacks select over the full surface and return
-        tie_counts=None (no escalation needed)."""
+        ok_flags=None (no escalation needed)."""
         if self._mesh is not None:
             from ..parallel import search as psearch
             margin = psearch.DEFAULT_SEG_MARGIN if tie_margin is None \
@@ -810,14 +810,14 @@ class Collection:
             return self._knn_results_many(dist, rows, k, searched, n_records)
         while True:
             dist_np, rows_np, tie_np = self._fetch_results(dist, rows, ties)
-            maxt = int(tie_np.max())
-            if s_used >= nseg or maxt <= s_used:
+            if s_used >= nseg or int(tie_np.min()) == 1:
                 break
-            # provable-selection escalation: more segments tied under the
-            # threshold than the margin covered (adversarially clustered
-            # data) — re-dispatch with the observed count as the margin
+            # provable-selection escalation: some query's tie cluster
+            # exceeded the margin (adversarially clustered data) —
+            # re-dispatch with a geometrically wider margin
             dist, rows, ties, s_used, nseg = self._exact_topk_device(
-                queries, dev, valid, k, False, tie_margin=maxt - k + 8)
+                queries, dev, valid, k, False,
+                tie_margin=2 * max(s_used - k, 8) + 16)
         return self._knn_results_np(dist_np, rows_np, k, searched, n_records)
 
     # error bound for the f32-HIGHEST device distances vs true f64 values:
@@ -856,10 +856,10 @@ class Collection:
                 queries, dev, valid, kk, True, tie_margin=tmargin)
             dist_np, rows_np, tie_np = self._fetch_results(dist, rows, ties)
             if ties is not None and s_used < nseg and \
-                    int(tie_np.max()) > s_used:
+                    int(tie_np.min()) == 0:
                 # segment-selection tie overflow: the shortlist itself may
                 # be incomplete — widen the segment margin first
-                tmargin = int(tie_np.max()) - kk + 8
+                tmargin = 2 * max(s_used - kk, 8) + 16
                 continue
             out = []
             ok = True
@@ -966,9 +966,8 @@ class Collection:
             dist, rows, ties, s_used, nseg = self._exact_topk_device(
                 queries, dev, valid, kk, exact, tie_margin=tmargin)
             if ties is not None and s_used < nseg:
-                maxt = int(np.asarray(ties).max())
-                if maxt > s_used:
-                    tmargin = maxt - kk + 8
+                if int(np.asarray(ties).min()) == 0:
+                    tmargin = 2 * max(s_used - kk, 8) + 16
                     continue
             d0 = np.asarray(dist[0])
             finite = d0[np.isfinite(d0)]

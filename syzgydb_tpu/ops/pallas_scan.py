@@ -47,7 +47,11 @@ from . import quantize as qz
 DEFAULT_BLOCK_N = 4096
 DEFAULT_SEG = 64
 MAX_FUSED_K = 128
-_TIE_MARGIN = 16
+# default extra segments gathered beyond k: must cover the typical tie
+# count under the provable threshold (measured p99 ~27 on the clustered
+# 1M x 384 headline corpus with the per-query error bound) — escalation
+# re-dispatches on the rare overflow
+_TIE_MARGIN = 32
 
 
 _SUBTILE = 512
@@ -509,20 +513,18 @@ def segment_min_scan_xla(queries, codes, norms, valid, *, bits: int,
     epilogue/min into the matmul consumer chain, so the (Q, N) surface is
     at worst one bf16-sized transient instead of the f32 (Q, N) + full
     lax.top_k pass the old pipeline paid.  Measured faster than the Pallas
-    kernel on v5e (Mosaic's transposed-layout segmin ran at ~5 GB/s).
-
-    The dots use code_dots_accurate — the query rides a bf16 hi+lo split
-    (two fast MXU passes) so the surface distance error vs exact f32 is
-    bounded by ~1e-5 relative, tight enough for fused_scan_topk's provable
-    selection threshold; the codes still stream at their narrow dtype."""
+    kernel on v5e (Mosaic's transposed-layout segmin ran at ~5 GB/s)."""
     from . import distance as dist_ops
     n = codes.shape[0]
     q = queries.shape[0]
-    if exact:
-        dots = dist_ops._code_matmul(queries, codes, bits,
-                                     jax.lax.Precision.HIGHEST)
-    else:
-        dots = dist_ops.code_dots_accurate(queries, codes, bits)   # (Q, N)
+    # non-exact: ONE fast bf16 matmul pass (measured 12.3 ms vs 25.5 for a
+    # bf16x2 query split at the 1M x 384 x 1024q headline — the split was
+    # tried and rolled back).  Exactness is preserved anyway: the tie
+    # threshold uses a PER-QUERY exactly-computed error bound
+    # ||q - bf16(q)||/||q|| (fused_scan_topk), so bf16 query rounding
+    # widens the escalation threshold instead of requiring accurate dots.
+    precision = jax.lax.Precision.HIGHEST if exact else None
+    dots = dist_ops._code_matmul(queries, codes, bits, precision)  # (Q, N)
     if metric == "euclidean":
         qn2 = jnp.sum(queries * queries, axis=-1, keepdims=True)
         dist = jnp.maximum(qn2 - 2.0 * dots + norms[None, :], 0.0)
@@ -545,11 +547,87 @@ def segment_min_scan_xla(queries, codes, norms, valid, *, bits: int,
         jnp.float32)
 
 
-# Error bound of the non-exact surface distances vs true-f32 values,
-# RELATIVE to the surrogate magnitude: bf16x2 query split leaves ~2^-16
-# query error + ~D*2^-24 f32 accumulation; 1e-4 over-covers both by >2x
-# at D up to 4096.  Used to widen the tie threshold below.
-_SURFACE_EPS_REL = 1e-4
+# Cushion for the f32 accumulation error of the surface dots (~D * 2^-24
+# relative); the dominant bf16 query-rounding term is computed EXACTLY per
+# query in _select_and_rerank, so this only covers the residue.
+_SURFACE_ACCUM_EPS = 3e-5
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "metric", "k", "seg",
+                                             "exact", "tie_margin",
+                                             "with_ties"))
+def _select_and_rerank(queries, segmins, codes, norms, valid, *, bits: int,
+                       metric: str, k: int, seg: int, exact: bool,
+                       tie_margin: int, with_ties: bool):
+    """Stage 2 of fused_scan_topk: top segments -> slab gather -> HIGHEST
+    rerank -> top-k.  A SEPARATE dispatch from the surface: sharing one
+    program makes XLA duplicate the entire fused matmul+min producer into
+    each consumer (measured +31 ms at the 1M x 1024q headline, immune to
+    optimization_barrier).
+
+    with_ties=True appends a per-query PROVABLY-COMPLETE flag (int32 1/0):
+    selection is complete iff every segment under the provable threshold T
+    was selected, and since top_k fetches S+1 values that reduces to
+    v_(S+1) > T — a scalar test on values ALREADY computed.  (Earlier
+    designs counted |{segmin <= T}| over the full array; the second
+    full-array consumer cost +30 ms however it was dispatched.)  T
+    combines the k-th smallest bf16 segmin (one bf16 ulp of slack for its
+    storage rounding) with a PER-QUERY exact error bound: the surface ran
+    against q_hat = bf16(q), and ||q - q_hat|| is computable exactly, so
+    the bound is tight (~6e-4 on unit queries) instead of the worst-case
+    2^-9."""
+    n = codes.shape[0]
+    nseg = n // seg
+    s = min(k + tie_margin, nseg)
+    full = s >= nseg  # every segment gathered: complete by construction
+    sv = s if full else s + 1
+    negv, seg_all = jax.lax.top_k(-segmins, sv)               # (Qp, S(+1))
+    seg_idx = seg_all[:, :s]
+
+    ccodes = gather_segments(codes, seg_idx, seg)             # (Qp, S*seg, D)
+    cnorms = gather_segments(norms, seg_idx, seg)             # (Qp, S*seg)
+    cvalid = gather_segments(valid, seg_idx, seg)
+    rows = (seg_idx[:, :, None] * seg +
+            jnp.arange(seg, dtype=jnp.int32)[None, None, :]
+            ).reshape(seg_idx.shape[0], s * seg)
+
+    dist = _candidate_distances(queries, ccodes, cnorms, cvalid, bits,
+                                metric, exact)
+    kk = min(k, dist.shape[1])
+    neg, pos = jax.lax.top_k(-dist, kk)
+    out_rows = jnp.take_along_axis(rows, pos, axis=1)
+    if not with_ties:
+        return -neg, out_rows
+
+    if full:
+        ok = jnp.ones((queries.shape[0],), jnp.int32)
+        return -neg, out_rows, ok
+
+    m_k = -negv[:, min(k, s) - 1]                             # (Qp,)
+    v_next = -negv[:, s]                                      # (S+1)-th min
+    qn2 = jnp.sum(queries * queries, axis=-1)                 # (Qp,)
+    if exact:
+        # exact surfaces run f32-HIGHEST dots: only accumulation residue
+        dq_rel = jnp.zeros_like(qn2)
+    else:
+        qhat = queries.astype(jnp.bfloat16).astype(jnp.float32)
+        dq = jnp.sqrt(jnp.sum((queries - qhat) ** 2, axis=-1))
+        dq_rel = jnp.where(qn2 > 0.0, dq * jax.lax.rsqrt(
+            jnp.maximum(qn2, 1e-30)), 1.0)
+    if metric == "euclidean":
+        # surrogate = squared distance; |2 dot(q - q_hat, v)| <= 2 dq |v|
+        vmax = jnp.max(jnp.where(valid, norms, 0.0))
+        delta = 2.0 * dq_rel * jnp.sqrt(qn2) * jnp.sqrt(vmax) + \
+            _SURFACE_ACCUM_EPS * (qn2 + vmax)
+    else:
+        # angular surrogate in [0, 1]; |cos err| <= ||q - q_hat|| / ||q||
+        delta = 0.5 * dq_rel + _SURFACE_ACCUM_EPS
+    # one bf16 ulp of slack for the stored minima's rounding (winner
+    # values round to at most the bin above rnd(s_(k))) plus 2^-10 for
+    # the second-order rounding cross terms
+    thresh = m_k * (1.0 + 1.0 / 128.0 + 1.0 / 1024.0) + 2.1 * delta
+    ok = (v_next > thresh).astype(jnp.int32)
+    return -neg, out_rows, ok
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "metric", "k", "block_n",
@@ -568,25 +646,27 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
     segment-minima producer: "xla" (default, fused epilogue) or "pallas"
     (ops kernel above).
 
-    EXACTNESS (with_ties=True): the result is the true f32 top-k whenever
-    the returned per-query tie count is <= k + tie_margin.  Proof sketch:
-    let s_(k) be the k-th smallest surface segmin and delta the surface
-    error bound.  The k segment argmins are k distinct rows with true
-    distance <= s_(k) + delta, so the true k-th best d_(k) <= s_(k) +
-    delta; any winner's segment then has surface min <= d_(k) + delta <=
-    s_(k) + 2*delta, and its bf16-rounded value <= rnd(s_(k) + 2*delta) <=
-    m_k*(1+2^-8) + 2*delta =: T (m_k = k-th smallest bf16 segmin = rnd(
-    s_(k)), rounding monotone).  Every segment with value <= T is among
-    the top-c selected when c = |{segmin <= T}| <= k + tie_margin — so if
-    the tie count fits the margin, all winners were gathered and the
+    EXACTNESS (with_ties=True): a third output flags, per query, whether
+    the result is PROVABLY the true f32 top-k (1) or the selection margin
+    must be escalated (0, rare adversarial data).  Proof sketch: let
+    s_(k) be the k-th smallest surface segmin and delta the surface error
+    bound (per-query, computed EXACTLY from ||q - bf16(q)|| — see
+    _select_and_rerank).  The k segment argmins are k distinct rows with
+    true distance <= s_(k) + delta, so the true k-th best d_(k) <= s_(k)
+    + delta; any winner's segment then has surface min <= d_(k) + delta
+    <= s_(k) + 2*delta, and its bf16-stored value <= rnd(s_(k) + 2*delta)
+    <= m_k*(1 + 2^-7) + 2.1*delta =: T (m_k = k-th smallest bf16 segmin =
+    rnd(s_(k)) by monotone rounding; the 2^-7 factor is one bf16 ulp of
+    storage-rounding slack).  All segments with value <= T were selected
+    iff the (S+1)-th smallest segmin exceeds T — the returned flag — in
+    which case every possible winner was gathered and the
     HIGHEST-precision rerank returns the exact f32 top-k.  Callers
-    escalate tie_margin to the returned count when it overflows
+    escalate tie_margin geometrically when a flag is 0
     (Collection._exact_topk_device).
     """
-    n = codes.shape[0]
     q0, d = queries.shape  # d = true dims (codes may be nibble-packed)
     assert k <= MAX_FUSED_K, k
-    queries = queries.astype(jnp.float32)
+    queries = jnp.asarray(queries).astype(jnp.float32)
     qpad = (-q0) % 8
     if qpad:
         queries = jnp.concatenate(
@@ -607,42 +687,11 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
         segmins = segment_min_scan_xla(queries, codes, norms, valid,
                                        bits=bits, metric=metric, seg=seg,
                                        exact=exact)
-    nseg = n // seg
-    s = min(k + tie_margin, nseg)
-    negv, seg_idx = jax.lax.top_k(-segmins, s)                # (Qp, S)
-
-    ccodes = gather_segments(codes, seg_idx, seg)             # (Qp, S*seg, D)
-    cnorms = gather_segments(norms, seg_idx, seg)             # (Qp, S*seg)
-    cvalid = gather_segments(valid, seg_idx, seg)
-    rows = (seg_idx[:, :, None] * seg +
-            jnp.arange(seg, dtype=jnp.int32)[None, None, :]
-            ).reshape(seg_idx.shape[0], s * seg)
-
-    dist = _candidate_distances(queries, ccodes, cnorms, cvalid, bits,
-                                metric, exact)
-    kk = min(k, dist.shape[1])
-    neg, pos = jax.lax.top_k(-dist, kk)
-    out_rows = jnp.take_along_axis(rows, pos, axis=1)
-    if not with_ties:
-        return (-neg)[:q0], out_rows[:q0]
-
-    # tie accounting for the provable-selection contract (docstring above)
-    m_k = -negv[:, min(k, s) - 1]                             # (Qp,)
-    if metric == "euclidean":
-        # surrogate is the SQUARED distance: scale the relative bound by
-        # its magnitude (qn2 + max row norm bounds any candidate value)
-        qn2 = jnp.sum(queries * queries, axis=-1)
-        vmax = jnp.max(jnp.where(valid, norms, 0.0))
-        delta = _SURFACE_EPS_REL * (qn2 + vmax)
-    else:
-        # angular surrogate lives in [0, 1]
-        delta = jnp.full((queries.shape[0],), _SURFACE_EPS_REL, jnp.float32)
-    # bf16 carries a 2^-8 relative half-ulp rounding error and it enters
-    # the chain twice (winner's rounded value up, m_k's rounding down), so
-    # the provable factor is (1+2^-8)/(1-2^-8) < 1+2^-6 — widen by 1/64
-    thresh = m_k * (1.0 + 1.0 / 64.0) + 2.1 * delta
-    ties = jnp.sum(segmins <= thresh[:, None], axis=1).astype(jnp.int32)
-    return (-neg)[:q0], out_rows[:q0], ties[:q0]
+    out = _select_and_rerank(queries, segmins, codes, norms, valid,
+                             bits=bits, metric=metric, k=k, seg=seg,
+                             exact=exact, tie_margin=tie_margin,
+                             with_ties=with_ties)
+    return tuple(o[:q0] for o in out)
 
 
 def supported() -> bool:

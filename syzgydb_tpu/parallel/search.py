@@ -144,9 +144,10 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin):
     plain pipeline (ops/pallas_scan.py design notes), inside shard_map:
     the (Q, N_local) surface reduces to (Q, N_local/SEG) minima before any
     full-width top_k, and only the winning SEG-row slabs are gathered.
-    Returns (vals, local_rows, tie_counts): the provable-selection
-    contract of fused_scan_topk applies per shard — the local top-k is
-    exact when tie_counts <= k + seg_margin everywhere."""
+    Returns (vals, local_rows, ok): the provable-selection contract of
+    fused_scan_topk applies per shard — ok[i]=1 proves the local top-k is
+    exact (the (S+1)-th smallest local segmin exceeds the provable
+    threshold), and the caller escalates seg_margin otherwise."""
     n_local = c.shape[0]
     precision = jax.lax.Precision.HIGHEST if exact else None
     dots = _local_dots(q, c, bits, precision, accurate=True)  # (Q, N_local)
@@ -161,12 +162,16 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin):
     surr = jnp.where(v[None, :], surr, jnp.inf)
 
     nq = q.shape[0]
-    segmins = jnp.min(surr.reshape(nq, n_local // _SEG, _SEG), axis=-1)
-    s = min(k + seg_margin, n_local // _SEG)
-    negv, seg_idx = jax.lax.top_k(-segmins, s)           # (Q, S)
+    nseg = n_local // _SEG
+    segmins = jnp.min(surr.reshape(nq, nseg, _SEG), axis=-1)
+    s = min(k + seg_margin, nseg)
+    full = s >= nseg
+    sv = s if full else s + 1
+    negv, seg_all = jax.lax.top_k(-segmins, sv)          # (Q, S(+1))
+    seg_idx = seg_all[:, :s]
 
     def gather_seg(arr):
-        flat = arr.reshape(n_local // _SEG, -1)
+        flat = arr.reshape(nseg, -1)
         g = jnp.take(flat, seg_idx, axis=0)              # (Q, S, _SEG*tail)
         return g.reshape((nq, s * _SEG) + arr.shape[1:])
 
@@ -184,20 +189,22 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin):
     kk = min(k, cdist.shape[1])
     neg, pos = jax.lax.top_k(-cdist, kk)
 
-    # tie accounting (see ops/pallas_scan.fused_scan_topk EXACTNESS note):
-    # count segments under the provable threshold; the caller escalates
-    # seg_margin when any query's count exceeds s
+    if full:
+        ok = jnp.ones((nq,), jnp.int32)
+        return -neg, jnp.take_along_axis(rows, pos, axis=1), ok
+    # provable-completeness flag (ops/pallas_scan.fused_scan_topk
+    # EXACTNESS note); the local surface here stays f32 (accurate dots,
+    # no bf16 storage), so the slack terms are pure cushion
     m_k = -negv[:, min(k, s) - 1]
+    v_next = -negv[:, s]
     if metric == "euclidean":
         vmax = jnp.max(jnp.where(v, nrm, 0.0))
         delta = _SURF_EPS_REL * (qn2[:, 0] + vmax)
     else:
         delta = jnp.full((nq,), _SURF_EPS_REL, jnp.float32)
-    # same 1/64 factor as fused_scan_topk: bf16's 2^-8 half-ulp enters the
-    # chain twice (here the local surface stays f32, so this is pure slack)
-    thresh = m_k * (1.0 + 1.0 / 64.0) + 2.1 * delta
-    ties = jnp.sum(segmins <= thresh[:, None], axis=1).astype(jnp.int32)
-    return -neg, jnp.take_along_axis(rows, pos, axis=1), ties
+    thresh = m_k * (1.0 + 1.0 / 128.0 + 1.0 / 1024.0) + 2.1 * delta
+    ok = (v_next > thresh).astype(jnp.int32)
+    return -neg, jnp.take_along_axis(rows, pos, axis=1), ok
 
 
 def _candidate_distances_sharded(q, ccodes, cnorms, cvalid, bits, metric,
@@ -251,11 +258,11 @@ def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, *,
                        with_ties: bool = False):
     """Exhaustive sharded scan -> (dist (Q, k), global row ids (Q, k)).
 
-    with_ties=True appends the per-query MAX across shards of the local
-    segment tie counts (fused path) — the provable-selection escalation
-    signal (_local_segmin_topk / ops/pallas_scan.fused_scan_topk); when
-    the non-fused full-surface path runs instead (large k, unaligned
-    shapes), selection is already exact and the 2-tuple is returned."""
+    with_ties=True appends the per-query AND across shards of the local
+    provable-completeness flags (fused path) — the escalation signal
+    (_local_segmin_topk / ops/pallas_scan.fused_scan_topk); when the
+    non-fused full-surface path runs instead (large k, unaligned shapes),
+    selection is already exact and the 2-tuple is returned."""
     _check_packed4(mesh, queries, bits)
     # exact mode rides the fused path too: candidates are RECOMPUTED at
     # HIGHEST precision through the full metric chain
@@ -265,18 +272,18 @@ def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, *,
 
     def local(q, c, nrm, v):
         if fused:
-            vals, idx, ties = _local_segmin_topk(q, c, nrm, v, bits, metric,
-                                                 exact, k, seg_margin)
+            vals, idx, ok = _local_segmin_topk(q, c, nrm, v, bits, metric,
+                                               exact, k, seg_margin)
         else:
             dist = _local_distances(q, c, nrm, v, bits, metric, exact)
             kk = min(k, dist.shape[1])
             neg, idx = jax.lax.top_k(-dist, kk)
             vals = -neg
-            ties = jnp.zeros((q.shape[0],), jnp.int32)
+            ok = jnp.ones((q.shape[0],), jnp.int32)
         shift = jax.lax.axis_index(DATA_AXIS) * c.shape[0]
-        return vals, (idx + shift).astype(jnp.int32), ties[:, None]
+        return vals, (idx + shift).astype(jnp.int32), ok[:, None]
 
-    vals, gidx, ties = jax.shard_map(
+    vals, gidx, ok = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(None, FEATURE_AXIS), P(DATA_AXIS, FEATURE_AXIS),
                   P(DATA_AXIS), P(DATA_AXIS)),
@@ -286,7 +293,7 @@ def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, *,
     )(queries, codes, norms, valid)
     dist, rows = _merge_topk(vals, gidx, min(k, vals.shape[1]))
     if with_ties and fused:
-        return dist, rows, ties.max(axis=1)
+        return dist, rows, ok.min(axis=1)  # complete iff EVERY shard is
     return dist, rows
 
 

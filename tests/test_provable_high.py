@@ -1,10 +1,11 @@
 """Provably-exact segment selection for precision="high" (VERDICT r2 weak
 #1): the bf16 segment-min surface rounds minima to 8 mantissa bits, so on
 adversarially clustered data hundreds of segments can collide at the k-th
-minimum — more than any fixed tie margin.  fused_scan_topk now counts every
-segment under a provable threshold (see its EXACTNESS docstring) and the
-Collection escalates the margin until the count fits, then reranks the
-gathered rows at HIGHEST precision.
+minimum — more than any fixed selection margin.  fused_scan_topk now emits
+a per-query provably-complete flag (the (S+1)-th smallest segmin must
+exceed a provable threshold — see its EXACTNESS docstring) and the
+Collection escalates the margin geometrically until every flag is 1, then
+reranks the gathered rows at HIGHEST precision.
 
 These corpora place ~300 segments whose true minima differ at the 1e-6
 level (f32-distinct) but collapse to one bf16 value, with the TRUE winners
@@ -46,10 +47,11 @@ def _tie_corpus(n, d, n_ties, tie_lo_seg, metric="cosine"):
     return db, q
 
 
-def test_fixed_margin_demonstrably_drops_winners():
-    """The pre-fix failure mode: with the tie count ignored, a 16-segment
-    margin picks the LOWEST-index segments among the bf16-tied cluster and
-    misses the true winners entirely."""
+def test_fixed_margin_flags_incomplete_and_escalation_fixes(tmp_path):
+    """The pre-fix failure mode: a fixed margin picks the LOWEST-index
+    segments among the bf16-tied cluster, misses the true winners, and the
+    provable flag says so; a margin covering the cluster restores
+    exactness with the flag raised."""
     n, d, k = 65536, 16, 10
     n_ties = 300
     db, q = _tie_corpus(n, d, n_ties, tie_lo_seg=600)
@@ -58,20 +60,21 @@ def test_fixed_margin_demonstrably_drops_winners():
     args = (jnp.asarray(q[None, :]), jnp.asarray(db), jnp.asarray(norms),
             jnp.asarray(valid))
 
-    dist, rows, ties = pallas_scan.fused_scan_topk(
+    dist, rows, ok = pallas_scan.fused_scan_topk(
         *args, bits=32, metric="cosine", k=k, with_ties=True)
-    # the tie counter sees the whole collapsed cluster
-    assert int(np.asarray(ties)[0]) >= n_ties
-    # and the fixed margin really does lose the winners (true best rows are
+    # the flag reports the selection can NOT be proven complete...
+    assert int(np.asarray(ok)[0]) == 0
+    # ...and indeed the fixed margin lost the winners (true best rows are
     # the HIGHEST-index tied segments)
     want = {(600 + n_ties - 1 - i) * SEG for i in range(k)}
     got = set(int(r) for r in np.asarray(rows)[0])
     assert got != want, "corpus failed to defeat the fixed margin"
 
-    # escalating the margin to the observed count restores exactness
-    dist2, rows2, ties2 = pallas_scan.fused_scan_topk(
+    # a margin covering the tie cluster restores provable exactness
+    dist2, rows2, ok2 = pallas_scan.fused_scan_topk(
         *args, bits=32, metric="cosine", k=k,
-        tie_margin=int(np.asarray(ties)[0]) - k + 8, with_ties=True)
+        tie_margin=n_ties + 32, with_ties=True)
+    assert int(np.asarray(ok2)[0]) == 1
     got2 = [int(r) for r in np.asarray(rows2)[0]]
     assert got2 == sorted(want, reverse=True), got2  # descending seg index
     d2 = np.asarray(dist2)[0]
@@ -104,9 +107,9 @@ def test_collection_high_precision_escalates_to_exact(tmp_path, monkeypatch):
     c.add_documents(list(range(n)), db.astype(np.float64), [b"{}"] * n)
     res = c.search(SearchArgs(vector=q, k=k, precision="high"))
 
-    # escalation happened: first dispatch at the default margin, then a
-    # re-dispatch wide enough for the tie cluster
-    assert len(calls) >= 2 and calls[-1] is not None and calls[-1] >= n_ties - k
+    # escalation happened: first dispatch at the default margin, then
+    # geometric re-dispatches until the flag proves completeness
+    assert len(calls) >= 2, calls
 
     want_rows = [(600 + n_ties - 1 - i) * SEG for i in range(k)]
     assert [r.id for r in res.results] == want_rows
@@ -116,10 +119,10 @@ def test_collection_high_precision_escalates_to_exact(tmp_path, monkeypatch):
     c.close()
 
 
-def test_euclidean_tie_counting():
-    """The euclidean surrogate (squared distance) scales its tie threshold
-    by the data magnitude; the counter must still cover a collapsed
-    cluster."""
+def test_euclidean_tie_flagging():
+    """The euclidean surrogate (squared distance) scales its provable
+    threshold by the data magnitude; a collapsed cluster must trip the
+    flag, and a covering margin must restore the exact ranking."""
     n, d, k = 16384, 16, 5
     n_ties = 100
     rng = np.random.default_rng(2)
@@ -132,21 +135,22 @@ def test_euclidean_tie_counting():
     q = np.zeros(d, dtype=np.float32)
     norms = dist_ops.db_row_stats(db, 32)
     valid = np.ones(n, dtype=bool)
-    dist, rows, ties = pallas_scan.fused_scan_topk(
+    dist, rows, ok = pallas_scan.fused_scan_topk(
         jnp.asarray(q[None, :]), jnp.asarray(db), jnp.asarray(norms),
         jnp.asarray(valid), bits=32, metric="euclidean", k=k,
-        with_ties=True)
-    assert int(np.asarray(ties)[0]) >= n_ties
-    dist2, rows2, _ = pallas_scan.fused_scan_topk(
+        tie_margin=8, with_ties=True)
+    assert int(np.asarray(ok)[0]) == 0
+    dist2, rows2, ok2 = pallas_scan.fused_scan_topk(
         jnp.asarray(q[None, :]), jnp.asarray(db), jnp.asarray(norms),
         jnp.asarray(valid), bits=32, metric="euclidean", k=k,
-        tie_margin=int(np.asarray(ties)[0]), with_ties=True)
+        tie_margin=n_ties + 16, with_ties=True)
+    assert int(np.asarray(ok2)[0]) == 1
     want = [(50 + i) * SEG for i in range(k)]  # ascending distance
     assert [int(r) for r in np.asarray(rows2)[0]] == want
 
 
 def test_normal_data_no_escalation(tmp_path, monkeypatch):
-    """On ordinary data the tie count stays within the default margin — the
+    """On ordinary data the provable flag holds at the default margin —
     escalation must NOT fire (it would double every dispatch)."""
     n, d, k = 65536, 16, 10
     rng = np.random.default_rng(1)
@@ -155,10 +159,10 @@ def test_normal_data_no_escalation(tmp_path, monkeypatch):
     q = db[17] + 0.05 * rng.standard_normal(d).astype(np.float32)
     norms = dist_ops.db_row_stats(db, 32)
     valid = np.ones(n, dtype=bool)
-    dist, rows, ties = pallas_scan.fused_scan_topk(
+    dist, rows, ok = pallas_scan.fused_scan_topk(
         jnp.asarray(q[None, :]), jnp.asarray(db), jnp.asarray(norms),
         jnp.asarray(valid), bits=32, metric="cosine", k=k, with_ties=True)
-    assert int(np.asarray(ties)[0]) <= k + pallas_scan._TIE_MARGIN
+    assert int(np.asarray(ok)[0]) == 1
     # and the selection matches the brute-force f32 oracle
     d_all = dist_ops.distance_np(np.float64(q)[None, :], np.float64(db),
                                  "cosine")

@@ -80,7 +80,7 @@ def main():
     jax.block_until_ready(hashes)
     qc_all = jnp.asarray(index.encode_np(queries))
 
-    def timeit(fn, reps=10, fetch=lambda o: np.asarray(o)[:1].ravel()[:1]):
+    def timeit(fn, reps=10, fetch=lambda o: np.asarray(o[:1, :1])):
         fetch(fn())
         t0 = time.perf_counter()
         out = [fn() for _ in range(reps)]
@@ -93,13 +93,14 @@ def main():
         qdev, codes, norms, valid, bits=bits, metric=metric, seg=seg))
     log(f"segmin surface alone:        {t_surf*1e3:8.2f} ms")
 
-    @jax.jit
-    def surf_topk(q):
-        sm = pallas_scan.segment_min_scan_xla(q, codes, norms, valid,
-                                              bits=bits, metric=metric,
-                                              seg=seg)
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def surf_topk(q, c, nr, v):
+        sm = pallas_scan.segment_min_scan_xla(q, c, nr, v, bits=bits,
+                                              metric=metric, seg=seg)
         return jax.lax.top_k(-sm, k + 16)
-    t_sel = timeit(lambda: surf_topk(qdev),
+    t_sel = timeit(lambda: surf_topk(qdev, codes, norms, valid),
                    fetch=lambda o: np.asarray(o[1][:1, :1]))
     log(f"surface + seg top_k:         {t_sel*1e3:8.2f} ms")
 
@@ -111,7 +112,7 @@ def main():
     t_ties = timeit(lambda: pallas_scan.fused_scan_topk(
         qdev, codes, norms, valid, bits=bits, metric=metric, k=k, seg=seg,
         surface="xla", with_ties=True),
-        fetch=lambda o: np.asarray(o[2][:1]))
+        fetch=lambda o: np.asarray(o[2][:1, None]))
     log(f"full fused + tie counts:     {t_ties*1e3:8.2f} ms "
         f"({1024/t_ties:.0f} QPS)")
 
