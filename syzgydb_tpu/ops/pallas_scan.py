@@ -581,7 +581,11 @@ def _select_and_rerank(queries, segmins, codes, norms, valid, *, bits: int,
     s = min(k + tie_margin, nseg)
     full = s >= nseg  # every segment gathered: complete by construction
     sv = s if full else s + 1
-    negv, seg_all = jax.lax.top_k(-segmins, sv)               # (Qp, S(+1))
+    # indices-ONLY top_k: using its values output makes the TPU lowering
+    # pick a path ~30 ms slower at the headline shape (measured — the
+    # cheap PartialReduce form applies only when values are dead); the
+    # two segmin values the flag needs are re-gathered below instead
+    _, seg_all = jax.lax.top_k(-segmins, sv)                  # (Qp, S(+1))
     seg_idx = seg_all[:, :s]
 
     ccodes = gather_segments(codes, seg_idx, seg)             # (Qp, S*seg, D)
@@ -603,8 +607,9 @@ def _select_and_rerank(queries, segmins, codes, norms, valid, *, bits: int,
         ok = jnp.ones((queries.shape[0],), jnp.int32)
         return -neg, out_rows, ok
 
-    m_k = -negv[:, min(k, s) - 1]                             # (Qp,)
-    v_next = -negv[:, s]                                      # (S+1)-th min
+    selvals = jnp.take_along_axis(segmins, seg_all, axis=1)   # (Qp, S+1)
+    m_k = selvals[:, min(k, s) - 1]                           # (Qp,)
+    v_next = selvals[:, s]                                    # (S+1)-th min
     qn2 = jnp.sum(queries * queries, axis=-1)                 # (Qp,)
     if exact:
         # exact surfaces run f32-HIGHEST dots: only accumulation residue

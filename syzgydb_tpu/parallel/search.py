@@ -167,7 +167,9 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin):
     s = min(k + seg_margin, nseg)
     full = s >= nseg
     sv = s if full else s + 1
-    negv, seg_all = jax.lax.top_k(-segmins, sv)          # (Q, S(+1))
+    # indices-only top_k + value re-gather (same TPU lowering hazard as
+    # ops/pallas_scan._select_and_rerank)
+    _, seg_all = jax.lax.top_k(-segmins, sv)             # (Q, S(+1))
     seg_idx = seg_all[:, :s]
 
     def gather_seg(arr):
@@ -195,8 +197,9 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin):
     # provable-completeness flag (ops/pallas_scan.fused_scan_topk
     # EXACTNESS note); the local surface here stays f32 (accurate dots,
     # no bf16 storage), so the slack terms are pure cushion
-    m_k = -negv[:, min(k, s) - 1]
-    v_next = -negv[:, s]
+    selvals = jnp.take_along_axis(segmins, seg_all, axis=1)
+    m_k = selvals[:, min(k, s) - 1]
+    v_next = selvals[:, s]
     if metric == "euclidean":
         vmax = jnp.max(jnp.where(v, nrm, 0.0))
         delta = _SURF_EPS_REL * (qn2[:, 0] + vmax)
