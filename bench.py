@@ -155,7 +155,8 @@ def main() -> None:
 
     _log("bench: timing high-precision scan (batch 1024)")
     t_high = timeit(lambda: high_step(qdev))
-    _, hidx = high_step(qdev)
+    _, hidx, ok = high_step(qdev)
+    ok_rate = float(np.asarray(ok).mean())
     recall_high = recall_of(np.asarray(hidx), q_big)
     qps_high = q_big / t_high
     _log(f"bench: high {t_high*1000:.1f}ms/1024q = {qps_high:.0f} QPS "
@@ -224,6 +225,7 @@ def main() -> None:
         "path": path,
         "qps_high_precision": round(qps_high, 2),
         "recall_high_precision": round(recall_high, 4),
+        "provably_exact_rate": round(ok_rate, 4),
         "qps_exact_scan": round(qps_exact, 2),
         "qps_ann_batch64": round(qps_ann, 2),
         "recall_ann": round(recall_ann, 4),

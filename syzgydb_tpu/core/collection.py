@@ -64,12 +64,14 @@ FilterFn = Callable[[int, bytes], bool]
 MIN_INDEX_SIZE = 256
 # Batch-size crossover between the sketch index and the exhaustive
 # segment-min scan for precision="medium" (r3 analysis, BASELINE.md): the
-# scan reads the codes ONCE for the whole batch (N*D bytes amortized over Q
-# queries) while the index gathers budget*D bytes PER QUERY on top of a
-# (Q, N) sketch surface — above Q ~= N/(budget*F) the scan moves less data
-# AND returns exact results, so medium routes there.  F=2 covers the sketch
-# surface + gather overheads (TPU-measured; see BASELINE.md round 3).
-ANN_BATCH_CROSSOVER = 2
+# scan reads the codes ONCE for the whole batch and streams one bf16
+# surface, while the index pays an int32 (Q, N) sketch surface (2x the
+# scan's surface bytes) PLUS budget*D gathered bytes per query — so the
+# index wins only at small batches.  Above Q ~= N/(budget*F) medium routes
+# to the scan (exact results as a bonus).  F=16 matches the measured
+# crossovers on v5e (ANN ties the scan at batch 64/budget 512 and loses
+# at batch 64/budget 2048 — BASELINE.md round-3 table).
+ANN_BATCH_CROSSOVER = 16
 DEFAULT_SEARCH_BUDGET = 2048
 # below this many stored elements (rows x dims) exhaustive searches run on
 # the host: a BLAS scan beats the fixed per-RPC device round-trip

@@ -177,13 +177,18 @@ def segment_min_scan(queries, codes, norms, valid, *, bits: int, metric: str,
 
 
 def _candidate_distances(queries, ccodes, cnorms, cvalid, bits, metric,
-                         exact):
+                         exact, with_surrogate: bool = False):
     """Exact distances for gathered candidates (Q, C, D|P) -> (Q, C) f32.
 
     Always HIGHEST precision: the candidate set is tiny (S*seg rows per
     query vs N scanned), so true-f32 math costs nothing measurable here,
     and it is what makes precision="high" PROVABLY return the exact f32
-    top-k once the tie-aware segment selection guarantees coverage."""
+    top-k once the tie-aware segment selection guarantees coverage.
+
+    with_surrogate=True also returns the surrogate-space values (squared
+    distance / (1-cos)/2, invalid rows +inf) — the completeness flag
+    compares exact per-segment minima against surface values in surrogate
+    units (_select_and_rerank)."""
     from . import distance as dist_ops
     precision = jax.lax.Precision.HIGHEST
     if bits in (32, 64):
@@ -202,16 +207,23 @@ def _candidate_distances(queries, ccodes, cnorms, cvalid, bits, metric,
         dots = scale * raw + offset * qsum
     if metric == "euclidean":
         qn = jnp.sum(queries * queries, axis=-1, keepdims=True)
-        dist = jnp.sqrt(jnp.maximum(qn - 2.0 * dots + cnorms, 0.0))
+        surr = jnp.maximum(qn - 2.0 * dots + cnorms, 0.0)
+        dist = jnp.sqrt(surr)
     else:
         qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
         vn = jnp.sqrt(cnorms)
         denom = qn * vn
         cos = jnp.where(denom > 0.0, dots / jnp.where(denom > 0.0, denom, 1.0),
                         1.0)
-        dist = jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / jnp.pi
-        dist = jnp.where((qn == 0.0) | (vn == 0.0), 1.0, dist)
-    return jnp.where(cvalid, dist, jnp.inf)
+        cos = jnp.clip(cos, -1.0, 1.0)
+        dist = jnp.arccos(cos) / jnp.pi
+        zero = (qn == 0.0) | (vn == 0.0)
+        dist = jnp.where(zero, 1.0, dist)
+        surr = jnp.where(zero, 1.0, (1.0 - cos) * 0.5)
+    dist = jnp.where(cvalid, dist, jnp.inf)
+    if with_surrogate:
+        return dist, jnp.where(cvalid, surr, jnp.inf)
+    return dist
 
 
 def gather_segments(arr, seg_idx, seg: int):
@@ -560,56 +572,52 @@ def _select_and_rerank(queries, segmins, codes, norms, valid, *, bits: int,
                        metric: str, k: int, seg: int, exact: bool,
                        tie_margin: int, with_ties: bool):
     """Stage 2 of fused_scan_topk: top segments -> slab gather -> HIGHEST
-    rerank -> top-k.  A SEPARATE dispatch from the surface: sharing one
-    program makes XLA duplicate the entire fused matmul+min producer into
-    each consumer (measured +31 ms at the 1M x 1024q headline, immune to
-    optimization_barrier).
+    rerank -> top-k (+ the provable-completeness flag).
 
-    with_ties=True appends a per-query PROVABLY-COMPLETE flag (int32 1/0):
-    selection is complete iff every segment under the provable threshold T
-    was selected, and since top_k fetches S+1 values that reduces to
-    v_(S+1) > T — a scalar test on values ALREADY computed.  (Earlier
-    designs counted |{segmin <= T}| over the full array; the second
-    full-array consumer cost +30 ms however it was dispatched.)  T
-    combines the k-th smallest bf16 segmin (one bf16 ulp of slack for its
-    storage rounding) with a PER-QUERY exact error bound: the surface ran
-    against q_hat = bf16(q), and ||q - q_hat|| is computable exactly, so
-    the bound is tight (~6e-4 on unit queries) instead of the worst-case
-    2^-9."""
+    The selection top_k runs INDICES-ONLY: touching its values output in
+    any way — slice, matmul, even raw program output — makes the TPU
+    lowering abandon its fast form (+30 ms at the headline shape,
+    measured across six formulations).  The flag therefore derives
+    everything from the RERANK's exact distances, which flow through the
+    index-gather path: the (S+1)-th-by-surface segment is gathered along
+    with the rest, exact per-segment surrogate minima come from a
+    reshape-min over the candidate distances, and conservative +/- delta
+    bounds bridge between exact and surface values (see the EXACTNESS
+    note on fused_scan_topk for why the resulting test is sound)."""
     n = codes.shape[0]
     nseg = n // seg
     s = min(k + tie_margin, nseg)
     full = s >= nseg  # every segment gathered: complete by construction
-    sv = s if full else s + 1
-    # indices-ONLY top_k: using its values output makes the TPU lowering
-    # pick a path ~30 ms slower at the headline shape (measured — the
-    # cheap PartialReduce form applies only when values are dead); the
-    # two segmin values the flag needs are re-gathered below instead
-    _, seg_all = jax.lax.top_k(-segmins, sv)                  # (Qp, S(+1))
-    seg_idx = seg_all[:, :s]
+    sv = s if (full or not with_ties) else s + 1
+    _, seg_idx = jax.lax.top_k(-segmins, sv)                  # (Qp, SV)
 
-    ccodes = gather_segments(codes, seg_idx, seg)             # (Qp, S*seg, D)
-    cnorms = gather_segments(norms, seg_idx, seg)             # (Qp, S*seg)
+    ccodes = gather_segments(codes, seg_idx, seg)             # (Qp, SV*seg, D)
+    cnorms = gather_segments(norms, seg_idx, seg)             # (Qp, SV*seg)
     cvalid = gather_segments(valid, seg_idx, seg)
     rows = (seg_idx[:, :, None] * seg +
             jnp.arange(seg, dtype=jnp.int32)[None, None, :]
-            ).reshape(seg_idx.shape[0], s * seg)
+            ).reshape(seg_idx.shape[0], sv * seg)
 
-    dist = _candidate_distances(queries, ccodes, cnorms, cvalid, bits,
-                                metric, exact)
+    dist, surr = _candidate_distances(queries, ccodes, cnorms, cvalid, bits,
+                                      metric, exact, with_surrogate=True)
     kk = min(k, dist.shape[1])
     neg, pos = jax.lax.top_k(-dist, kk)
     out_rows = jnp.take_along_axis(rows, pos, axis=1)
     if not with_ties:
         return -neg, out_rows
-
     if full:
         ok = jnp.ones((queries.shape[0],), jnp.int32)
         return -neg, out_rows, ok
 
-    selvals = jnp.take_along_axis(segmins, seg_all, axis=1)   # (Qp, S+1)
-    m_k = selvals[:, min(k, s) - 1]                           # (Qp,)
-    v_next = selvals[:, s]                                    # (S+1)-th min
+    nq = queries.shape[0]
+    # exact surrogate minima of every gathered segment (invalid rows inf)
+    segsurr = jnp.min(surr.reshape(nq, sv, seg), axis=-1)     # (Qp, SV)
+    # k-th smallest exact min among the top-S selected (small top_k —
+    # values of SMALL top_k calls are fine, only the big fused one is not)
+    negk, _ = jax.lax.top_k(-segsurr[:, :s], min(k, s))
+    kth_exact = -negk[:, -1]
+    m_next = segsurr[:, s]  # exact min of the (S+1)-th-by-surface segment
+
     qn2 = jnp.sum(queries * queries, axis=-1)                 # (Qp,)
     if exact:
         # exact surfaces run f32-HIGHEST dots: only accumulation residue
@@ -627,11 +635,15 @@ def _select_and_rerank(queries, segmins, codes, norms, valid, *, bits: int,
     else:
         # angular surrogate in [0, 1]; |cos err| <= ||q - q_hat|| / ||q||
         delta = 0.5 * dq_rel + _SURFACE_ACCUM_EPS
-    # one bf16 ulp of slack for the stored minima's rounding (winner
-    # values round to at most the bin above rnd(s_(k))) plus 2^-10 for
-    # the second-order rounding cross terms
-    thresh = m_k * (1.0 + 1.0 / 128.0 + 1.0 / 1024.0) + 2.1 * delta
-    ok = (v_next > thresh).astype(jnp.int32)
+    # bridge exact -> surface values: winners' stored values are at most
+    # T = rnd(s_k + 2*delta) and s_k <= kth_exact + delta, so
+    # T <= (kth_exact + 3*delta)(1 + 2^-8); the (S+1)-th stored value
+    # v_next >= (m_next - delta)(1 - 2^-8).  v_lo > t_up therefore
+    # implies v_next > T, i.e. every segment under T was selected
+    # (EXACTNESS note).  2^-7 slack per side doubles the needed 2^-8.
+    t_up = (kth_exact + 3.1 * delta) * (1.0 + 1.0 / 128.0)
+    v_lo = (m_next - delta) * (1.0 - 1.0 / 128.0)
+    ok = (v_lo > t_up).astype(jnp.int32)
     return -neg, out_rows, ok
 
 
@@ -656,7 +668,7 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
     must be escalated (0, rare adversarial data).  Proof sketch: let
     s_(k) be the k-th smallest surface segmin and delta the surface error
     bound (per-query, computed EXACTLY from ||q - bf16(q)|| — see
-    _select_and_rerank).  The k segment argmins are k distinct rows with
+    _flag_from_vals).  The k segment argmins are k distinct rows with
     true distance <= s_(k) + delta, so the true k-th best d_(k) <= s_(k)
     + delta; any winner's segment then has surface min <= d_(k) + delta
     <= s_(k) + 2*delta, and its bf16-stored value <= rnd(s_(k) + 2*delta)
@@ -668,10 +680,15 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
     HIGHEST-precision rerank returns the exact f32 top-k.  Callers
     escalate tie_margin geometrically when a flag is 0
     (Collection._exact_topk_device).
+
+    The flag derives entirely from the rerank's exact distances (the
+    selection top_k stays indices-only — ANY use of its values output,
+    even raw pass-through, poisons the TPU lowering for +30 ms; CLAUDE.md
+    performance facts).
     """
     q0, d = queries.shape  # d = true dims (codes may be nibble-packed)
     assert k <= MAX_FUSED_K, k
-    queries = jnp.asarray(queries).astype(jnp.float32)
+    queries = queries.astype(jnp.float32)
     qpad = (-q0) % 8
     if qpad:
         queries = jnp.concatenate(

@@ -166,54 +166,59 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin):
     segmins = jnp.min(surr.reshape(nq, nseg, _SEG), axis=-1)
     s = min(k + seg_margin, nseg)
     full = s >= nseg
+    # +1 segment so the flag can bound the best UNSELECTED segment from
+    # its exact rerank minima; the selection top_k stays indices-only and
+    # segmins has exactly one consumer (the TPU lowering hazards from
+    # ops/pallas_scan._select_and_rerank apply here too)
     sv = s if full else s + 1
-    # indices-only top_k + value re-gather (same TPU lowering hazard as
-    # ops/pallas_scan._select_and_rerank)
-    _, seg_all = jax.lax.top_k(-segmins, sv)             # (Q, S(+1))
-    seg_idx = seg_all[:, :s]
+    _, seg_idx = jax.lax.top_k(-segmins, sv)             # (Q, SV)
 
     def gather_seg(arr):
         flat = arr.reshape(nseg, -1)
-        g = jnp.take(flat, seg_idx, axis=0)              # (Q, S, _SEG*tail)
-        return g.reshape((nq, s * _SEG) + arr.shape[1:])
+        g = jnp.take(flat, seg_idx, axis=0)              # (Q, SV, _SEG*tail)
+        return g.reshape((nq, sv * _SEG) + arr.shape[1:])
 
     rows = (seg_idx[:, :, None] * _SEG +
             jnp.arange(_SEG, dtype=jnp.int32)[None, None, :]
-            ).reshape(nq, s * _SEG)
+            ).reshape(nq, sv * _SEG)
     # HIGHEST-precision recompute of the gathered candidates (feature
     # partials psum'd) — the final distances are true f32, independent of
     # the surface's fast-dot construction
     ccodes = gather_seg(c)                               # (Q, C, D_l|P_l)
     cnorms = gather_seg(nrm)
     cvalid = gather_seg(v)
-    cdist = _candidate_distances_sharded(q, ccodes, cnorms, cvalid, bits,
-                                         metric, qn2)
+    cdist, csurr = _candidate_distances_sharded(q, ccodes, cnorms, cvalid,
+                                                bits, metric, qn2)
     kk = min(k, cdist.shape[1])
     neg, pos = jax.lax.top_k(-cdist, kk)
 
     if full:
         ok = jnp.ones((nq,), jnp.int32)
         return -neg, jnp.take_along_axis(rows, pos, axis=1), ok
-    # provable-completeness flag (ops/pallas_scan.fused_scan_topk
-    # EXACTNESS note); the local surface here stays f32 (accurate dots,
-    # no bf16 storage), so the slack terms are pure cushion
-    selvals = jnp.take_along_axis(segmins, seg_all, axis=1)
-    m_k = selvals[:, min(k, s) - 1]
-    v_next = selvals[:, s]
+    # provable-completeness flag from the exact rerank surrogates
+    # (ops/pallas_scan._select_and_rerank explains the construction); the
+    # local surface here stays f32 (accurate dots, no bf16 storage), so
+    # the slack terms are pure cushion
+    segsurr = jnp.min(csurr.reshape(nq, sv, _SEG), axis=-1)
+    negk, _ = jax.lax.top_k(-segsurr[:, :s], min(k, s))
+    kth_exact = -negk[:, -1]
+    m_next = segsurr[:, s]
     if metric == "euclidean":
         vmax = jnp.max(jnp.where(v, nrm, 0.0))
         delta = _SURF_EPS_REL * (qn2[:, 0] + vmax)
     else:
         delta = jnp.full((nq,), _SURF_EPS_REL, jnp.float32)
-    thresh = m_k * (1.0 + 1.0 / 128.0 + 1.0 / 1024.0) + 2.1 * delta
-    ok = (v_next > thresh).astype(jnp.int32)
+    t_up = (kth_exact + 3.1 * delta) * (1.0 + 1.0 / 128.0)
+    v_lo = (m_next - delta) * (1.0 - 1.0 / 128.0)
+    ok = (v_lo > t_up).astype(jnp.int32)
     return -neg, jnp.take_along_axis(rows, pos, axis=1), ok
 
 
 def _candidate_distances_sharded(q, ccodes, cnorms, cvalid, bits, metric,
                                  qn2):
     """HIGHEST-precision distances for gathered candidates under feature
-    sharding: per-shard partial dots psum'd over FEATURE_AXIS."""
+    sharding: per-shard partial dots psum'd over FEATURE_AXIS.  Returns
+    (dist, surrogate) — the surrogate feeds the completeness flag."""
     from ..ops import distance as dist_ops
     precision = jax.lax.Precision.HIGHEST
     if bits in (32, 64):
@@ -240,16 +245,21 @@ def _candidate_distances_sharded(q, ccodes, cnorms, cvalid, bits, metric,
         qsum = jax.lax.psum(jnp.sum(q, axis=-1, keepdims=True), FEATURE_AXIS)
         dots = scale * raw + offset * qsum
     if metric == "euclidean":
-        dist = jnp.sqrt(jnp.maximum(qn2 - 2.0 * dots + cnorms, 0.0))
+        surr = jnp.maximum(qn2 - 2.0 * dots + cnorms, 0.0)
+        dist = jnp.sqrt(surr)
     else:
         qn = jnp.sqrt(qn2)
         vn = jnp.sqrt(cnorms)
         denom = qn * vn
         cos = jnp.where(denom > 0.0,
                         dots / jnp.where(denom > 0.0, denom, 1.0), 1.0)
-        dist = jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / jnp.pi
-        dist = jnp.where((qn == 0.0) | (vn == 0.0), 1.0, dist)
-    return jnp.where(cvalid, dist, jnp.inf)
+        cos = jnp.clip(cos, -1.0, 1.0)
+        dist = jnp.arccos(cos) / jnp.pi
+        zero = (qn == 0.0) | (vn == 0.0)
+        dist = jnp.where(zero, 1.0, dist)
+        surr = jnp.where(zero, 1.0, (1.0 - cos) * 0.5)
+    return (jnp.where(cvalid, dist, jnp.inf),
+            jnp.where(cvalid, surr, jnp.inf))
 
 
 @functools.partial(jax.jit,

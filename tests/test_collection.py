@@ -89,7 +89,10 @@ def test_medium_vs_exact_recall(tmp_collection_path, rng):
     """Seeded exact-vs-approx comparison (collection_test.go:23-103 analog):
     medium search must find most of the true top-10 while scanning <100%."""
     n, d = 5000, 32
-    c = make_collection(tmp_collection_path, dims=d, metric=COSINE, quant=32)
+    # budget small enough that a lone medium query stays on the index
+    # (the adaptive router sends nq*budget*16 >= n to the exact scan)
+    c = make_collection(tmp_collection_path, dims=d, metric=COSINE, quant=32,
+                        search_budget=256)
     vecs = rng.standard_normal((n, d))
     c.add_documents(list(range(n)), vecs, [b"{}"] * n)
     recalls = []
