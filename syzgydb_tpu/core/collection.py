@@ -271,6 +271,16 @@ class Collection:
         self._closed = False
         self._mesh = None
         self._filter_cache: dict = {}
+        # Adaptive provable-selection margin: corpora whose distances
+        # concentrate (e.g. iid high-D vectors — the whole distribution
+        # spans a handful of bf16 bins) defeat the default tie margin on
+        # EVERY batch, forcing the same 32 -> 80 -> 176 escalation ladder
+        # per search: 3 full scans + 3 synchronized fetches + one compile
+        # per new margin shape (measured 15x slowdown on the 1M x 768 iid
+        # config-4 corpus).  Remember the margin that proved complete and
+        # start there — clustered corpora stay at the default, concentrated
+        # ones pay the ladder once per collection instead of per query.
+        self._seg_margin_hint: Optional[int] = None
         # list-mode pagination cache: (columns.version, ids in lexicographic
         # decimal-string order); _list_sort_count counts rebuilds (test pin)
         self._sorted_ids_cache: tuple[int, list[int]] | None = None
@@ -806,8 +816,9 @@ class Collection:
         if precision == "exact":
             return self._exact_knn_f64(qvecs, queries, dev, valid, k,
                                        n_passing, searched, n_records)
+        tmargin = self._seg_margin_hint
         dist, rows, ties, s_used, nseg = self._exact_topk_device(
-            queries, dev, valid, k, False)
+            queries, dev, valid, k, False, tie_margin=tmargin)
         if ties is None:
             return self._knn_results_many(dist, rows, k, searched, n_records)
         while True:
@@ -817,10 +828,18 @@ class Collection:
             # provable-selection escalation: some query's tie cluster
             # exceeded the margin (adversarially clustered data) —
             # re-dispatch with a geometrically wider margin
+            tmargin = 2 * max(s_used - k, 8) + 16
             dist, rows, ties, s_used, nseg = self._exact_topk_device(
-                queries, dev, valid, k, False,
-                tie_margin=2 * max(s_used - k, 8) + 16)
+                queries, dev, valid, k, False, tie_margin=tmargin)
+        self._note_margin(tmargin)
         return self._knn_results_np(dist_np, rows_np, k, searched, n_records)
+
+    def _note_margin(self, tmargin: Optional[int]) -> None:
+        """Record the tie margin a completed dispatch needed so the next
+        search starts there instead of re-climbing the escalation ladder
+        (monotone max; only ever raises rerank width, never correctness)."""
+        if tmargin is not None and tmargin > (self._seg_margin_hint or 0):
+            self._seg_margin_hint = tmargin
 
     # error bound for the f32-HIGHEST device distances vs true f64 values:
     # accumulation error of a D-term f32 dot plus the 64->32-bit code
@@ -851,7 +870,7 @@ class Collection:
         so boundary > d64_k + eps proves no missing winner."""
         nq = qvecs.shape[0]
         m = max(64, k)
-        tmargin = None
+        tmargin = self._seg_margin_hint
         while True:
             kk = min(k + m, n_passing)
             dist, rows, ties, s_used, nseg = self._exact_topk_device(
@@ -863,6 +882,7 @@ class Collection:
                 # be incomplete — widen the segment margin first
                 tmargin = 2 * max(s_used - kk, 8) + 16
                 continue
+            self._note_margin(tmargin)
             out = []
             ok = True
             for qi in range(nq):
@@ -963,7 +983,7 @@ class Collection:
         # collection.go:598-604)
         eps = self._F32_EPS_REL * max(1.0, args.radius) if exact else 0.0
         kk = min(1024, n_passing)
-        tmargin = None
+        tmargin = self._seg_margin_hint
         while True:
             dist, rows, ties, s_used, nseg = self._exact_topk_device(
                 queries, dev, valid, kk, exact, tie_margin=tmargin)
@@ -971,6 +991,7 @@ class Collection:
                 if int(np.asarray(ties).min()) == 0:
                     tmargin = 2 * max(s_used - kk, 8) + 16
                     continue
+                self._note_margin(tmargin)
             d0 = np.asarray(dist[0])
             finite = d0[np.isfinite(d0)]
             if kk >= n_passing or len(finite) < kk or \

@@ -119,6 +119,50 @@ def test_collection_high_precision_escalates_to_exact(tmp_path, monkeypatch):
     c.close()
 
 
+def test_margin_hint_skips_reescalation(tmp_path, monkeypatch):
+    """Corpora that defeat the default margin on EVERY query (concentrated
+    distances, e.g. iid high-D — the config-4 regression) must pay the
+    escalation ladder once per collection, not once per search: the second
+    search starts at the remembered margin and dispatches exactly once."""
+    from syzgydb_tpu import Collection, CollectionOptions, SearchArgs, COSINE
+
+    n, d, k = 65536, 64, 10
+    n_ties = 300
+    db, q = _tie_corpus(n, d, n_ties, tie_lo_seg=600)
+
+    monkeypatch.setattr(pallas_scan, "supported", lambda: True)
+    calls = []
+    orig = pallas_scan.fused_scan_topk
+
+    def counting(*a, **kw):
+        calls.append(kw.get("tie_margin"))
+        return orig(*a, **kw)
+    monkeypatch.setattr(pallas_scan, "fused_scan_topk", counting)
+
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "hint.dat"), distance_method=COSINE,
+        dimension_count=d, quantization=32, create_and_overwrite=True,
+        index_seed=4))
+    c.add_documents(list(range(n)), db.astype(np.float64), [b"{}"] * n)
+
+    res1 = c.search(SearchArgs(vector=q, k=k, precision="high"))
+    assert len(calls) >= 2, calls  # first search climbs the ladder
+    final_margin = calls[-1]
+    assert final_margin is not None and c._seg_margin_hint == final_margin
+
+    calls.clear()
+    res2 = c.search(SearchArgs(vector=q, k=k, precision="high"))
+    assert calls == [final_margin]  # one dispatch, straight at the hint
+    assert [r.id for r in res2.results] == [r.id for r in res1.results]
+
+    # a fresh query on the same corpus also rides the hint
+    calls.clear()
+    q2 = np.roll(q, 1)
+    c.search(SearchArgs(vector=q2, k=k, precision="high"))
+    assert all(m == final_margin for m in calls), calls
+    c.close()
+
+
 def test_euclidean_tie_flagging():
     """The euclidean surrogate (squared distance) scales its provable
     threshold by the data magnitude; a collapsed cluster must trip the
