@@ -36,10 +36,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    try:  # persistent XLA compile cache: repeat runs skip compilation
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    except Exception:
-        pass
+    # persistent XLA compile cache: repeat runs skip compilation
+    from syzgydb_tpu.utils import xla_cache
+    xla_cache.enable()
 
     from syzgydb_tpu.index.hamming import SignHashIndex
     from syzgydb_tpu.ops import distance as dist_ops

@@ -19,6 +19,15 @@ try:
 except ImportError:
     pass
 
+try:
+    # persistent compile cache: a fresh shape (e.g. an escalated selection
+    # margin) costs 15-47s to compile through the tunnel; cache it across
+    # benchmark processes so timed windows measure dispatches, not compiles
+    from syzgydb_tpu.utils import xla_cache
+    xla_cache.enable()
+except ImportError:
+    pass
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)

@@ -827,8 +827,8 @@ class Collection:
                 break
             # provable-selection escalation: some query's tie cluster
             # exceeded the margin (adversarially clustered data) —
-            # re-dispatch with a geometrically wider margin
-            tmargin = 2 * max(s_used - k, 8) + 16
+            # re-dispatch at the next ladder rung
+            tmargin = self._escalate_margin(tmargin)
             dist, rows, ties, s_used, nseg = self._exact_topk_device(
                 queries, dev, valid, k, False, tie_margin=tmargin)
         self._note_margin(tmargin)
@@ -840,6 +840,29 @@ class Collection:
         (monotone max; only ever raises rerank width, never correctness)."""
         if tmargin is not None and tmargin > (self._seg_margin_hint or 0):
             self._seg_margin_hint = tmargin
+
+    # Escalation rungs for the provable-selection margin.  Each DISTINCT
+    # margin is a distinct static shape — a fresh XLA program whose remote
+    # compile costs ~15 s through the axon tunnel (measured; the dispatch
+    # itself is ~50 ms).  A data-dependent formula (2*(s_used-k)+16)
+    # generated arbitrary per-k values (80, 176, 368, ...), so every
+    # corpus/filter that tripped the flag at a new level stalled a live
+    # query behind a compile.  A fixed two-rung ladder caps the shape set
+    # at {default, 512, 8192, full}: 512 covers every measured tie cluster
+    # (concentrated iid-768d corpora need ~176; the adversarial test
+    # corpus ~330) at negligible extra rerank width, 8192 is the safety
+    # rung, and beyond that the dispatch clamps to a complete gather.
+    _MARGIN_LADDER = (512, 8192)
+
+    def _escalate_margin(self, cur: Optional[int]) -> int:
+        have = cur or 0
+        for m in self._MARGIN_LADDER:
+            if m > have:
+                return m
+        # past the ladder: a margin larger than any segment count makes
+        # the dispatch gather EVERY segment (s_used >= nseg), which is
+        # complete by construction and terminates the caller's loop
+        return 1 << 30
 
     # error bound for the f32-HIGHEST device distances vs true f64 values:
     # accumulation error of a D-term f32 dot plus the 64->32-bit code
@@ -880,7 +903,7 @@ class Collection:
                     int(tie_np.min()) == 0:
                 # segment-selection tie overflow: the shortlist itself may
                 # be incomplete — widen the segment margin first
-                tmargin = 2 * max(s_used - kk, 8) + 16
+                tmargin = self._escalate_margin(tmargin)
                 continue
             self._note_margin(tmargin)
             out = []
@@ -989,7 +1012,7 @@ class Collection:
                 queries, dev, valid, kk, exact, tie_margin=tmargin)
             if ties is not None and s_used < nseg:
                 if int(np.asarray(ties).min()) == 0:
-                    tmargin = 2 * max(s_used - kk, 8) + 16
+                    tmargin = self._escalate_margin(tmargin)
                     continue
                 self._note_margin(tmargin)
             d0 = np.asarray(dist[0])

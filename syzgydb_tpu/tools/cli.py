@@ -50,17 +50,10 @@ def main(argv: list[str] | None = None) -> int:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    try:
-        # persistent XLA compile cache: server restarts skip the seconds-per-
-        # shape (re)compiles of the search/scatter programs
-        import jax
-        cache_dir = os.environ.get(
-            "SYZGY_XLA_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "syzgy_tpu_xla"))
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-    except Exception:
-        pass  # cache is an optimization, never a startup blocker
+    # persistent XLA compile cache: server restarts skip the seconds-per-
+    # shape (re)compiles of the search/scatter programs
+    from ..utils import xla_cache
+    xla_cache.enable()
 
     from ..server import config as cfg_mod
     flag_argv = []
