@@ -32,9 +32,13 @@ def _log(msg):
 
 def main() -> None:
     from syzgydb_tpu.utils.hostmem import tune_host_allocator
+    from syzgydb_tpu.utils.platform import (normalize_jax_platforms,
+                                            require_accelerator)
     tune_host_allocator()
+    normalize_jax_platforms()
     import jax
     import jax.numpy as jnp
+    require_accelerator()
 
     # persistent XLA compile cache: repeat runs skip compilation
     from syzgydb_tpu.utils import xla_cache

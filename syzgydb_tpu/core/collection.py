@@ -662,8 +662,14 @@ class Collection:
         b0 = qvecs.shape[0]
         bucket = max(8, 1 << (b0 - 1).bit_length())
         if bucket != b0:
+            # pad with COPIES of the first query, not zeros: pad members
+            # ride the provable-selection flag like everyone else, and a
+            # zero cosine query's error bound is degenerate — zero pads
+            # would spuriously fail the flag and escalate every bucketed
+            # high-precision dispatch to a full gather (and poison the
+            # margin hint).  Copies fail exactly iff the real query fails.
             qvecs = np.concatenate(
-                [qvecs, np.zeros((bucket - b0, qvecs.shape[1]))])
+                [qvecs, np.repeat(qvecs[:1], bucket - b0, axis=0)])
         with self._lock:
             n_records = len(self.columns)
             if n_records == 0:
@@ -821,8 +827,11 @@ class Collection:
             queries, dev, valid, k, False, tie_margin=tmargin)
         if ties is None:
             return self._knn_results_many(dist, rows, k, searched, n_records)
+        first_fail = None
         while True:
             dist_np, rows_np, tie_np = self._fetch_results(dist, rows, ties)
+            if first_fail is None:
+                first_fail = 1.0 - float(tie_np.mean())
             if s_used >= nseg or int(tie_np.min()) == 1:
                 break
             # provable-selection escalation: some query's tie cluster
@@ -831,13 +840,28 @@ class Collection:
             tmargin = self._escalate_margin(tmargin)
             dist, rows, ties, s_used, nseg = self._exact_topk_device(
                 queries, dev, valid, k, False, tie_margin=tmargin)
-        self._note_margin(tmargin)
+        self._note_margin(tmargin, first_fail)
         return self._knn_results_np(dist_np, rows_np, k, searched, n_records)
 
-    def _note_margin(self, tmargin: Optional[int]) -> None:
+    # A starting-margin failure is "structural" when at least this
+    # fraction of the batch's queries tripped the flag: such corpora
+    # (concentrated iid high-D — the config-4 pattern) fail on EVERY
+    # batch, so remembering the proven rung saves re-climbing the ladder
+    # per search.  Below the threshold the failure is an outlier query
+    # (measured ~2e-4 of clustered-corpus queries at the tightened
+    # default margin): it escalates its own dispatch, but must NOT
+    # permanently widen every future search's rerank (hint poisoning —
+    # one unlucky query would tax the collection's throughput forever).
+    _HINT_FAIL_FRAC = 0.01
+
+    def _note_margin(self, tmargin: Optional[int],
+                     fail_frac: float = 1.0) -> None:
         """Record the tie margin a completed dispatch needed so the next
         search starts there instead of re-climbing the escalation ladder
-        (monotone max; only ever raises rerank width, never correctness)."""
+        (monotone max; only ever raises rerank width, never correctness).
+        Skipped for non-structural failures — see _HINT_FAIL_FRAC."""
+        if fail_frac < self._HINT_FAIL_FRAC:
+            return
         if tmargin is not None and tmargin > (self._seg_margin_hint or 0):
             self._seg_margin_hint = tmargin
 
@@ -847,12 +871,16 @@ class Collection:
     # itself is ~50 ms).  A data-dependent formula (2*(s_used-k)+16)
     # generated arbitrary per-k values (80, 176, 368, ...), so every
     # corpus/filter that tripped the flag at a new level stalled a live
-    # query behind a compile.  A fixed two-rung ladder caps the shape set
-    # at {default, 512, 8192, full}: 512 covers every measured tie cluster
-    # (concentrated iid-768d corpora need ~176; the adversarial test
-    # corpus ~330) at negligible extra rerank width, 8192 is the safety
-    # rung, and beyond that the dispatch clamps to a complete gather.
-    _MARGIN_LADDER = (512, 8192)
+    # query behind a compile.  A fixed ladder caps the shape set at
+    # {default, 64, 512, 8192, full}: 64 is the cheap rung that absorbs
+    # one-off tie-cluster overflows past the default margin (+11 ms at
+    # the headline shape — r5_margin_sweep) so a rare outlier query costs
+    # one modest re-dispatch; 512 covers every measured structural tie
+    # cluster (concentrated iid-768d corpora need ~176; the adversarial
+    # test corpus ~330) at negligible extra rerank width, 8192 is the
+    # safety rung, and beyond that the dispatch clamps to a complete
+    # gather.
+    _MARGIN_LADDER = (64, 512, 8192)
 
     def _escalate_margin(self, cur: Optional[int]) -> int:
         have = cur or 0
@@ -894,18 +922,22 @@ class Collection:
         nq = qvecs.shape[0]
         m = max(64, k)
         tmargin = self._seg_margin_hint
+        first_fail = None
         while True:
             kk = min(k + m, n_passing)
             dist, rows, ties, s_used, nseg = self._exact_topk_device(
                 queries, dev, valid, kk, True, tie_margin=tmargin)
             dist_np, rows_np, tie_np = self._fetch_results(dist, rows, ties)
+            if first_fail is None and ties is not None:
+                first_fail = 1.0 - float(tie_np.mean())
             if ties is not None and s_used < nseg and \
                     int(tie_np.min()) == 0:
                 # segment-selection tie overflow: the shortlist itself may
                 # be incomplete — widen the segment margin first
                 tmargin = self._escalate_margin(tmargin)
                 continue
-            self._note_margin(tmargin)
+            self._note_margin(tmargin, first_fail
+                              if first_fail is not None else 1.0)
             out = []
             ok = True
             for qi in range(nq):
@@ -1007,14 +1039,18 @@ class Collection:
         eps = self._F32_EPS_REL * max(1.0, args.radius) if exact else 0.0
         kk = min(1024, n_passing)
         tmargin = self._seg_margin_hint
+        first_fail = None
         while True:
             dist, rows, ties, s_used, nseg = self._exact_topk_device(
                 queries, dev, valid, kk, exact, tie_margin=tmargin)
             if ties is not None and s_used < nseg:
-                if int(np.asarray(ties).min()) == 0:
+                tie_np = np.asarray(ties)
+                if first_fail is None:
+                    first_fail = 1.0 - float(tie_np.mean())
+                if int(tie_np.min()) == 0:
                     tmargin = self._escalate_margin(tmargin)
                     continue
-                self._note_margin(tmargin)
+                self._note_margin(tmargin, first_fail)
             d0 = np.asarray(dist[0])
             finite = d0[np.isfinite(d0)]
             if kk >= n_passing or len(finite) < kk or \

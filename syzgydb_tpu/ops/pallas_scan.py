@@ -48,10 +48,13 @@ DEFAULT_BLOCK_N = 4096
 DEFAULT_SEG = 64
 MAX_FUSED_K = 128
 # default extra segments gathered beyond k: must cover the typical tie
-# count under the provable threshold (measured p99 ~27 on the clustered
-# 1M x 384 headline corpus with the per-query error bound) — escalation
-# re-dispatches on the rare overflow
-_TIE_MARGIN = 32
+# count under the provable threshold.  With the tightened 1*delta bridge
+# (see _select_and_rerank) the flag held for 4096/4096 fresh clustered
+# headline-corpus queries at margin 24 (16 failed 1-in-4096, the old
+# 3.1*delta bridge needed 32); escalation re-dispatches on the rare
+# overflow, and Collection's hint gate keeps one-off overflows from
+# poisoning future searches (tools_dev/r5_margin_sweep.py).
+_TIE_MARGIN = 24
 
 
 _SUBTILE = 512
@@ -635,15 +638,32 @@ def _select_and_rerank(queries, segmins, codes, norms, valid, *, bits: int,
     else:
         # angular surrogate in [0, 1]; |cos err| <= ||q - q_hat|| / ||q||
         delta = 0.5 * dq_rel + _SURFACE_ACCUM_EPS
-    # bridge exact -> surface values: winners' stored values are at most
-    # T = rnd(s_k + 2*delta) and s_k <= kth_exact + delta, so
-    # T <= (kth_exact + 3*delta)(1 + 2^-8); the (S+1)-th stored value
+    # bridge exact -> surface values DIRECTLY through kth_exact (r3.5
+    # tightening: the old chain went winner -> surface k-th -> kth_exact
+    # and paid 3*delta; this one pays 1*delta, halving the provable tie
+    # window and with it the margin the flag needs on real corpora).
+    # The k selected segments' argmins are k distinct rows with exact
+    # surrogate <= kth_exact, so the global k-th best row is too; a true
+    # top-k row w then has surr(w) <= kth_exact, its segment's surface
+    # min <= surr(w) + delta, and the bf16-stored value is at most
+    # T = (kth_exact + delta)(1 + 2^-8).  The (S+1)-th stored value
     # v_next >= (m_next - delta)(1 - 2^-8).  v_lo > t_up therefore
-    # implies v_next > T, i.e. every segment under T was selected
-    # (EXACTNESS note).  2^-7 slack per side doubles the needed 2^-8.
-    t_up = (kth_exact + 3.1 * delta) * (1.0 + 1.0 / 128.0)
-    v_lo = (m_next - delta) * (1.0 - 1.0 / 128.0)
+    # implies v_next > T, i.e. every segment that could hold a winner was
+    # selected (EXACTNESS note).  2^-8 is the exact bf16 round-to-nearest
+    # half-ulp bound (8 significand bits); the 1.1 on delta absorbs f32
+    # arithmetic residue in computing the bounds themselves.
+    t_up = (kth_exact + 1.1 * delta) * (1.0 + 1.0 / 256.0)
+    v_lo = (m_next - delta) * (1.0 - 1.0 / 256.0)
     ok = (v_lo > t_up).astype(jnp.int32)
+    if metric != "euclidean":
+        # a zero cosine query scores EVERY row at exactly the zero-vector
+        # distance (1.0, reference semantics): any k rows are the true
+        # top-k, so selection is trivially complete — without this gate
+        # its degenerate error bound (dq_rel := 1) fails the flag and
+        # escalates the dispatch to a pointless full gather.  Euclidean
+        # zero queries rank rows by ||v|| — a genuine ranking whose flag
+        # must be evaluated normally.
+        ok = jnp.where(qn2 > 0.0, ok, jnp.int32(1))
     return -neg, out_rows, ok
 
 
@@ -665,21 +685,22 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
 
     EXACTNESS (with_ties=True): a third output flags, per query, whether
     the result is PROVABLY the true f32 top-k (1) or the selection margin
-    must be escalated (0, rare adversarial data).  Proof sketch: let
-    s_(k) be the k-th smallest surface segmin and delta the surface error
-    bound (per-query, computed EXACTLY from ||q - bf16(q)|| — see
-    _flag_from_vals).  The k segment argmins are k distinct rows with
-    true distance <= s_(k) + delta, so the true k-th best d_(k) <= s_(k)
-    + delta; any winner's segment then has surface min <= d_(k) + delta
-    <= s_(k) + 2*delta, and its bf16-stored value <= rnd(s_(k) + 2*delta)
-    <= m_k*(1 + 2^-7) + 2.1*delta =: T (m_k = k-th smallest bf16 segmin =
-    rnd(s_(k)) by monotone rounding; the 2^-7 factor is one bf16 ulp of
-    storage-rounding slack).  All segments with value <= T were selected
-    iff the (S+1)-th smallest segmin exceeds T — the returned flag — in
-    which case every possible winner was gathered and the
-    HIGHEST-precision rerank returns the exact f32 top-k.  Callers
-    escalate tie_margin geometrically when a flag is 0
-    (Collection._exact_topk_device).
+    must be escalated (0, rare adversarial data).  Proof sketch (all in
+    surrogate space; delta = per-query surface error bound, computed
+    EXACTLY from ||q - bf16(q)|| — see _select_and_rerank): let
+    kth_exact be the k-th smallest EXACT segment minimum among the S
+    selected segments (from the HIGHEST rerank).  The k segments
+    achieving those minima contain k distinct rows with exact surrogate
+    <= kth_exact, so the global k-th best row value is <= kth_exact.
+    Any true top-k row w therefore has surr(w) <= kth_exact; w's
+    segment's SURFACE min is <= surr(w) + delta, and its bf16-stored
+    value is <= T = (kth_exact + delta)(1 + 2^-8) (half-ulp rounding).
+    Selection took the S smallest stored values, so if the (S+1)-th
+    stored value exceeds T — certified via its exact min m_next as
+    (m_next - delta)(1 - 2^-8) > T — every segment that could hold a
+    winner was gathered and the HIGHEST-precision rerank returns the
+    exact f32 top-k.  Callers escalate tie_margin geometrically when a
+    flag is 0 (Collection._exact_topk_device).
 
     The flag derives entirely from the rerank's exact distances (the
     selection top_k stays indices-only — ANY use of its values output,

@@ -208,9 +208,14 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin):
         delta = _SURF_EPS_REL * (qn2[:, 0] + vmax)
     else:
         delta = jnp.full((nq,), _SURF_EPS_REL, jnp.float32)
-    t_up = (kth_exact + 3.1 * delta) * (1.0 + 1.0 / 128.0)
-    v_lo = (m_next - delta) * (1.0 - 1.0 / 128.0)
+    t_up = (kth_exact + 1.1 * delta) * (1.0 + 1.0 / 256.0)
+    v_lo = (m_next - delta) * (1.0 - 1.0 / 256.0)
     ok = (v_lo > t_up).astype(jnp.int32)
+    if metric != "euclidean":
+        # zero cosine query: every row scores exactly 1.0, any selection
+        # is complete (ops/pallas_scan._select_and_rerank) — without the
+        # gate the zero-width value window fails the flag spuriously
+        ok = jnp.where(qn2[:, 0] > 0.0, ok, jnp.int32(1))
     return -neg, jnp.take_along_axis(rows, pos, axis=1), ok
 
 

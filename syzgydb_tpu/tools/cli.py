@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    else:
+        # a stale JAX_PLATFORMS=axon pin aborts backend init on containers
+        # whose tunnel plugin registers as "tpu" (utils/platform.py)
+        from ..utils.platform import normalize_jax_platforms
+        normalize_jax_platforms()
 
     # persistent XLA compile cache: server restarts skip the seconds-per-
     # shape (re)compiles of the search/scatter programs

@@ -163,6 +163,65 @@ def test_margin_hint_skips_reescalation(tmp_path, monkeypatch):
     c.close()
 
 
+def test_outlier_query_does_not_poison_margin_hint(tmp_path, monkeypatch):
+    """One adversarial query inside a large batch escalates ITS dispatch,
+    but must not raise the collection's persistent margin hint — otherwise
+    a single unlucky query taxes every future search with the escalated
+    rerank width forever (Collection._HINT_FAIL_FRAC gate).  Structural
+    failures (the whole batch trips the flag — the config-4 iid pattern)
+    still record the hint: test_margin_hint_skips_reescalation."""
+    from syzgydb_tpu import Collection, CollectionOptions, SearchArgs, COSINE
+
+    n, d, k = 65536, 64, 10
+    n_ties = 300
+    db, q_adv = _tie_corpus(n, d, n_ties, tie_lo_seg=600)
+
+    # overwrite the (iid, hence distance-concentrated) background with a
+    # CLUSTERED one: iid high-D backgrounds trip the flag structurally
+    # for ordinary queries too (the config-4 pattern), which is exactly
+    # what this test must exclude.  Rows spread over 128 well-separated
+    # centers with per-row noise magnitudes in [0.1, 0.5], so every
+    # query's rank-10 boundary gap (~1e-3 surrogate) dwarfs the surface
+    # error bound; tie segments 600..909 are left in place.
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((128, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, 128, size=n)
+    noise = rng.standard_normal((n, d)).astype(np.float32)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    scale = rng.uniform(0.1, 0.5, size=(n, 1)).astype(np.float32)
+    bg = centers[assign] + scale * noise
+    bg /= np.linalg.norm(bg, axis=1, keepdims=True)
+    tie_rows = np.arange(600 * SEG, (600 + n_ties) * SEG, SEG)
+    saved = db[tie_rows].copy()
+    db = bg
+    db[tie_rows] = saved
+
+    monkeypatch.setattr(pallas_scan, "supported", lambda: True)
+
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "poison.dat"), distance_method=COSINE,
+        dimension_count=d, quantization=32, create_and_overwrite=True,
+        index_seed=4))
+    c.add_documents(list(range(n)), db.astype(np.float64), [b"{}"] * n)
+
+    # batch of 128 ordinary queries (bf16-exact so the per-query surface
+    # error bound is ~0) + ONE adversarial: fail fraction 1/129 << 1%
+    import jax.numpy as jnp_
+    normal = np.asarray(jnp_.asarray(centers).astype(jnp_.bfloat16),
+                        dtype=np.float32)
+    batch = [SearchArgs(vector=v, k=k, precision="high") for v in normal]
+    batch.append(SearchArgs(vector=q_adv, k=k, precision="high"))
+    out = c.search_many(batch)
+
+    # the adversarial member still got the exact answer via escalation...
+    want = [(600 + n_ties - 1 - i) * SEG for i in range(k)]
+    assert [r.id for r in out[-1].results] == want
+    # ...but the one-off failure did not poison the persistent hint
+    assert c._seg_margin_hint is None
+    c.close()
+
+
 def test_euclidean_tie_flagging():
     """The euclidean surrogate (squared distance) scales its provable
     threshold by the data magnitude; a collapsed cluster must trip the
@@ -191,6 +250,41 @@ def test_euclidean_tie_flagging():
     assert int(np.asarray(ok2)[0]) == 1
     want = [(50 + i) * SEG for i in range(k)]  # ascending distance
     assert [int(r) for r in np.asarray(rows2)[0]] == want
+
+
+def test_zero_cosine_query_flag_trivially_complete():
+    """A zero cosine query scores every row at exactly 1.0 (reference
+    zero-vector semantics) — any k rows are the true top-k, so the
+    provable flag must hold rather than escalate to a full gather.  This
+    was a latent bug: search_many's shape-bucketing used to pad batches
+    with ZERO queries whose degenerate error bound failed the flag on
+    every dispatch (now it pads with copies of a real query, and the
+    zero-query gate here covers genuine zero-vector searches)."""
+    n, d, k = 16384, 16, 5
+    rng = np.random.default_rng(3)
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    norms = dist_ops.db_row_stats(db, 32)
+    valid = np.ones(n, dtype=bool)
+    q = np.zeros((8, d), dtype=np.float32)
+    q[0] = db[7]  # one real query among zero pads, like a bucketed batch
+    dist, rows, ok = pallas_scan.fused_scan_topk(
+        jnp.asarray(q), jnp.asarray(db), jnp.asarray(norms),
+        jnp.asarray(valid), bits=32, metric="cosine", k=k, with_ties=True)
+    assert np.asarray(ok).tolist() == [1] * 8
+    # zero queries: all distances exactly the zero-vector distance 1.0
+    assert np.allclose(np.asarray(dist)[1:], 1.0)
+    # euclidean zero queries rank by ||v|| — flag evaluated normally and
+    # the ranking is genuine
+    dist_e, rows_e, ok_e = pallas_scan.fused_scan_topk(
+        jnp.asarray(np.zeros((1, d), np.float32)), jnp.asarray(db),
+        jnp.asarray(norms), jnp.asarray(valid), bits=32,
+        metric="euclidean", k=k, with_ties=True)
+    want = np.argsort(np.sum(db.astype(np.float64) ** 2, axis=1),
+                      kind="stable")[:k]
+    if int(np.asarray(ok_e)[0]) == 1:
+        assert set(int(r) for r in np.asarray(rows_e)[0]) == set(
+            want.tolist())
 
 
 def test_normal_data_no_escalation(tmp_path, monkeypatch):
