@@ -208,6 +208,23 @@ def _scatter_apply(codes, norms, valid, hashes, idx, c_new, n_new, v_new,
             hashes.at[idx].set(h_new, mode="drop"))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_slab_apply(slab, idx, c_new):
+    """Donated scatter of a dirty-row batch into the tile-aligned lane
+    slab (ops/pallas_scan.make_lane_slab).  Row r occupies lane rows
+    [r*Lr, (r+1)*Lr) of the (nseg*T, 128) flattening — the slab layout
+    was chosen so this identity holds (s*T + (r%seg)*Lr + j == r*Lr + j),
+    making the update a plain row scatter.  Out-of-range pad indices
+    (idx == capacity) land past the end and are dropped."""
+    nseg, t, lane = slab.shape
+    lr = c_new.shape[1] // lane
+    flat = slab.reshape(nseg * t, lane)
+    lanes = (idx[:, None] * lr +
+             jnp.arange(lr, dtype=idx.dtype)[None, :]).reshape(-1)
+    upd = c_new.astype(slab.dtype).reshape(-1, lane)
+    return flat.at[lanes].set(upd, mode="drop").reshape(nseg, t, lane)
+
+
 import itertools
 
 _collection_tokens = itertools.count(1)
@@ -507,6 +524,20 @@ class Collection:
                     "hashes": self.index.encode_codes_device(
                         codes_dev, self.quantization),
                 }
+                # tile-aligned lane slab for the fused rerank's segment
+                # gathers (~2.7x the 2-D-layout gather bandwidth on TPU,
+                # ops/pallas_scan.make_lane_slab).  Derived ON DEVICE from
+                # the uploaded codes — one HBM relayout pass instead of a
+                # second 250MB/s host upload.  Costs one extra codes-sized
+                # buffer; skipped off-TPU (the lane contraction is slower
+                # than the BLAS einsum there) and for packed 4-bit.
+                from ..ops import pallas_scan
+                if pallas_scan.supported() and \
+                        pallas_scan.lane_slab_supported(
+                            self.quantization,
+                            self.options.dimension_count):
+                    self._dev["slab"] = pallas_scan.make_lane_slab(
+                        codes_dev)
             self._dev_version = self.columns.version
             # prewarm the scatter program (a no-op update): its first
             # compile costs ~0.7s at 10M rows and would otherwise land on
@@ -545,13 +576,15 @@ class Collection:
             return jnp.asarray(out)
 
         dev = self._dev
+        c_new = take(self.columns.codes)
         out = _scatter_apply(dev["codes"], dev["norms"], dev["valid"],
-                             dev["hashes"], idx,
-                             take(self.columns.codes),
+                             dev["hashes"], idx, c_new,
                              take(self.columns.norms),
                              take(self.columns.valid),
                              take(self.columns.hashes))
         new = dict(zip(("codes", "norms", "valid", "hashes"), out))
+        if "slab" in dev:
+            new["slab"] = _scatter_slab_apply(dev["slab"], idx, c_new)
         if self._mesh is not None:
             from ..parallel import mesh as mesh_mod
             want = {"codes": mesh_mod.row_sharding(self._mesh),
@@ -751,6 +784,7 @@ class Collection:
                     nseg = self.columns.capacity // pallas_scan.DEFAULT_SEG
                     dist, rows, ties = pallas_scan.fused_scan_topk(
                         queries, dev["codes"], dev["norms"], valid,
+                        dev.get("slab"),
                         bits=self.quantization, metric=self.metric,
                         k=kk, block_n=block, exact=exact,
                         tie_margin=margin, with_ties=True)

@@ -179,35 +179,18 @@ def segment_min_scan(queries, codes, norms, valid, *, bits: int, metric: str,
     return segmins_t.T                                       # (Q, N/seg)
 
 
-def _candidate_distances(queries, ccodes, cnorms, cvalid, bits, metric,
-                         exact, with_surrogate: bool = False):
-    """Exact distances for gathered candidates (Q, C, D|P) -> (Q, C) f32.
-
-    Always HIGHEST precision: the candidate set is tiny (S*seg rows per
-    query vs N scanned), so true-f32 math costs nothing measurable here,
-    and it is what makes precision="high" PROVABLY return the exact f32
-    top-k once the tie-aware segment selection guarantees coverage.
-
-    with_surrogate=True also returns the surrogate-space values (squared
-    distance / (1-cos)/2, invalid rows +inf) — the completeness flag
-    compares exact per-segment minima against surface values in surrogate
-    units (_select_and_rerank)."""
-    from . import distance as dist_ops
-    precision = jax.lax.Precision.HIGHEST
+def _affine_dots(queries, raw, bits):
+    """Raw code contraction -> true dot products (affine dequantization)."""
     if bits in (32, 64):
-        dots = jnp.einsum("qd,qcd->qc", queries, ccodes.astype(jnp.float32),
-                          preferred_element_type=jnp.float32,
-                          precision=precision)
-    elif bits == 4:
-        dots = dist_ops.packed4_dots_batched(queries, ccodes, precision)
-    else:
-        scale, offset = qz.affine_constants(bits)
-        raw = jnp.einsum("qd,qcd->qc", queries,
-                         ccodes.astype(jnp.float32),
-                         preferred_element_type=jnp.float32,
-                         precision=precision)
-        qsum = jnp.sum(queries, axis=-1, keepdims=True)
-        dots = scale * raw + offset * qsum
+        return raw
+    scale, offset = qz.affine_constants(bits)
+    return scale * raw + offset * jnp.sum(queries, axis=-1, keepdims=True)
+
+
+def _dots_to_dist_surr(queries, dots, cnorms, cvalid, metric):
+    """Metric epilogue shared by the gather and lane rerank paths:
+    (Q, C) dots -> (dist, surrogate), invalid rows +inf, zero vectors at
+    the reference distance (cosine: 1.0)."""
     if metric == "euclidean":
         qn = jnp.sum(queries * queries, axis=-1, keepdims=True)
         surr = jnp.maximum(qn - 2.0 * dots + cnorms, 0.0)
@@ -223,9 +206,35 @@ def _candidate_distances(queries, ccodes, cnorms, cvalid, bits, metric,
         zero = (qn == 0.0) | (vn == 0.0)
         dist = jnp.where(zero, 1.0, dist)
         surr = jnp.where(zero, 1.0, (1.0 - cos) * 0.5)
-    dist = jnp.where(cvalid, dist, jnp.inf)
+    return (jnp.where(cvalid, dist, jnp.inf),
+            jnp.where(cvalid, surr, jnp.inf))
+
+
+def _candidate_distances(queries, ccodes, cnorms, cvalid, bits, metric,
+                         exact, with_surrogate: bool = False):
+    """Exact distances for gathered candidates (Q, C, D|P) -> (Q, C) f32.
+
+    Always HIGHEST precision: the candidate set is tiny (S*seg rows per
+    query vs N scanned), so true-f32 math costs nothing measurable here,
+    and it is what makes precision="high" PROVABLY return the exact f32
+    top-k once the tie-aware segment selection guarantees coverage.
+
+    with_surrogate=True also returns the surrogate-space values (squared
+    distance / (1-cos)/2, invalid rows +inf) — the completeness flag
+    compares exact per-segment minima against surface values in surrogate
+    units (_select_and_rerank)."""
+    from . import distance as dist_ops
+    precision = jax.lax.Precision.HIGHEST
+    if bits == 4:
+        dots = dist_ops.packed4_dots_batched(queries, ccodes, precision)
+    else:
+        raw = jnp.einsum("qd,qcd->qc", queries, ccodes.astype(jnp.float32),
+                         preferred_element_type=jnp.float32,
+                         precision=precision)
+        dots = _affine_dots(queries, raw, bits)
+    dist, surr = _dots_to_dist_surr(queries, dots, cnorms, cvalid, metric)
     if with_surrogate:
-        return dist, jnp.where(cvalid, surr, jnp.inf)
+        return dist, surr
     return dist
 
 
@@ -239,6 +248,61 @@ def gather_segments(arr, seg_idx, seg: int):
     g = jnp.take(flat, seg_idx, axis=0)           # (Q, S, seg*prod(tail))
     qn, s = seg_idx.shape
     return g.reshape((qn, s * seg) + tail)
+
+
+# ---------------------------------------------------------------------------
+# Tile-aligned lane slabs: the fast rerank gather path.
+#
+# A 2-D (N//seg, seg*D) code view tiles its LAST TWO dims ((32,128) for
+# int8), interleaving 32 consecutive segments inside every tile — a
+# single-slab gather then reads sub-tile strides at ~37 GB/s (measured,
+# tools_dev/r6d_tile_gather_probe.py).  Reshaped 3-D as
+# (N//seg, seg*D/128, 128) the leading dim is UNTILED: each slab is whole
+# (8,128) tiles and jnp.take DMAs at ~99 GB/s — 2.7x.  The rerank then
+# contracts DIRECTLY on that layout (no relayout back to (Q, C, D), which
+# measured +3.7 ms and de-fused the consumer):
+#
+#   slab element (t, l) = element (t % Lr)*128 + l of row t // Lr,
+#   Lr = D/128, so with the query repeated as (Lr, 128) blocks a
+#   lane-reduce + Lr-term strided sum yields the row dots — pure VPU,
+#   f32 products/accumulation (same rounding class as the HIGHEST einsum
+#   on the gather path; agreement pinned in tests/test_lane_rerank.py).
+# ---------------------------------------------------------------------------
+
+_LANE = 128
+
+
+def lane_slab_supported(bits: int, dims: int) -> bool:
+    """Lane rerank needs whole 128-element lanes per row; packed 4-bit
+    nibbles address half-elements and are served by the gather path."""
+    return bits != 4 and dims % _LANE == 0
+
+
+def make_lane_slab(codes, seg: int = DEFAULT_SEG):
+    """Tile-aligned slab view of the device codes: (N, D) ->
+    (N//seg, seg*D/128, 128), same dtype.  A device-side relayout (one
+    HBM pass) — NOT free like the host numpy view, so Collection keeps it
+    as derived device state alongside the matmul-layout codes."""
+    n, d = codes.shape
+    return codes.reshape(n // seg, (seg * d) // _LANE, _LANE)
+
+
+def _lane_dots(queries, slab, seg_idx, seg: int):
+    """Raw contraction dot(q, row) for every row of the selected segments,
+    computed on the tile-aligned slab layout: (Q, D) x (nseg, seg*Lr, 128)
+    x (Q, SV) -> (Q, SV*seg) f32."""
+    nq, d = queries.shape
+    sv = seg_idx.shape[1]
+    lr = d // _LANE
+    g = jnp.take(slab, seg_idx, axis=0)             # (Q, SV, seg*Lr, 128)
+    qx = queries.reshape(nq, lr, _LANE)
+    qrep = jnp.tile(qx, (1, seg, 1))                # (Q, seg*Lr, 128)
+    partial = jnp.sum(g.astype(jnp.float32) * qrep[:, None, :, :],
+                      axis=-1)                      # (Q, SV, seg*Lr)
+    raw = partial[:, :, 0::lr]
+    for j in range(1, lr):
+        raw = raw + partial[:, :, j::lr]            # (Q, SV, seg)
+    return raw.reshape(nq, sv * seg)
 
 
 def _surface_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
@@ -571,11 +635,15 @@ _SURFACE_ACCUM_EPS = 3e-5
 @functools.partial(jax.jit, static_argnames=("bits", "metric", "k", "seg",
                                              "exact", "tie_margin",
                                              "with_ties"))
-def _select_and_rerank(queries, segmins, codes, norms, valid, *, bits: int,
-                       metric: str, k: int, seg: int, exact: bool,
+def _select_and_rerank(queries, segmins, codes, norms, valid, slab=None, *,
+                       bits: int, metric: str, k: int, seg: int, exact: bool,
                        tie_margin: int, with_ties: bool):
     """Stage 2 of fused_scan_topk: top segments -> slab gather -> HIGHEST
     rerank -> top-k (+ the provable-completeness flag).
+
+    With `slab` (the tile-aligned view from make_lane_slab) the gather
+    runs at full tile bandwidth and the rerank contracts in place
+    (_lane_dots); otherwise the (Q, C, D) gather + HIGHEST einsum path.
 
     The selection top_k runs INDICES-ONLY: touching its values output in
     any way — slice, matmul, even raw program output — makes the TPU
@@ -587,22 +655,33 @@ def _select_and_rerank(queries, segmins, codes, norms, valid, *, bits: int,
     reshape-min over the candidate distances, and conservative +/- delta
     bounds bridge between exact and surface values (see the EXACTNESS
     note on fused_scan_topk for why the resulting test is sound)."""
-    n = codes.shape[0]
+    n = norms.shape[0]
     nseg = n // seg
     s = min(k + tie_margin, nseg)
     full = s >= nseg  # every segment gathered: complete by construction
     sv = s if (full or not with_ties) else s + 1
     _, seg_idx = jax.lax.top_k(-segmins, sv)                  # (Qp, SV)
 
-    ccodes = gather_segments(codes, seg_idx, seg)             # (Qp, SV*seg, D)
-    cnorms = gather_segments(norms, seg_idx, seg)             # (Qp, SV*seg)
-    cvalid = gather_segments(valid, seg_idx, seg)
     rows = (seg_idx[:, :, None] * seg +
             jnp.arange(seg, dtype=jnp.int32)[None, None, :]
             ).reshape(seg_idx.shape[0], sv * seg)
-
-    dist, surr = _candidate_distances(queries, ccodes, cnorms, cvalid, bits,
-                                      metric, exact, with_surrogate=True)
+    if slab is not None:
+        nq_ = queries.shape[0]
+        raw = _lane_dots(queries, slab, seg_idx, seg)         # (Qp, SV*seg)
+        dots = _affine_dots(queries, raw, bits)
+        cnorms = jnp.take(norms.reshape(nseg, seg), seg_idx,
+                          axis=0).reshape(nq_, sv * seg)
+        cvalid = jnp.take(valid.reshape(nseg, seg), seg_idx,
+                          axis=0).reshape(nq_, sv * seg)
+        dist, surr = _dots_to_dist_surr(queries, dots, cnorms, cvalid,
+                                        metric)
+    else:
+        ccodes = gather_segments(codes, seg_idx, seg)         # (Qp, SV*seg, D)
+        cnorms = gather_segments(norms, seg_idx, seg)         # (Qp, SV*seg)
+        cvalid = gather_segments(valid, seg_idx, seg)
+        dist, surr = _candidate_distances(queries, ccodes, cnorms, cvalid,
+                                          bits, metric, exact,
+                                          with_surrogate=True)
     kk = min(k, dist.shape[1])
     neg, pos = jax.lax.top_k(-dist, kk)
     out_rows = jnp.take_along_axis(rows, pos, axis=1)
@@ -671,8 +750,8 @@ def _select_and_rerank(queries, segmins, codes, norms, valid, *, bits: int,
                                              "seg", "exact", "interpret",
                                              "surface", "tie_margin",
                                              "with_ties"))
-def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
-                    k: int, block_n: int = DEFAULT_BLOCK_N,
+def fused_scan_topk(queries, codes, norms, valid, slab=None, *, bits: int,
+                    metric: str, k: int, block_n: int = DEFAULT_BLOCK_N,
                     seg: int = DEFAULT_SEG, exact: bool = False,
                     interpret: bool = False, surface: str = "xla",
                     tie_margin: int = _TIE_MARGIN, with_ties: bool = False):
@@ -681,7 +760,9 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
     N must be a multiple of block_n (the column store pads capacity;
     padding rows carry valid=False).  k <= MAX_FUSED_K.  `surface` picks the
     segment-minima producer: "xla" (default, fused epilogue) or "pallas"
-    (ops kernel above).
+    (ops kernel above).  `slab` (optional, from make_lane_slab at the same
+    seg) routes the rerank through the tile-aligned lane path — ~2.7x
+    faster candidate gathers on TPU, identical results.
 
     EXACTNESS (with_ties=True): a third output flags, per query, whether
     the result is PROVABLY the true f32 top-k (1) or the selection margin
@@ -709,6 +790,9 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
     """
     q0, d = queries.shape  # d = true dims (codes may be nibble-packed)
     assert k <= MAX_FUSED_K, k
+    if slab is not None:
+        assert slab.shape == (norms.shape[0] // seg, (seg * d) // _LANE,
+                              _LANE), (slab.shape, seg, d)
     queries = queries.astype(jnp.float32)
     qpad = (-q0) % 8
     if qpad:
@@ -730,7 +814,7 @@ def fused_scan_topk(queries, codes, norms, valid, *, bits: int, metric: str,
         segmins = segment_min_scan_xla(queries, codes, norms, valid,
                                        bits=bits, metric=metric, seg=seg,
                                        exact=exact)
-    out = _select_and_rerank(queries, segmins, codes, norms, valid,
+    out = _select_and_rerank(queries, segmins, codes, norms, valid, slab,
                              bits=bits, metric=metric, k=k, seg=seg,
                              exact=exact, tie_margin=tie_margin,
                              with_ties=with_ties)
