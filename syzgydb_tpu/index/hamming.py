@@ -177,96 +177,18 @@ def _hamming_candidates_xla(qcodes: jnp.ndarray, db_hashes: jnp.ndarray,
 # path: recall collapses to 0.44-0.73 at equal budget because Hamming
 # neighborhoods do not cluster in row order — a winning segment drags
 # SEG-1 useless rows along.  seg=16 at 2x budget merely ties row-gather.
-# Round 3 closes that gap from the other side: sketch_sort_permutation
-# REORDERS the rows so Hamming neighborhoods DO cluster in row order, and
-# ann_segment_topk rides the segment trick on the sorted layout — see below.
+# A sketch-sorted physical layout (rows ordered by sketch code so Hamming
+# neighborhoods DO cluster in segments) was prototyped in round 3 and
+# dropped before integration: it requires a physical-row indirection layer
+# in ColumnStore, and the regime it would speed up (small serving batches)
+# is transport-bound (~33 ms tunnel RTT) rather than gather-bound.  The
+# r3.6 tile-alignment result (pallas_scan.make_lane_slab) cannot rescue
+# per-ROW gathers either: a TPU tile spans >= 8 consecutive rows, so
+# row-granular gathers are inherently sub-tile — only segment-slab
+# layouts reach full DMA bandwidth, which is a structural argument for
+# the exhaustive segment-min scan above the ANN crossover (BASELINE.md).
 
 
-def sketch_sort_permutation(hashes: np.ndarray) -> np.ndarray:
-    """Row permutation sorting by sketch code, most-significant word first.
-
-    Vectors whose sign sketches share a long prefix land in adjacent rows,
-    so a query's Hamming neighborhood concentrates in FEW row segments —
-    which is what lets the ANN path select whole segments from a fused
-    (Q, N/seg) Hamming segment-min surface (never materializing the (Q, N)
-    sketch-distance matrix) and gather contiguous DMA-friendly slabs
-    instead of per-row candidates.  The flat analog of the reference's
-    tree-leaf locality (lshtree.go: points in one leaf share every split
-    decision on the path to it)."""
-    keys = tuple(hashes[:, w] for w in range(hashes.shape[1] - 1, -1, -1))
-    return np.lexsort(keys).astype(np.int64)
-
-
-@functools.partial(jax.jit, static_argnames=("budget_segs", "words", "seg"))
-def hamming_segment_minima(qcodes, db_hashes, valid, *, budget_segs: int,
-                           words: int, seg: int):
-    """Top segments by minimum sketch Hamming distance.
-
-    The per-word XOR+popcount chain and the seg-reduce are all elementwise,
-    so XLA fuses them end-to-end: HBM traffic is the (N, W) sketch read
-    plus a (Q, N/seg) minima surface — at 1M rows and seg 32 that is ~32x
-    less surface than the (Q, N) row scan.  Returns (minima (Q, S) int32
-    ascending, seg_idx (Q, S) int32)."""
-    q = qcodes.astype(jnp.uint32)
-    n = db_hashes.shape[0]
-    nq = q.shape[0]
-    ham = jnp.zeros((nq, n), dtype=jnp.int32)
-    for w in range(words):
-        x = jnp.bitwise_xor(q[:, w][:, None], db_hashes[None, :, w])
-        ham = ham + jax.lax.population_count(x).astype(jnp.int32)
-    ham = jnp.where(valid[None, :], ham, jnp.int32(1 << 30))
-    segmin = jnp.min(ham.reshape(nq, n // seg, seg), axis=-1)
-    s = min(budget_segs, n // seg)
-    if s > 128:
-        vals, idx = jax.lax.approx_min_k(segmin.astype(jnp.float32), s,
-                                         recall_target=0.95)
-        return vals.astype(jnp.int32), idx
-    neg, idx = jax.lax.top_k(-segmin, s)
-    return -neg, idx
-
-
-@functools.partial(jax.jit, static_argnames=("bits", "metric", "k",
-                                             "budget_segs", "words", "seg",
-                                             "with_counts"))
-def ann_segment_topk(queries, qcodes, codes, norms, valid, db_hashes, *,
-                     bits: int, metric: str, k: int, budget_segs: int,
-                     words: int, seg: int = 32, with_counts: bool = False):
-    """Segment-granular sketch ANN for the sketch-sorted row layout.
-
-    Pipeline: fused Hamming segment-min surface -> top budget_segs
-    segments -> contiguous SEG-row slab gathers -> HIGHEST-precision exact
-    rerank -> top-k.  Candidate budget = budget_segs * seg rows.  Only
-    meaningful when the rows were ordered by sketch_sort_permutation;
-    unsorted layouts lose recall (r2 segrerank probe).
-    """
-    from ..ops import pallas_scan
-    q0 = queries.shape[0]
-    queries = queries.astype(jnp.float32)
-    qpad = (-q0) % 8
-    if qpad:
-        queries = jnp.concatenate(
-            [queries, jnp.zeros((qpad, queries.shape[1]), jnp.float32)])
-        qcodes = jnp.concatenate(
-            [qcodes, jnp.zeros((qpad, qcodes.shape[1]), qcodes.dtype)])
-
-    _, seg_idx = hamming_segment_minima(qcodes, db_hashes, valid,
-                                        budget_segs=budget_segs,
-                                        words=words, seg=seg)
-    ccodes = pallas_scan.gather_segments(codes, seg_idx, seg)
-    cnorms = pallas_scan.gather_segments(norms, seg_idx, seg)
-    cvalid = pallas_scan.gather_segments(valid, seg_idx, seg)
-    rows = (seg_idx[:, :, None] * seg +
-            jnp.arange(seg, dtype=jnp.int32)[None, None, :]
-            ).reshape(seg_idx.shape[0], -1)
-    dist = pallas_scan._candidate_distances(queries, ccodes, cnorms, cvalid,
-                                            bits, metric, False)
-    kk = min(k, dist.shape[1])
-    neg, pos = jax.lax.top_k(-dist, kk)
-    out_rows = jnp.take_along_axis(rows, pos, axis=1)
-    if with_counts:
-        nsc = jnp.sum(cvalid, axis=1).astype(jnp.int32)
-        return (-neg)[:q0], out_rows[:q0], nsc[:q0]
-    return (-neg)[:q0], out_rows[:q0]
 @functools.partial(jax.jit, static_argnames=("bits", "metric", "k",
                                              "with_counts"))
 def rerank_topk(queries: jnp.ndarray, codes: jnp.ndarray, norms: jnp.ndarray,
