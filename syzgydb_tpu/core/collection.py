@@ -515,6 +515,18 @@ class Collection:
                     "hashes": jax.device_put(self.index.encode_codes_device(
                         codes_dev, self.quantization), row),
                 }
+                # tile-aligned lane slab per shard for the fused mesh
+                # scan's rerank gathers (parallel/search.sharded_lane_slab)
+                # — TPU only; the lane contraction loses to the BLAS
+                # einsum on CPU meshes
+                from ..ops import pallas_scan
+                from ..parallel import search as psearch
+                if pallas_scan.supported() and psearch.lane_ok_mesh(
+                        self._mesh, self.quantization,
+                        self.options.dimension_count,
+                        self.columns.capacity):
+                    self._dev["slab"] = psearch.sharded_lane_slab(
+                        self._mesh, codes_dev)
             else:
                 codes_dev = jnp.asarray(codes_np)
                 self._dev = {
@@ -583,8 +595,6 @@ class Collection:
                              take(self.columns.valid),
                              take(self.columns.hashes))
         new = dict(zip(("codes", "norms", "valid", "hashes"), out))
-        if "slab" in dev:
-            new["slab"] = _scatter_slab_apply(dev["slab"], idx, c_new)
         if self._mesh is not None:
             from ..parallel import mesh as mesh_mod
             want = {"codes": mesh_mod.row_sharding(self._mesh),
@@ -593,6 +603,17 @@ class Collection:
                     "hashes": mesh_mod.row_sharding(self._mesh)}
             new = {k: v if v.sharding == want[k]
                    else jax.device_put(v, want[k]) for k, v in new.items()}
+        if "slab" in dev:
+            if self._mesh is not None:
+                # the mesh slab is feature-blocked per segment (opaque
+                # layout, parallel/search.sharded_lane_slab): rebuild from
+                # the scattered codes — one sharded relayout pass, cheaper
+                # than a cross-layout scatter program
+                from ..parallel import search as psearch
+                new["slab"] = psearch.sharded_lane_slab(self._mesh,
+                                                        new["codes"])
+            else:
+                new["slab"] = _scatter_slab_apply(dev["slab"], idx, c_new)
         return new
 
     # -- filters -----------------------------------------------------------
@@ -763,6 +784,7 @@ class Collection:
                 else tie_margin
             out = psearch.sharded_exact_topk(
                 self._mesh, queries, dev["codes"], dev["norms"], valid,
+                dev.get("slab"),
                 bits=self.quantization, metric=self.metric, k=kk,
                 exact=exact, seg_margin=margin, with_ties=True)
             if len(out) == 2:  # non-fused sharded path: full-surface top-k

@@ -116,6 +116,81 @@ def test_collection_lane_slab_sync(tmp_path, monkeypatch):
     c.close()
 
 
+@pytest.mark.parametrize("data,feature", [(8, 1), (4, 2), (2, 1)])
+@pytest.mark.parametrize("bits,metric", [(8, "cosine"), (32, "euclidean")])
+def test_mesh_lane_matches_unsharded(rng, data, feature, bits, metric):
+    """sharded_exact_topk with a lane slab must agree with the plain
+    sharded path and the single-device oracle on every mesh shape whose
+    feature shards hold whole lanes."""
+    import jax
+    from syzgydb_tpu.parallel import mesh as mesh_mod
+    from syzgydb_tpu.parallel import search as psearch
+
+    n, d, k = 1024, 256, 10
+    m = mesh_mod.make_mesh(mesh_mod.MeshConfig(data=data, feature=feature),
+                           jax.devices()[: data * feature])
+    assert psearch.lane_ok_mesh(m, bits, d, n)
+    db = rng.uniform(-1, 1, size=(n, d))
+    codes = jnp.asarray(qz.codes_to_device_repr(db, bits))
+    norms = jnp.asarray(dist_ops.db_row_stats(np.asarray(codes), bits, d))
+    valid_np = np.ones(n, dtype=bool)
+    valid_np[50:60] = False
+    valid = jnp.asarray(valid_np)
+    queries = jnp.asarray(np.float32(rng.uniform(-1, 1, size=(4, d))))
+
+    slab = psearch.sharded_lane_slab(m, codes)
+    kw = dict(bits=bits, metric=metric, k=k, with_ties=True)
+    d_ref, r_ref, ok_ref = psearch.sharded_exact_topk(
+        m, queries, codes, norms, valid, **kw)
+    d_ln, r_ln, ok_ln = psearch.sharded_exact_topk(
+        m, queries, codes, norms, valid, slab, **kw)
+    np.testing.assert_array_equal(np.asarray(r_ref), np.asarray(r_ln))
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_ln),
+                               atol=2e-6, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_ln))
+    # and against the unsharded oracle
+    ref = dist_ops.score_block(queries, codes, norms, valid, bits, metric,
+                               exact=True)
+    _, oracle_rows = dist_ops.top_k_smallest(ref, k)
+    for i in range(4):
+        assert set(np.asarray(r_ln)[i].tolist()) == \
+            set(np.asarray(oracle_rows)[i].tolist())
+
+
+def test_mesh_lane_collection_state(tmp_path, monkeypatch):
+    """Under a mesh placement the Collection derives the sharded lane slab
+    (TPU-gated in production; forced here), rebuilds it through scatter
+    syncs, and keeps returning exact results."""
+    import jax
+    from syzgydb_tpu import (Collection, CollectionOptions, SearchArgs,
+                             COSINE)
+    from syzgydb_tpu.parallel import mesh as mesh_mod
+    monkeypatch.setattr(pallas_scan, "supported", lambda: True)
+
+    n, d = 1024, 256
+    rng = np.random.default_rng(9)
+    db = rng.standard_normal((n, d))
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "meshlane.dat"), distance_method=COSINE,
+        dimension_count=d, quantization=8, create_and_overwrite=True,
+        index_seed=3))
+    # collection-integrated meshes shard N only (use_mesh contract)
+    c.use_mesh(mesh_mod.make_mesh(
+        mesh_mod.MeshConfig(data=8, feature=1), jax.devices()[:8]))
+    c.add_documents(list(range(n)), db, [b"{}"] * n)
+    out = c.search(SearchArgs(vector=db[11], k=5, precision="high"))
+    assert "slab" in c._device_state()
+    assert out.results[0].id == 11
+    # scatter sync rebuilds the sharded slab
+    upd = rng.standard_normal((8, d))
+    upd /= np.linalg.norm(upd, axis=1, keepdims=True)
+    c.add_documents(list(range(2000, 2008)), upd, [b"{}"] * 8)
+    out2 = c.search(SearchArgs(vector=upd[3], k=5, precision="high"))
+    assert out2.results[0].id == 2003
+    c.close()
+
+
 def test_collection_no_slab_for_packed_or_ragged(tmp_path, monkeypatch):
     """4-bit packed codes and dims not divisible by 128 stay on the
     gather path (no slab) and still answer exactly."""
