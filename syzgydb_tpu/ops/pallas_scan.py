@@ -539,6 +539,168 @@ def segment_min_scan_nat(queries, codes, norms, valid, *, bits: int,
       valid.astype(jnp.float32)[:, None])
 
 
+# ---------------------------------------------------------------------------
+# Segment-interleaved fused matmul+min: the (Q, N) surface never exists.
+#
+# The XLA surface path (segment_min_scan_xla, the r2/r3 production default)
+# materializes a bf16 (Q, N) transient between the matmul and the reshape-min
+# — measured ~5.7 ms of the 25.8 ms headline batch (write+read of 2x2 GB at
+# ~700 GB/s; BASELINE.md stage table).  Fusing the min into the matmul
+# epilogue is a Pallas job, but the three natural formulations all sank in
+# Mosaic on this toolchain (r2 notes): transposed-layout sublane roll-trees
+# ran at ~5 GB/s, natural-layout lane reshapes + dynamic lane writes were
+# rejected or VMEM-blew, and unrolled multi-subtile bodies compiled >30 min.
+#
+# This variant dodges all three with a LAYOUT trick: the matmul operand is
+# row-PERMUTED (one-time, make_ilv_codes) so that within every 128*seg-row
+# block, permuted row m*128 + s is member m of segment s.  The per-subtile
+# distance slice (Q, sub) then holds each segment's members in the SAME lane
+# of consecutive 128-lane tiles, and the per-segment min is a fold of
+# jnp.minimum over whole-tile static slices into a (Q, 128) accumulator —
+# no rolls, no lane reshapes, no dynamic writes, fori_loop body compiled
+# once.  Output column order equals the ORIGINAL segment index, so
+# selection, the provable-completeness flag, and the lane-slab rerank are
+# unchanged.  Minima stay f32 end-to-end (no bf16 surface rounding —
+# strictly less error than the XLA surface, so the flag bridge's half-ulp
+# factors become pure slack).
+# ---------------------------------------------------------------------------
+
+_ILV_LANES = 128
+
+
+def ilv_supported(n: int, seg: int = DEFAULT_SEG) -> bool:
+    return n % (_ILV_LANES * seg) == 0
+
+
+def _ilv_perm(a, seg: int = DEFAULT_SEG):
+    """Row permutation (N, ...) -> (N, ...): block b, member m of segment s
+    (original row b*128*seg + s*seg + m) moves to permuted row
+    b*128*seg + m*128 + s.  Works on numpy or jax arrays."""
+    n = a.shape[0]
+    blk = _ILV_LANES * seg
+    return a.reshape((n // blk, _ILV_LANES, seg) + a.shape[1:]) \
+            .swapaxes(1, 2).reshape(a.shape)
+
+
+def make_ilv_codes(codes, seg: int = DEFAULT_SEG):
+    """Segment-interleaved matmul operand for segment_min_scan_ilv — a
+    device-side relayout (one HBM pass), kept as derived device state like
+    the lane slab."""
+    return _ilv_perm(codes, seg)
+
+
+def _segmin_ilv_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
+                       *, bits, metric, exact, seg, interpret=False):
+    """Fused code-matmul + surrogate epilogue + segment-min over the
+    interleaved layout (see the section comment above)."""
+    queries = q_ref[:]                                       # (Q, D)
+    if bits in (4, 8, 16):
+        scale, offset = qz.affine_constants(bits)
+        qsum = jnp.sum(queries, axis=-1)[:, None]            # (Q, 1)
+    qn2 = jnp.sum(queries * queries, axis=-1)[:, None]       # (Q, 1)
+    fast = bits in (4, 8) and not exact
+    # interpret mode runs on the CPU backend, whose bf16 x bf16 -> f32
+    # DotThunk is unimplemented at this dot's shape — emulate the MXU's
+    # input rounding (cast through bf16) and contract in f32 instead
+    cast = jnp.bfloat16 if fast and not interpret else jnp.float32
+    rnd = (lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)) \
+        if fast and interpret else (lambda x: x)
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    dn = (((1,), (1,)), ((), ()))
+    if bits == 4:
+        qe = rnd(queries[:, 0::2]).astype(cast)
+        qo = rnd(queries[:, 1::2]).astype(cast)
+    else:
+        qc = rnd(queries).astype(cast)
+
+    b = codes_ref.shape[0]                                   # 128 * seg
+    nq = queries.shape[0]
+    sub = min(_SUBTILE, b)
+
+    def body(t, acc):
+        lo = t * sub
+        codes = codes_ref[pl.ds(lo, sub), :]                 # (sub, D|P)
+        if bits == 4:
+            h = ((codes >> 4).astype(jnp.int32) - 8).astype(cast)
+            low = ((codes & 0xF).astype(jnp.int32) - 8).astype(cast)
+            raw = jax.lax.dot_general(
+                qe, h, dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+            raw = raw + jax.lax.dot_general(
+                qo, low[:, : qo.shape[1]], dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+        else:
+            raw = jax.lax.dot_general(
+                qc, codes.astype(cast), dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+        if bits in (4, 8, 16):
+            dots = scale * raw + offset * qsum               # (Q, sub)
+        else:
+            dots = raw
+        norms = norms_ref[pl.ds(lo, sub), :][:, 0][None, :]  # (1, sub)
+        if metric == "euclidean":
+            dist = jnp.maximum(qn2 - 2.0 * dots + norms, 0.0)
+        else:
+            denom2 = qn2 * norms
+            inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
+            cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
+            dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
+        validf = valid_ref[pl.ds(lo, sub), :][:, 0][None, :]
+        dist = jnp.where(validf > 0, dist, jnp.inf)
+        # whole-tile lane slices: lane s of every slice is segment s
+        for j in range(sub // _ILV_LANES):
+            acc = jnp.minimum(
+                acc, dist[:, j * _ILV_LANES:(j + 1) * _ILV_LANES])
+        return acc
+
+    acc0 = jnp.full((nq, _ILV_LANES), jnp.inf, jnp.float32)
+    out_ref[:] = jax.lax.fori_loop(0, b // sub, body, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "metric", "seg",
+                                             "exact", "interpret"))
+def segment_min_scan_ilv(queries, codes_ilv, norms, valid, *, bits: int,
+                         metric: str, seg: int = DEFAULT_SEG,
+                         exact: bool = False, interpret: bool = False):
+    """(Q, D) x interleaved codes (make_ilv_codes) -> (Q, N/seg) f32
+    segment minima in ORIGINAL segment order.  norms/valid arrive in
+    original row order and are permuted in-graph ((N,) transposes, ~1 MB
+    of traffic at 1M rows — so filter masks need no interleaved copy)."""
+    n, w = codes_ilv.shape
+    q, d = queries.shape
+    blk = _ILV_LANES * seg
+    assert n % blk == 0, (n, blk)
+    norms_i = _ilv_perm(norms, seg)[:, None]
+    valid_i = _ilv_perm(valid.astype(jnp.float32), seg)[:, None]
+    grid_spec = pl.GridSpec(
+        grid=(n // blk,),
+        in_specs=[
+            pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, _ILV_LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_segmin_ilv_kernel, bits=bits, metric=metric,
+                          exact=exact, seg=seg, interpret=interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q, n // seg), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * d * n, transcendentals=0,
+            bytes_accessed=n * w * codes_ilv.dtype.itemsize + 8 * n
+            + 4 * q * (n // seg)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(queries.astype(jnp.float32), codes_ilv, norms_i, valid_i)
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "metric", "block_n",
                                              "exact", "interpret"))
 def score_surface(queries, codes, norms, valid, *, bits: int, metric: str,
@@ -750,7 +912,8 @@ def _select_and_rerank(queries, segmins, codes, norms, valid, slab=None, *,
                                              "seg", "exact", "interpret",
                                              "surface", "tie_margin",
                                              "with_ties"))
-def fused_scan_topk(queries, codes, norms, valid, slab=None, *, bits: int,
+def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
+                    *, bits: int,
                     metric: str, k: int, block_n: int = DEFAULT_BLOCK_N,
                     seg: int = DEFAULT_SEG, exact: bool = False,
                     interpret: bool = False, surface: str = "xla",
@@ -760,9 +923,11 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, *, bits: int,
     N must be a multiple of block_n (the column store pads capacity;
     padding rows carry valid=False).  k <= MAX_FUSED_K.  `surface` picks the
     segment-minima producer: "xla" (default, fused epilogue) or "pallas"
-    (ops kernel above).  `slab` (optional, from make_lane_slab at the same
-    seg) routes the rerank through the tile-aligned lane path — ~2.7x
-    faster candidate gathers on TPU, identical results.
+    (ops kernel above); `codes_ilv` (optional, from make_ilv_codes at the
+    same seg) overrides both with the fused matmul+min kernel that never
+    materializes the (Q, N) surface.  `slab` (optional, from make_lane_slab
+    at the same seg) routes the rerank through the tile-aligned lane path
+    — ~2.7x faster candidate gathers on TPU, identical results.
 
     EXACTNESS (with_ties=True): a third output flags, per query, whether
     the result is PROVABLY the true f32 top-k (1) or the selection margin
@@ -799,7 +964,11 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, *, bits: int,
         queries = jnp.concatenate(
             [queries, jnp.zeros((qpad, d), jnp.float32)])
 
-    if surface == "pallas":
+    if codes_ilv is not None:
+        segmins = segment_min_scan_ilv(queries, codes_ilv, norms, valid,
+                                       bits=bits, metric=metric, seg=seg,
+                                       exact=exact, interpret=interpret)
+    elif surface == "pallas":
         segmins = segment_min_scan(queries, codes, norms, valid, bits=bits,
                                    metric=metric, block_n=block_n, seg=seg,
                                    exact=exact, interpret=interpret)

@@ -9,7 +9,16 @@ from syzgydb_tpu.ops import pallas_scan
 from syzgydb_tpu.ops import quantize as qz
 
 
-@pytest.mark.parametrize("surface", ["pallas", "xla", "kernel"])
+def _ilv_kwargs(surface, codes, seg=4):
+    """surface="ilv" rides the fused matmul+min kernel: needs the
+    interleaved operand and an n % (128*seg) == 0 seg."""
+    if surface != "ilv":
+        return {"surface": surface}
+    return {"codes_ilv": jnp.asarray(
+        pallas_scan.make_ilv_codes(np.asarray(codes), seg)), "seg": seg}
+
+
+@pytest.mark.parametrize("surface", ["pallas", "xla", "kernel", "ilv"])
 @pytest.mark.parametrize("metric", ["euclidean", "cosine"])
 @pytest.mark.parametrize("bits", [4, 8, 32])
 def test_fused_scan_matches_xla(rng, metric, bits, surface):
@@ -24,7 +33,7 @@ def test_fused_scan_matches_xla(rng, metric, bits, surface):
     vals, rows = pallas_scan.fused_scan_topk(
         jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
         jnp.asarray(valid), bits=bits, metric=metric, k=k, block_n=block,
-        interpret=True, surface=surface)
+        interpret=True, **_ilv_kwargs(surface, codes))
     ref = dist_ops.score_block(jnp.asarray(queries), jnp.asarray(codes),
                                jnp.asarray(norms), jnp.asarray(valid),
                                bits, metric)
@@ -37,7 +46,7 @@ def test_fused_scan_matches_xla(rng, metric, bits, surface):
             set(np.asarray(ref_rows)[i].tolist())
 
 
-@pytest.mark.parametrize("surface", ["pallas", "xla", "kernel"])
+@pytest.mark.parametrize("surface", ["pallas", "xla", "kernel", "ilv"])
 def test_fused_scan_winners_in_late_blocks(rng, surface):
     """The threshold-skip must not drop winners that appear after the
     running top-k has tightened (the correctness-critical case)."""
@@ -53,7 +62,7 @@ def test_fused_scan_winners_in_late_blocks(rng, surface):
     vals, rows = pallas_scan.fused_scan_topk(
         jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
         jnp.asarray(valid), bits=32, metric="euclidean", k=k, block_n=block,
-        interpret=True, surface=surface)
+        interpret=True, **_ilv_kwargs(surface, codes))
     ref = dist_ops.score_block(jnp.asarray(queries), jnp.asarray(codes),
                                jnp.asarray(norms), jnp.asarray(valid),
                                32, "euclidean")
@@ -70,7 +79,7 @@ def test_fused_scan_winners_in_late_blocks(rng, surface):
                                                  n - 2, n - 1}
 
 
-@pytest.mark.parametrize("surface", ["pallas", "xla", "kernel"])
+@pytest.mark.parametrize("surface", ["pallas", "xla", "kernel", "ilv"])
 def test_fused_scan_duplicate_distances(rng, surface):
     """Exact duplicates (tied distances) across blocks: the merge must keep
     k distinct rows, never repeat one."""
@@ -84,11 +93,37 @@ def test_fused_scan_duplicate_distances(rng, surface):
     vals, rows = pallas_scan.fused_scan_topk(
         jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
         jnp.asarray(valid), bits=32, metric="euclidean", k=k, block_n=block,
-        interpret=True, surface=surface)
+        interpret=True, **_ilv_kwargs(surface, codes))
     r = np.asarray(rows)[0]
     assert len(set(r.tolist())) == k  # distinct rows
     # f32 cancellation in the dot-product form leaves a ~sqrt(1e-6) residue
     np.testing.assert_allclose(np.asarray(vals)[0], 0.0, atol=2e-3)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_ilv_segmins_match_xla_exact(rng, metric):
+    """The interleaved fused matmul+min kernel must produce the SAME f32
+    segment minima, in the same (original) segment order, as the exact XLA
+    surface — including +inf for all-invalid segments."""
+    import jax
+    n, d, q, seg = 2048, 128, 8, 8
+    db = rng.uniform(-1, 1, size=(n, d))
+    codes = qz.codes_to_device_repr(db, 32)
+    norms = dist_ops.db_row_stats(codes, 32)
+    valid = np.ones(n, dtype=bool)
+    valid[64:80] = False  # two whole segments invalid
+    valid[3] = False
+    queries = np.float32(rng.uniform(-1, 1, size=(q, d)))
+    ilv = jnp.asarray(pallas_scan.make_ilv_codes(codes, seg))
+    got = pallas_scan.segment_min_scan_ilv(
+        jnp.asarray(queries), ilv, jnp.asarray(norms), jnp.asarray(valid),
+        bits=32, metric=metric, seg=seg, exact=True, interpret=True)
+    want = pallas_scan.segment_min_scan_xla(
+        jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
+        jnp.asarray(valid), bits=32, metric=metric, seg=seg, exact=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    assert np.isinf(np.asarray(got)[:, 8:10]).all()
 
 
 def test_pallas_hamming_matches_xla(rng):
