@@ -91,10 +91,10 @@ def main() -> None:
     queries = np.float32(queries / np.linalg.norm(queries, axis=1,
                                                   keepdims=True))
 
-    # pad rows to a 4096 multiple (valid=False) — the device kernels tile
-    # the row axis in 4096-row blocks (a real Collection's capacity is a
-    # power of two, so this mirrors production layout)
-    npad = (-n) % 4096
+    # pad rows to an 8192 multiple (valid=False) — the interleaved fused
+    # surface needs 128-segment blocks of 64 rows, and a real Collection's
+    # capacity is 8192-aligned (core/columns._GROWTH_ALIGN)
+    npad = (-n) % 8192
     ntot = n + npad
     valid_np = np.zeros(ntot, dtype=bool)
     valid_np[:n] = True
@@ -123,20 +123,23 @@ def main() -> None:
         _, cand = hamming_candidates(qc, hashes, valid, budget, index.words)
         return rerank_topk(qd, codes, norms, valid, cand, bits, metric, k)
 
-    # tile-aligned lane slab: the production Collection derives this as
-    # device state (core/collection._device_state); the rerank's segment
-    # gathers run ~2.7x faster on it (pallas_scan.make_lane_slab)
+    # tile-aligned lane slab + interleaved-transposed matmul operand: the
+    # production Collection derives both as device state
+    # (core/collection._device_state); the rerank's segment gathers run
+    # ~2.7x faster on the slab (pallas_scan.make_lane_slab) and the fused
+    # matmul+min kernel runs the surface without the (Q, N) transient
+    # (pallas_scan.make_ilv_codes, r3.7: 18.3 -> 10.4 ms surface)
     slab = pallas_scan.make_lane_slab(codes)
-    jax.block_until_ready(slab)
+    ilv = pallas_scan.make_ilv_codes(codes)
+    jax.block_until_ready((slab, ilv))
 
     def high_step(qd):
         # precision="high": exhaustive segment-min scan, provably exact
         # (with_ties=True is the production configuration — the tie counts
         # ride the same dispatch, see pallas_scan.fused_scan_topk)
         return pallas_scan.fused_scan_topk(qd, codes, norms, valid, slab,
-                                           bits=bits, metric=metric, k=k,
-                                           surface="xla",
-                                           with_ties=True)
+                                           ilv, bits=bits, metric=metric,
+                                           k=k, with_ties=True)
 
     def timeit(fn, reps=10):
         # time a whole block of reps; end with a tiny value fetch —

@@ -225,6 +225,26 @@ def _scatter_slab_apply(slab, idx, c_new):
     return flat.at[lanes].set(upd, mode="drop").reshape(nseg, t, lane)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("seg",))
+def _scatter_ilv_apply(ilv, idx, c_new, seg: int = 64):
+    """Donated scatter into the segment-interleaved TRANSPOSED (D, N)
+    matmul operand (ops/pallas_scan.make_ilv_codes): original row
+    r = b*blk + s*seg + m lives at column b*blk + m*128 + s (blk =
+    128*seg).  Pad indices (idx == capacity, which is blk-aligned whenever
+    an ilv operand exists) map past the end and are dropped."""
+    blk = 128 * seg
+    o = idx % blk
+    p = (idx - o) + (o % seg) * 128 + o // seg
+    return ilv.at[:, p].set(jnp.swapaxes(c_new, 0, 1).astype(ilv.dtype),
+                            mode="drop")
+
+
+# the interleaved operand is a THIRD codes-sized device buffer (after the
+# matmul codes and the lane slab); cap its size so 10M-row collections
+# don't trade 4 GB of HBM for the ~5 ms it saves per 1024-query batch
+_ILV_MAX_CODE_BYTES = 2 << 30
+
+
 import itertools
 
 _collection_tokens = itertools.count(1)
@@ -550,6 +570,20 @@ class Collection:
                             self.options.dimension_count):
                     self._dev["slab"] = pallas_scan.make_lane_slab(
                         codes_dev)
+                # segment-interleaved matmul operand: the fused matmul+min
+                # kernel runs the exhaustive surface without ever
+                # materializing the (Q, N) transient (segment_min_scan_ilv)
+                # — measured ~5.7 ms of the 25.8 ms headline batch.  Only
+                # the 8-bit bf16-dot program is TPU-probed (r7_ilv_probe);
+                # other widths' in-kernel dots (dual-nibble 4-bit, f32
+                # 16/32/64) stay on the XLA surface until probed — an
+                # unvetted Mosaic program can cost a >30-min remote
+                # compile on this toolchain (CLAUDE.md).
+                if pallas_scan.supported() and self.quantization == 8 and \
+                        pallas_scan.ilv_supported(self.columns.capacity) and \
+                        codes_dev.size * codes_dev.dtype.itemsize <= \
+                        _ILV_MAX_CODE_BYTES:
+                    self._dev["ilv"] = pallas_scan.make_ilv_codes(codes_dev)
             self._dev_version = self.columns.version
             # prewarm the scatter program (a no-op update): its first
             # compile costs ~0.7s at 10M rows and would otherwise land on
@@ -614,6 +648,8 @@ class Collection:
                                                         new["codes"])
             else:
                 new["slab"] = _scatter_slab_apply(dev["slab"], idx, c_new)
+        if "ilv" in dev:
+            new["ilv"] = _scatter_ilv_apply(dev["ilv"], idx, c_new)
         return new
 
     # -- filters -----------------------------------------------------------
@@ -806,7 +842,7 @@ class Collection:
                     nseg = self.columns.capacity // pallas_scan.DEFAULT_SEG
                     dist, rows, ties = pallas_scan.fused_scan_topk(
                         queries, dev["codes"], dev["norms"], valid,
-                        dev.get("slab"),
+                        dev.get("slab"), dev.get("ilv"),
                         bits=self.quantization, metric=self.metric,
                         k=kk, block_n=block, exact=exact,
                         tie_margin=margin, with_ties=True)

@@ -17,10 +17,12 @@ from ..ops import quantize as qz
 
 _INITIAL_CAPACITY = 1024
 # above this, grow 25% at a time instead of doubling: at 10M+ rows the
-# power-of-two jump wastes multiple GB of HBM (capacity stays 4096-aligned,
-# which is all the device kernels' block tiling needs)
+# power-of-two jump wastes multiple GB of HBM.  Capacity stays 8192-aligned:
+# 4096 covers the block tiling of every device kernel, and the interleaved
+# fused matmul+min surface (ops/pallas_scan.segment_min_scan_ilv) needs
+# 128-segment blocks of 64 rows
 _LINEAR_GROWTH_ABOVE = 1 << 22
-_GROWTH_ALIGN = 4096
+_GROWTH_ALIGN = 8192
 
 
 class ColumnStore:

@@ -566,6 +566,15 @@ def segment_min_scan_nat(queries, codes, norms, valid, *, bits: int,
 # ---------------------------------------------------------------------------
 
 _ILV_LANES = 128
+# subtile = the grid-step dot's N extent.  256 keeps the per-step live set
+# (the (Q, sub) distance slice) ~1 MB at Q=1024: the first fori-loop
+# formulation at (Q=1024, sub=512) spilled 171 MB of registers > the
+# 128 MB VMEM budget (r7_ilv_probe); the grid-reduction formulation has no
+# loop carry at all.
+_ILV_SUBTILE = 256
+# the whole query block rides VMEM each step; larger batches fall back to
+# the XLA surface (fused_scan_topk)
+_ILV_MAX_Q = 2048
 
 
 def ilv_supported(n: int, seg: int = DEFAULT_SEG) -> bool:
@@ -583,16 +592,26 @@ def _ilv_perm(a, seg: int = DEFAULT_SEG):
 
 
 def make_ilv_codes(codes, seg: int = DEFAULT_SEG):
-    """Segment-interleaved matmul operand for segment_min_scan_ilv — a
-    device-side relayout (one HBM pass), kept as derived device state like
-    the lane slab."""
-    return _ilv_perm(codes, seg)
+    """Segment-interleaved TRANSPOSED matmul operand (D|P, N) for
+    segment_min_scan_ilv: the kernel's dot contracts (Q, D) x (D, sub) in
+    the natural MXU form — a (N, D) operand would make Mosaic transpose
+    every RHS subtile in-kernel (the first formulation ran 650 ms vs the
+    XLA surface's 18, r7_ilv_probe).  A device-side relayout (one HBM
+    pass), kept as derived device state like the lane slab."""
+    return _ilv_perm(codes, seg).T
 
 
-def _segmin_ilv_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
-                       *, bits, metric, exact, seg, interpret=False):
+def _segmin_ilv_kernel(q_ref, codesT_ref, norms_ref, valid_ref, out_ref,
+                       *, bits, metric, exact, steps_per_blk,
+                       interpret=False):
     """Fused code-matmul + surrogate epilogue + segment-min over the
-    interleaved layout (see the section comment above)."""
+    interleaved layout (see the section comment above).
+
+    Canonical Mosaic reduction grid: one subtile per grid step — a single
+    natural-form dot, the epilogue, sub/128 whole-tile lane minimum folds,
+    and a min-accumulate into the output block, which is revisited
+    contiguously for the steps_per_blk steps spanning one 128-segment
+    block.  No loop carry, no dynamic slicing, no in-kernel transposes."""
     queries = q_ref[:]                                       # (Q, D)
     if bits in (4, 8, 16):
         scale, offset = qz.affine_constants(bits)
@@ -606,55 +625,51 @@ def _segmin_ilv_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
     rnd = (lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)) \
         if fast and interpret else (lambda x: x)
     prec = jax.lax.Precision.HIGHEST if exact else None
-    dn = (((1,), (1,)), ((), ()))
+    dn = (((1,), (0,)), ((), ()))                            # natural form
+    codes = codesT_ref[:]                                    # (D|P, sub)
     if bits == 4:
         qe = rnd(queries[:, 0::2]).astype(cast)
         qo = rnd(queries[:, 1::2]).astype(cast)
+        h = ((codes >> 4).astype(jnp.int32) - 8).astype(cast)
+        low = ((codes & 0xF).astype(jnp.int32) - 8).astype(cast)
+        raw = jax.lax.dot_general(
+            qe, h, dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=prec)
+        raw = raw + jax.lax.dot_general(
+            qo, low[: qo.shape[1], :], dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=prec)
     else:
         qc = rnd(queries).astype(cast)
+        raw = jax.lax.dot_general(
+            qc, codes.astype(cast), dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=prec)
+    if bits in (4, 8, 16):
+        dots = scale * raw + offset * qsum                   # (Q, sub)
+    else:
+        dots = raw
+    norms = norms_ref[:]                                     # (1, sub)
+    if metric == "euclidean":
+        dist = jnp.maximum(qn2 - 2.0 * dots + norms, 0.0)
+    else:
+        denom2 = qn2 * norms
+        inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
+        cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
+        dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
+    dist = jnp.where(valid_ref[:] > 0, dist, jnp.inf)
+    # whole-tile lane slices: lane s of every slice is segment s
+    m = dist[:, :_ILV_LANES]
+    for j in range(1, dist.shape[1] // _ILV_LANES):
+        m = jnp.minimum(m, dist[:, j * _ILV_LANES:(j + 1) * _ILV_LANES])
+    t = pl.program_id(0)
+    first = (t % steps_per_blk) == 0
 
-    b = codes_ref.shape[0]                                   # 128 * seg
-    nq = queries.shape[0]
-    sub = min(_SUBTILE, b)
+    @pl.when(first)
+    def _init():
+        out_ref[:] = m
 
-    def body(t, acc):
-        lo = t * sub
-        codes = codes_ref[pl.ds(lo, sub), :]                 # (sub, D|P)
-        if bits == 4:
-            h = ((codes >> 4).astype(jnp.int32) - 8).astype(cast)
-            low = ((codes & 0xF).astype(jnp.int32) - 8).astype(cast)
-            raw = jax.lax.dot_general(
-                qe, h, dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=prec)
-            raw = raw + jax.lax.dot_general(
-                qo, low[:, : qo.shape[1]], dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=prec)
-        else:
-            raw = jax.lax.dot_general(
-                qc, codes.astype(cast), dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=prec)
-        if bits in (4, 8, 16):
-            dots = scale * raw + offset * qsum               # (Q, sub)
-        else:
-            dots = raw
-        norms = norms_ref[pl.ds(lo, sub), :][:, 0][None, :]  # (1, sub)
-        if metric == "euclidean":
-            dist = jnp.maximum(qn2 - 2.0 * dots + norms, 0.0)
-        else:
-            denom2 = qn2 * norms
-            inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
-            cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
-            dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
-        validf = valid_ref[pl.ds(lo, sub), :][:, 0][None, :]
-        dist = jnp.where(validf > 0, dist, jnp.inf)
-        # whole-tile lane slices: lane s of every slice is segment s
-        for j in range(sub // _ILV_LANES):
-            acc = jnp.minimum(
-                acc, dist[:, j * _ILV_LANES:(j + 1) * _ILV_LANES])
-        return acc
-
-    acc0 = jnp.full((nq, _ILV_LANES), jnp.inf, jnp.float32)
-    out_ref[:] = jax.lax.fori_loop(0, b // sub, body, acc0)
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        out_ref[:] = jnp.minimum(out_ref[:], m)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "metric", "seg",
@@ -662,33 +677,41 @@ def _segmin_ilv_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
 def segment_min_scan_ilv(queries, codes_ilv, norms, valid, *, bits: int,
                          metric: str, seg: int = DEFAULT_SEG,
                          exact: bool = False, interpret: bool = False):
-    """(Q, D) x interleaved codes (make_ilv_codes) -> (Q, N/seg) f32
-    segment minima in ORIGINAL segment order.  norms/valid arrive in
-    original row order and are permuted in-graph ((N,) transposes, ~1 MB
-    of traffic at 1M rows — so filter masks need no interleaved copy)."""
-    n, w = codes_ilv.shape
+    """(Q, D) x interleaved-transposed codes (make_ilv_codes) ->
+    (Q, N/seg) f32 segment minima in ORIGINAL segment order.  norms/valid
+    arrive in original row order and are permuted in-graph ((N,)
+    transposes, ~1 MB of traffic at 1M rows — so filter masks need no
+    interleaved copy)."""
+    w, n = codes_ilv.shape
     q, d = queries.shape
     blk = _ILV_LANES * seg
     assert n % blk == 0, (n, blk)
-    norms_i = _ilv_perm(norms, seg)[:, None]
-    valid_i = _ilv_perm(valid.astype(jnp.float32), seg)[:, None]
+    sub = min(_ILV_SUBTILE, blk)
+    steps_per_blk = blk // sub
+    norms_i = _ilv_perm(norms, seg)[None, :]
+    valid_i = _ilv_perm(valid.astype(jnp.float32), seg)[None, :]
     grid_spec = pl.GridSpec(
-        grid=(n // blk,),
+        grid=(n // sub,),
         in_specs=[
-            pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, w), lambda i: (i, 0),
+            pl.BlockSpec((q, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, sub), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, sub), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, sub), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((q, _ILV_LANES), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        # each (q, 128) output block is revisited contiguously by the
+        # steps_per_blk subtile steps of its 128-segment block
+        out_specs=pl.BlockSpec(
+            (q, _ILV_LANES),
+            lambda t, _s=steps_per_blk: (0, t // _s),
+            memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(_segmin_ilv_kernel, bits=bits, metric=metric,
-                          exact=exact, seg=seg, interpret=interpret),
+                          exact=exact, steps_per_blk=steps_per_blk,
+                          interpret=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((q, n // seg), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -796,10 +819,11 @@ _SURFACE_ACCUM_EPS = 3e-5
 
 @functools.partial(jax.jit, static_argnames=("bits", "metric", "k", "seg",
                                              "exact", "tie_margin",
-                                             "with_ties"))
+                                             "with_ties", "surf_f32"))
 def _select_and_rerank(queries, segmins, codes, norms, valid, slab=None, *,
                        bits: int, metric: str, k: int, seg: int, exact: bool,
-                       tie_margin: int, with_ties: bool):
+                       tie_margin: int, with_ties: bool,
+                       surf_f32: bool = False):
     """Stage 2 of fused_scan_topk: top segments -> slab gather -> HIGHEST
     rerank -> top-k (+ the provable-completeness flag).
 
@@ -892,9 +916,14 @@ def _select_and_rerank(queries, segmins, codes, norms, valid, slab=None, *,
     # implies v_next > T, i.e. every segment that could hold a winner was
     # selected (EXACTNESS note).  2^-8 is the exact bf16 round-to-nearest
     # half-ulp bound (8 significand bits); the 1.1 on delta absorbs f32
-    # arithmetic residue in computing the bounds themselves.
-    t_up = (kth_exact + 1.1 * delta) * (1.0 + 1.0 / 256.0)
-    v_lo = (m_next - delta) * (1.0 - 1.0 / 256.0)
+    # arithmetic residue in computing the bounds themselves.  surf_f32
+    # surfaces (the ilv fused kernel, and exact mode) store minima in f32
+    # — no bf16 rounding ever happens, so the half-ulp factors drop and
+    # the provable tie window shrinks by ~2*kth/256 (comparable to delta
+    # itself on unit-norm corpora).
+    ulp = 0.0 if surf_f32 else 1.0 / 256.0
+    t_up = (kth_exact + 1.1 * delta) * (1.0 + ulp)
+    v_lo = (m_next - delta) * (1.0 - ulp)
     ok = (v_lo > t_up).astype(jnp.int32)
     if metric != "euclidean":
         # a zero cosine query scores EVERY row at exactly the zero-vector
@@ -964,7 +993,13 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
         queries = jnp.concatenate(
             [queries, jnp.zeros((qpad, d), jnp.float32)])
 
-    if codes_ilv is not None:
+    # exact surfaces want a HIGHEST-precision dot, whose Mosaic lowering is
+    # unprobed on this toolchain — exact mode stays on the XLA surface
+    # (interpret-mode tests exercise the exact kernel path directly);
+    # oversized batches would overflow the kernel's whole-Q VMEM block
+    use_ilv = codes_ilv is not None and queries.shape[0] <= _ILV_MAX_Q \
+        and not (exact and not interpret)
+    if use_ilv:
         segmins = segment_min_scan_ilv(queries, codes_ilv, norms, valid,
                                        bits=bits, metric=metric, seg=seg,
                                        exact=exact, interpret=interpret)
@@ -983,10 +1018,13 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
         segmins = segment_min_scan_xla(queries, codes, norms, valid,
                                        bits=bits, metric=metric, seg=seg,
                                        exact=exact)
+    # every surface that can produce bf16-rounded minima is the non-exact
+    # XLA/pallas one; the ilv kernel and exact surfaces store f32
+    surf_f32 = exact or use_ilv
     out = _select_and_rerank(queries, segmins, codes, norms, valid, slab,
                              bits=bits, metric=metric, k=k, seg=seg,
                              exact=exact, tie_margin=tie_margin,
-                             with_ties=with_ties)
+                             with_ties=with_ties, surf_f32=surf_f32)
     return tuple(o[:q0] for o in out)
 
 

@@ -126,6 +126,23 @@ def test_ilv_segmins_match_xla_exact(rng, metric):
     assert np.isinf(np.asarray(got)[:, 8:10]).all()
 
 
+def test_scatter_ilv_matches_rebuild(rng):
+    """Collection's donated ilv scatter must equal rebuilding the
+    interleaved operand from the scattered codes (incl. dropping the
+    pad index == capacity)."""
+    from syzgydb_tpu.core.collection import _scatter_ilv_apply
+    n, w = 2 * 128 * 64, 16
+    codes = rng.integers(0, 255, size=(n, w), dtype=np.uint8)
+    ilv = jnp.asarray(pallas_scan.make_ilv_codes(codes))
+    rows = np.array([0, 1, 63, 64, 8191, 8192, 12345, n], dtype=np.int32)
+    c_new = rng.integers(0, 255, size=(len(rows), w), dtype=np.uint8)
+    got = _scatter_ilv_apply(ilv, jnp.asarray(rows), jnp.asarray(c_new))
+    ref = codes.copy()
+    ref[rows[:-1]] = c_new[:-1]
+    np.testing.assert_array_equal(np.asarray(got),
+                                  pallas_scan.make_ilv_codes(ref))
+
+
 def test_pallas_hamming_matches_xla(rng):
     from syzgydb_tpu.ops import pallas_hamming
     import jax
