@@ -837,8 +837,12 @@ class Collection:
         if kk <= pallas_scan.MAX_FUSED_K and pallas_scan.supported():
             for block in (4096, 2048, 1024):
                 if self.columns.capacity % block == 0:
-                    margin = pallas_scan._TIE_MARGIN if tie_margin is None \
-                        else tie_margin
+                    # f32 surfaces (ilv kernel / exact mode) prove
+                    # completeness at a much smaller default margin
+                    # (pallas_scan._TIE_MARGIN_F32 note)
+                    margin = pallas_scan.default_tie_margin(
+                        exact or dev.get("ilv") is not None) \
+                        if tie_margin is None else tie_margin
                     nseg = self.columns.capacity // pallas_scan.DEFAULT_SEG
                     dist, rows, ties = pallas_scan.fused_scan_topk(
                         queries, dev["codes"], dev["norms"], valid,

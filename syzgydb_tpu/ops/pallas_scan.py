@@ -55,6 +55,16 @@ MAX_FUSED_K = 128
 # overflow, and Collection's hint gate keeps one-off overflows from
 # poisoning future searches (tools_dev/r5_margin_sweep.py).
 _TIE_MARGIN = 24
+# f32 surfaces (the ilv fused kernel, exact mode) have no bf16 storage
+# collisions AND drop the half-ulp factors from the flag bridge: the tie
+# window shrinks to the query-rounding delta alone, and margin 8 held
+# 4096/4096 fresh headline queries at 65.4k QPS vs margin 24's 51.3k
+# (tools_dev/r7b_margin_sweep.py).  A failure escalates to the 64 rung.
+_TIE_MARGIN_F32 = 8
+
+
+def default_tie_margin(surf_f32: bool) -> int:
+    return _TIE_MARGIN_F32 if surf_f32 else _TIE_MARGIN
 
 
 _SUBTILE = 512
@@ -946,7 +956,7 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
                     metric: str, k: int, block_n: int = DEFAULT_BLOCK_N,
                     seg: int = DEFAULT_SEG, exact: bool = False,
                     interpret: bool = False, surface: str = "xla",
-                    tie_margin: int = _TIE_MARGIN, with_ties: bool = False):
+                    tie_margin=None, with_ties: bool = False):
     """Exhaustive fused scan -> (dist (Q, k) ascending, rows (Q, k)).
 
     N must be a multiple of block_n (the column store pads capacity;
@@ -1021,6 +1031,8 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
     # every surface that can produce bf16-rounded minima is the non-exact
     # XLA/pallas one; the ilv kernel and exact surfaces store f32
     surf_f32 = exact or use_ilv
+    if tie_margin is None:
+        tie_margin = default_tie_margin(surf_f32)
     out = _select_and_rerank(queries, segmins, codes, norms, valid, slab,
                              bits=bits, metric=metric, k=k, seg=seg,
                              exact=exact, tie_margin=tie_margin,
