@@ -573,13 +573,15 @@ class Collection:
                 # segment-interleaved matmul operand: the fused matmul+min
                 # kernel runs the exhaustive surface without ever
                 # materializing the (Q, N) transient (segment_min_scan_ilv)
-                # — measured ~5.7 ms of the 25.8 ms headline batch.  Only
-                # the 8-bit bf16-dot program is TPU-probed (r7_ilv_probe);
-                # other widths' in-kernel dots (dual-nibble 4-bit, f32
-                # 16/32/64) stay on the XLA surface until probed — an
-                # unvetted Mosaic program can cost a >30-min remote
-                # compile on this toolchain (CLAUDE.md).
-                if pallas_scan.supported() and self.quantization == 8 and \
+                # — 18.3 -> 10.4 ms of the headline batch.  TPU-probed for
+                # 8-bit (bf16 dot, r7_ilv_probe) and 16-bit (exact hi/lo
+                # byte split, 14.8 vs 30.7 ms XLA-HIGH, r7e); 4-bit's
+                # dual-nibble program failed Mosaic lowering (r7d) and
+                # 32/64-bit in-kernel f32 dots are unprobed — those stay
+                # on the XLA surface (an unvetted Mosaic program can cost
+                # a >30-min remote compile on this toolchain, CLAUDE.md).
+                if pallas_scan.supported() and \
+                        self.quantization in (8, 16) and \
                         pallas_scan.ilv_supported(self.columns.capacity) and \
                         codes_dev.size * codes_dev.dtype.itemsize <= \
                         _ILV_MAX_CODE_BYTES:

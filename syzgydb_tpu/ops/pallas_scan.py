@@ -648,6 +648,23 @@ def _segmin_ilv_kernel(q_ref, codesT_ref, norms_ref, valid_ref, out_ref,
         raw = raw + jax.lax.dot_general(
             qo, low[: qo.shape[1], :], dimension_numbers=dn,
             preferred_element_type=jnp.float32, precision=prec)
+    elif bits == 16 and not exact:
+        # int16 codes don't fit bf16's 8-bit mantissa; an EXACT hi/lo byte
+        # split (c = 256*(c >> 8) + (c & 255) under arithmetic shift, both
+        # halves bf16-exact) keeps the fast MXU path with only query
+        # rounding — the error class the completeness flag's delta bounds
+        fcast = jnp.bfloat16 if not interpret else jnp.float32
+        qc = (queries.astype(jnp.bfloat16).astype(jnp.float32)
+              if interpret else queries).astype(fcast)
+        ci = codes.astype(jnp.int32)
+        hi = (ci >> 8).astype(fcast)                         # [-128, 127]
+        lo = (ci & 255).astype(fcast)                        # [0, 255]
+        raw = 256.0 * jax.lax.dot_general(
+            qc, hi, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+        raw = raw + jax.lax.dot_general(
+            qc, lo, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
     else:
         qc = rnd(queries).astype(cast)
         raw = jax.lax.dot_general(
@@ -791,13 +808,25 @@ def segment_min_scan_xla(queries, codes, norms, valid, *, bits: int,
     from . import distance as dist_ops
     n = codes.shape[0]
     q = queries.shape[0]
-    # non-exact: ONE fast bf16 matmul pass (measured 12.3 ms vs 25.5 for a
-    # bf16x2 query split at the 1M x 384 x 1024q headline — the split was
-    # tried and rolled back).  Exactness is preserved anyway: the tie
-    # threshold uses a PER-QUERY exactly-computed error bound
+    # non-exact 4/8-bit: ONE fast bf16 matmul pass (measured 12.3 ms vs
+    # 25.5 for a bf16x2 query split at the 1M x 384 x 1024q headline — the
+    # split was tried and rolled back).  Exactness is preserved anyway:
+    # the tie threshold uses a PER-QUERY exactly-computed error bound
     # ||q - bf16(q)||/||q|| (fused_scan_topk), so bf16 query rounding
     # widens the escalation threshold instead of requiring accurate dots.
-    precision = jax.lax.Precision.HIGHEST if exact else None
+    # That argument needs the CODES side exact in bf16 — true for 4/8-bit
+    # integer codes, FALSE for 16/32/64 (the default f32 dot on this chip
+    # is a single bf16 pass on BOTH operands, measured rel err ~2^-9 —
+    # unbounded by the flag's delta).  Wide codes therefore ride
+    # Precision.HIGH (bf16_3x, input error ~2^-21, far under the
+    # _SURFACE_ACCUM_EPS cushion) — same reasoning as the mesh path's
+    # accurate local dots (parallel/search._local_dots).
+    if exact:
+        precision = jax.lax.Precision.HIGHEST
+    elif bits in (16, 32, 64):
+        precision = jax.lax.Precision.HIGH
+    else:
+        precision = None
     dots = dist_ops._code_matmul(queries, codes, bits, precision)  # (Q, N)
     if metric == "euclidean":
         qn2 = jnp.sum(queries * queries, axis=-1, keepdims=True)

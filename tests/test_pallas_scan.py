@@ -20,7 +20,7 @@ def _ilv_kwargs(surface, codes, seg=4):
 
 @pytest.mark.parametrize("surface", ["pallas", "xla", "kernel", "ilv"])
 @pytest.mark.parametrize("metric", ["euclidean", "cosine"])
-@pytest.mark.parametrize("bits", [4, 8, 32])
+@pytest.mark.parametrize("bits", [4, 8, 16, 32])
 def test_fused_scan_matches_xla(rng, metric, bits, surface):
     n, d, q, k, block = 512, 128, 4, 10, 128
     db = rng.uniform(-1, 1, size=(n, d))
