@@ -547,6 +547,15 @@ class Collection:
                         self.columns.capacity):
                     self._dev["slab"] = psearch.sharded_lane_slab(
                         self._mesh, codes_dev)
+                # per-shard ilv operand for the r3.7 fused surface (same
+                # probed-widths + memory gate as the single-device path)
+                if pallas_scan.supported() and psearch.ilv_ok_mesh(
+                        self._mesh, self.quantization,
+                        self.columns.capacity) and \
+                        codes_dev.size * codes_dev.dtype.itemsize <= \
+                        _ILV_MAX_CODE_BYTES:
+                    self._dev["ilv"] = psearch.sharded_ilv_codes(
+                        self._mesh, codes_dev)
             else:
                 codes_dev = jnp.asarray(codes_np)
                 self._dev = {
@@ -651,7 +660,14 @@ class Collection:
             else:
                 new["slab"] = _scatter_slab_apply(dev["slab"], idx, c_new)
         if "ilv" in dev:
-            new["ilv"] = _scatter_ilv_apply(dev["ilv"], idx, c_new)
+            if self._mesh is not None:
+                # per-shard-permuted layout: rebuild from the scattered
+                # codes (one sharded relayout pass, like the mesh slab)
+                from ..parallel import search as psearch
+                new["ilv"] = psearch.sharded_ilv_codes(self._mesh,
+                                                       new["codes"])
+            else:
+                new["ilv"] = _scatter_ilv_apply(dev["ilv"], idx, c_new)
         return new
 
     # -- filters -----------------------------------------------------------
@@ -822,7 +838,7 @@ class Collection:
                 else tie_margin
             out = psearch.sharded_exact_topk(
                 self._mesh, queries, dev["codes"], dev["norms"], valid,
-                dev.get("slab"),
+                dev.get("slab"), dev.get("ilv"),
                 bits=self.quantization, metric=self.metric, k=kk,
                 exact=exact, seg_margin=margin, with_ties=True)
             if len(out) == 2:  # non-fused sharded path: full-surface top-k

@@ -137,7 +137,7 @@ _SURF_EPS_REL = 1e-4
 
 
 def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin,
-                       slab_l=None):
+                       slab_l=None, ilv_l=None, kernel_interpret=False):
     """Per-device segment-min scan: surrogate surface -> top segments ->
     contiguous gather -> HIGHEST-precision recompute -> local top-k.
 
@@ -154,21 +154,35 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin,
     segmin exceeds the provable threshold), and the caller escalates
     seg_margin otherwise."""
     n_local = c.shape[0]
-    precision = jax.lax.Precision.HIGHEST if exact else None
-    dots = _local_dots(q, c, bits, precision, accurate=True)  # (Q, N_local)
-    qn2 = jax.lax.psum(jnp.sum(q * q, axis=-1, keepdims=True), FEATURE_AXIS)
-    if metric == "euclidean":
-        surr = jnp.maximum(qn2 - 2.0 * dots + nrm[None, :], 0.0)
-    else:
-        denom2 = qn2 * nrm[None, :]
-        inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
-        cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
-        surr = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
-    surr = jnp.where(v[None, :], surr, jnp.inf)
-
     nq = q.shape[0]
     nseg = n_local // _SEG
-    segmins = jnp.min(surr.reshape(nq, nseg, _SEG), axis=-1)
+    qn2 = jax.lax.psum(jnp.sum(q * q, axis=-1, keepdims=True), FEATURE_AXIS)
+    if ilv_l is not None and not exact:
+        # r3.7 fused matmul+min kernel: the (Q, N_local) surface never
+        # materializes.  Requires the full feature dim on this shard
+        # (ilv_ok_mesh); its bf16-dot surface error is bounded per query
+        # below (dq_rel), like the single-chip path's
+        from ..ops import pallas_scan
+        qpad = (-nq) % 8
+        qk = jnp.concatenate([q, jnp.zeros((qpad, q.shape[1]), q.dtype)]) \
+            if qpad else q
+        segmins = pallas_scan.segment_min_scan_ilv(
+            qk, ilv_l, nrm, v.astype(jnp.float32), bits=bits, metric=metric,
+            seg=_SEG, exact=False, interpret=kernel_interpret)[:nq]
+        ilv_surface = True
+    else:
+        precision = jax.lax.Precision.HIGHEST if exact else None
+        dots = _local_dots(q, c, bits, precision, accurate=True)
+        if metric == "euclidean":
+            surr = jnp.maximum(qn2 - 2.0 * dots + nrm[None, :], 0.0)
+        else:
+            denom2 = qn2 * nrm[None, :]
+            inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
+            cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
+            surr = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
+        surr = jnp.where(v[None, :], surr, jnp.inf)
+        segmins = jnp.min(surr.reshape(nq, nseg, _SEG), axis=-1)
+        ilv_surface = False
     s = min(k + seg_margin, nseg)
     full = s >= nseg
     # +1 segment so the flag can bound the best UNSELECTED segment from
@@ -220,11 +234,23 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin,
     negk, _ = jax.lax.top_k(-segsurr[:, :s], min(k, s))
     kth_exact = -negk[:, -1]
     m_next = segsurr[:, s]
+    if ilv_surface:
+        # the kernel's bf16 dots round the QUERY (codes are bf16-exact for
+        # 8-bit; 16-bit splits exactly into hi/lo bytes): per-query bound,
+        # same construction as ops/pallas_scan._select_and_rerank
+        qhat = q.astype(jnp.bfloat16).astype(jnp.float32)
+        dq = jnp.sqrt(jax.lax.psum(jnp.sum((q - qhat) ** 2, axis=-1),
+                                   FEATURE_AXIS))
+        dq_rel = jnp.where(qn2[:, 0] > 0.0, dq * jax.lax.rsqrt(
+            jnp.maximum(qn2[:, 0], 1e-30)), 1.0)
+    else:
+        dq_rel = jnp.zeros((nq,), jnp.float32)  # accurate dots: eps only
     if metric == "euclidean":
         vmax = jnp.max(jnp.where(v, nrm, 0.0))
-        delta = _SURF_EPS_REL * (qn2[:, 0] + vmax)
+        delta = 2.0 * dq_rel * jnp.sqrt(qn2[:, 0]) * jnp.sqrt(vmax) + \
+            _SURF_EPS_REL * (qn2[:, 0] + vmax)
     else:
-        delta = jnp.full((nq,), _SURF_EPS_REL, jnp.float32)
+        delta = 0.5 * dq_rel + _SURF_EPS_REL
     t_up = (kth_exact + 1.1 * delta) * (1.0 + 1.0 / 256.0)
     v_lo = (m_next - delta) * (1.0 - 1.0 / 256.0)
     ok = (v_lo > t_up).astype(jnp.int32)
@@ -319,13 +345,46 @@ def lane_ok_mesh(mesh: Mesh, bits: int, dims: int, capacity: int) -> bool:
             and capacity % (mesh.shape[DATA_AXIS] * _SEG) == 0)
 
 
+def sharded_ilv_codes(mesh: Mesh, codes):
+    """Per-data-shard segment-interleaved transposed matmul operand for the
+    mesh fused scan's ilv surface (pallas_scan.make_ilv_codes at _SEG).
+    Globally a (D, N) tensor whose columns are locally permuted per shard —
+    produced and consumed only inside shard_map programs with matching
+    specs.  Caller must check ilv_ok_mesh first."""
+    from ..ops import pallas_scan
+
+    def local(c):
+        return pallas_scan.make_ilv_codes(c, seg=_SEG)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(DATA_AXIS, FEATURE_AXIS),
+        out_specs=P(FEATURE_AXIS, DATA_AXIS),
+        check_vma=False,
+    )(codes)
+
+
+def ilv_ok_mesh(mesh: Mesh, bits: int, capacity: int) -> bool:
+    """Whether the sharded fused scan can ride the ilv fused surface: a
+    TPU-probed in-kernel dot (8-bit bf16 / 16-bit hi-lo split), the FULL
+    feature dim on every shard (the kernel's epilogue folds norms before
+    any chance to psum feature partials), and 128*_SEG-aligned data
+    shards."""
+    return (bits in (8, 16)
+            and mesh.shape[FEATURE_AXIS] == 1
+            and capacity % (mesh.shape[DATA_AXIS] * 128 * _SEG) == 0)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "bits", "metric", "k", "exact",
-                                    "seg_margin", "with_ties"))
+                                    "seg_margin", "with_ties",
+                                    "kernel_interpret"))
 def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, slab=None,
+                       ilv=None,
                        *, bits: int, metric: str, k: int, exact: bool = False,
                        seg_margin: int = DEFAULT_SEG_MARGIN,
-                       with_ties: bool = False):
+                       with_ties: bool = False,
+                       kernel_interpret: bool = False):
     """Exhaustive sharded scan -> (dist (Q, k), global row ids (Q, k)).
 
     with_ties=True appends the per-query AND across shards of the local
@@ -336,7 +395,13 @@ def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, slab=None,
 
     `slab` (from sharded_lane_slab; caller gates on lane_ok_mesh) moves
     the fused path's candidate gathers onto the r3.6 tile-aligned lane
-    layout — identical results, ~2.7x the gather bandwidth on TPU."""
+    layout — identical results, ~2.7x the gather bandwidth on TPU.
+
+    `ilv` (from sharded_ilv_codes; caller gates on ilv_ok_mesh) runs each
+    shard's surface through the r3.7 fused matmul+min kernel — the local
+    (Q, N_local) surface never materializes.  kernel_interpret runs that
+    kernel in Pallas interpret mode so CPU-mesh tests can pin parity
+    without hardware (the known-deferred multi-chip validation item)."""
     _check_packed4(mesh, queries, bits)
     # exact mode rides the fused path too: candidates are RECOMPUTED at
     # HIGHEST precision through the full metric chain
@@ -344,12 +409,15 @@ def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, slab=None,
     # the final distance values
     fused = k <= 128 and codes.shape[0] % (mesh.shape[DATA_AXIS] * _SEG) == 0
     use_slab = fused and slab is not None
+    use_ilv = fused and ilv is not None and not exact
 
     def local(q, c, nrm, v, *rest):
         if fused:
             vals, idx, ok = _local_segmin_topk(
                 q, c, nrm, v, bits, metric, exact, k, seg_margin,
-                slab_l=rest[0] if rest else None)
+                slab_l=rest[0] if use_slab else None,
+                ilv_l=rest[-1] if use_ilv else None,
+                kernel_interpret=kernel_interpret)
         else:
             dist = _local_distances(q, c, nrm, v, bits, metric, exact)
             kk = min(k, dist.shape[1])
@@ -365,6 +433,9 @@ def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, slab=None,
     if use_slab:
         in_specs.append(P(DATA_AXIS, FEATURE_AXIS, None))
         args.append(slab)
+    if use_ilv:
+        in_specs.append(P(FEATURE_AXIS, DATA_AXIS))
+        args.append(ilv)
     vals, gidx, ok = jax.shard_map(
         local, mesh=mesh,
         in_specs=tuple(in_specs),

@@ -47,6 +47,40 @@ def test_sharded_exact_matches_single_device(rng, data, feature, bits):
         set(np.asarray(ref_idx)[0].tolist())
 
 
+@pytest.mark.parametrize("bits", [8, 16])
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_sharded_exact_ilv_kernel_parity(rng, metric, bits):
+    """The mesh ilv fused surface (r3.7 kernel in interpret mode) must
+    agree with the accurate-dots surface path — the CPU-verified
+    integration for the multi-chip hardware we don't have (same pattern
+    as the fused-hamming use_kernel flag)."""
+    data = 2
+    m = mesh_mod.make_mesh(mesh_mod.MeshConfig(data=data, feature=1),
+                           jax.devices()[:data])
+    n, d, k = 8192, 128, 10  # 4096 rows/shard = 128 * _SEG exactly
+    assert psearch.ilv_ok_mesh(m, bits, n)
+    db = rng.uniform(-1, 1, size=(n, d))
+    codes = qz.codes_to_device_repr(db, bits)
+    norms = dist_ops.db_row_stats(codes, bits, d)
+    valid = np.ones(n, dtype=bool)
+    valid[50:60] = False
+    queries = np.float32(rng.uniform(-1, 1, size=(4, d)))
+    ilv = psearch.sharded_ilv_codes(m, jnp.asarray(codes))
+    got = psearch.sharded_exact_topk(
+        m, jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
+        jnp.asarray(valid), None, ilv, bits=bits, metric=metric, k=k,
+        with_ties=True, kernel_interpret=True)
+    want = psearch.sharded_exact_topk(
+        m, jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
+        jnp.asarray(valid), bits=bits, metric=metric, k=k, with_ties=True)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=2e-5)
+    for i in range(queries.shape[0]):
+        assert set(np.asarray(got[1])[i].tolist()) == \
+            set(np.asarray(want[1])[i].tolist())
+    assert np.asarray(got[2]).shape == (queries.shape[0],)
+
+
 @pytest.mark.parametrize("metric", ["euclidean", "cosine"])
 def test_sharded_scores_full_matrix(rng, metric):
     m = mesh_mod.make_mesh(mesh_mod.MeshConfig(data=4, feature=2),
