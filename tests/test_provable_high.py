@@ -252,6 +252,38 @@ def test_euclidean_tie_flagging():
     assert [int(r) for r in np.asarray(rows2)[0]] == want
 
 
+def test_ilv_f32_bridge_fails_closed_on_ties():
+    """The ilv surface's tightened bridge (surf_f32: no bf16 half-ulp
+    factors) must still FAIL CLOSED on tie-heavy data — a small margin
+    trips the flag, a covering margin restores the exact ranking.  Pins
+    the soundness of the margin-8 default against over-tightening."""
+    n, d, k = 16384, 128, 5
+    n_ties = 100
+    rng = np.random.default_rng(2)
+    db = rng.uniform(2.0, 4.0, size=(n, d)).astype(np.float32)
+    for i in range(n_ties):
+        row = (50 + i) * SEG
+        v = np.zeros(d, dtype=np.float32)
+        v[0] = 1.0 + i * 1e-6
+        db[row] = v
+    q = np.zeros(d, dtype=np.float32)
+    norms = dist_ops.db_row_stats(db, 32)
+    valid = np.ones(n, dtype=bool)
+    ilv = jnp.asarray(pallas_scan.make_ilv_codes(db))
+    dist, rows, ok = pallas_scan.fused_scan_topk(
+        jnp.asarray(q[None, :]), jnp.asarray(db), jnp.asarray(norms),
+        jnp.asarray(valid), None, ilv, bits=32, metric="euclidean", k=k,
+        tie_margin=8, with_ties=True, interpret=True)
+    assert int(np.asarray(ok)[0]) == 0
+    dist2, rows2, ok2 = pallas_scan.fused_scan_topk(
+        jnp.asarray(q[None, :]), jnp.asarray(db), jnp.asarray(norms),
+        jnp.asarray(valid), None, ilv, bits=32, metric="euclidean", k=k,
+        tie_margin=n_ties + 16, with_ties=True, interpret=True)
+    assert int(np.asarray(ok2)[0]) == 1
+    want = [(50 + i) * SEG for i in range(k)]
+    assert [int(r) for r in np.asarray(rows2)[0]] == want
+
+
 def test_zero_cosine_query_flag_trivially_complete():
     """A zero cosine query scores every row at exactly 1.0 (reference
     zero-vector semantics) — any k rows are the true top-k, so the
