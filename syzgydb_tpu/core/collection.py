@@ -667,7 +667,12 @@ class Collection:
                 new["ilv"] = psearch.sharded_ilv_codes(self._mesh,
                                                        new["codes"])
             else:
-                new["ilv"] = _scatter_ilv_apply(dev["ilv"], idx, c_new)
+                from ..ops import pallas_scan
+                # seg passed explicitly: the scatter permutation must
+                # match make_ilv_codes' build permutation, and the (W, N)
+                # operand shape cannot encode seg for an assert to catch
+                new["ilv"] = _scatter_ilv_apply(dev["ilv"], idx, c_new,
+                                                pallas_scan.DEFAULT_SEG)
         return new
 
     # -- filters -----------------------------------------------------------
@@ -857,9 +862,15 @@ class Collection:
                 if self.columns.capacity % block == 0:
                     # f32 surfaces (ilv kernel / exact mode) prove
                     # completeness at a much smaller default margin
-                    # (pallas_scan._TIE_MARGIN_F32 note)
-                    margin = pallas_scan.default_tie_margin(
-                        exact or dev.get("ilv") is not None) \
+                    # (pallas_scan._TIE_MARGIN_F32 note).  The condition
+                    # must MIRROR fused_scan_topk's use_ilv: a batch past
+                    # _ILV_MAX_Q falls back to the bf16 surface, where the
+                    # f32 margin would fail structurally, escalate every
+                    # dispatch, and poison the margin hint
+                    surf_f32 = exact or (
+                        dev.get("ilv") is not None
+                        and queries.shape[0] <= pallas_scan._ILV_MAX_Q)
+                    margin = pallas_scan.default_tie_margin(surf_f32) \
                         if tie_margin is None else tie_margin
                     nseg = self.columns.capacity // pallas_scan.DEFAULT_SEG
                     dist, rows, ties = pallas_scan.fused_scan_topk(

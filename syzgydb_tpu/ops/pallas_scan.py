@@ -714,6 +714,9 @@ def segment_min_scan_ilv(queries, codes_ilv, norms, valid, *, bits: int,
     blk = _ILV_LANES * seg
     assert n % blk == 0, (n, blk)
     sub = min(_ILV_SUBTILE, blk)
+    # a non-dividing subtile would floor steps_per_blk and silently write
+    # minima into the wrong output blocks
+    assert blk % sub == 0, (blk, sub)
     steps_per_blk = blk // sub
     norms_i = _ilv_perm(norms, seg)[None, :]
     valid_i = _ilv_perm(valid.astype(jnp.float32), seg)[None, :]
@@ -934,14 +937,31 @@ def _select_and_rerank(queries, segmins, codes, norms, valid, slab=None, *,
         dq = jnp.sqrt(jnp.sum((queries - qhat) ** 2, axis=-1))
         dq_rel = jnp.where(qn2 > 0.0, dq * jax.lax.rsqrt(
             jnp.maximum(qn2, 1e-30)), 1.0)
+    # query-rounding reach: the affine surface computes
+    # scale*dot(q_hat, c') + offset*sum(q) with the qsum term UNROUNDED,
+    # so its error is dot(q - q_hat, scale*c') = dot(q - q_hat,
+    # v - offset*1) and |.| <= dq*(||v|| + |offset|*sqrt(d)).  The offset
+    # term was missing pre-r3.7 — masked on the bf16 surface by the
+    # half-ulp slack (~kth/256, usually >> delta); the tightened f32
+    # bridge exposed it (round-3 code review).  offset = 1/255 at 8-bit,
+    # so offd ~= 0.08-0.11 at 384-768 dims vs ||v|| ~= 1 on unit corpora.
+    off = abs(qz.affine_constants(bits)[1]) if bits in (4, 8, 16) else 0.0
+    offd = off * float(queries.shape[1]) ** 0.5
     if metric == "euclidean":
-        # surrogate = squared distance; |2 dot(q - q_hat, v)| <= 2 dq |v|
+        # surrogate = squared distance;
+        # |2 dot(q - q_hat, v - off*1)| <= 2 dq (|v| + offd)
         vmax = jnp.max(jnp.where(valid, norms, 0.0))
-        delta = 2.0 * dq_rel * jnp.sqrt(qn2) * jnp.sqrt(vmax) + \
+        delta = 2.0 * dq_rel * jnp.sqrt(qn2) * (jnp.sqrt(vmax) + offd) + \
             _SURFACE_ACCUM_EPS * (qn2 + vmax)
     else:
-        # angular surrogate in [0, 1]; |cos err| <= ||q - q_hat|| / ||q||
-        delta = 0.5 * dq_rel + _SURFACE_ACCUM_EPS
+        # angular surrogate in [0, 1];
+        # |cos err| <= dq (||v|| + offd) / (||q|| ||v||) — the offset term
+        # is divided by the smallest positive row norm (zero-norm rows are
+        # pinned to the exact zero-vector distance on both surfaces)
+        live = valid & (norms > 0.0)
+        vmin = jnp.min(jnp.where(live, norms, jnp.inf))
+        delta = 0.5 * dq_rel * (1.0 + offd * jax.lax.rsqrt(
+            jnp.maximum(vmin, 1e-30))) + _SURFACE_ACCUM_EPS
     # bridge exact -> surface values DIRECTLY through kth_exact (r3.5
     # tightening: the old chain went winner -> surface k-th -> kth_exact
     # and paid 3*delta; this one pays 1*delta, halving the provable tie
@@ -1035,9 +1055,14 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
     # exact surfaces want a HIGHEST-precision dot, whose Mosaic lowering is
     # unprobed on this toolchain — exact mode stays on the XLA surface
     # (interpret-mode tests exercise the exact kernel path directly);
-    # oversized batches would overflow the kernel's whole-Q VMEM block
+    # oversized batches would overflow the kernel's whole-Q VMEM block;
+    # and 32/64-bit codes are REJECTED on device: the kernel's non-exact
+    # f32 dot is a single bf16 pass on both operands there, whose
+    # codes-side rounding the completeness flag's delta does not bound
+    # (interpret dots are true f32, so CPU tests may pass any width)
     use_ilv = codes_ilv is not None and queries.shape[0] <= _ILV_MAX_Q \
-        and not (exact and not interpret)
+        and not (exact and not interpret) \
+        and (bits in (4, 8, 16) or interpret)
     if use_ilv:
         segmins = segment_min_scan_ilv(queries, codes_ilv, norms, valid,
                                        bits=bits, metric=metric, seg=seg,

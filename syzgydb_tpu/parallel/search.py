@@ -245,12 +245,21 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin,
             jnp.maximum(qn2[:, 0], 1e-30)), 1.0)
     else:
         dq_rel = jnp.zeros((nq,), jnp.float32)  # accurate dots: eps only
+    # the affine surface's query-rounding error includes an offset*sqrt(d)
+    # term the row-norm term doesn't cover (ops/pallas_scan
+    # _select_and_rerank, round-3 code review); zero for accurate dots
+    # (dq_rel == 0) and for non-affine widths
+    offd = (abs(qz.affine_constants(bits)[1]) if bits in (4, 8, 16)
+            else 0.0) * float(q.shape[1]) ** 0.5
     if metric == "euclidean":
         vmax = jnp.max(jnp.where(v, nrm, 0.0))
-        delta = 2.0 * dq_rel * jnp.sqrt(qn2[:, 0]) * jnp.sqrt(vmax) + \
-            _SURF_EPS_REL * (qn2[:, 0] + vmax)
+        delta = 2.0 * dq_rel * jnp.sqrt(qn2[:, 0]) * \
+            (jnp.sqrt(vmax) + offd) + _SURF_EPS_REL * (qn2[:, 0] + vmax)
     else:
-        delta = 0.5 * dq_rel + _SURF_EPS_REL
+        live = v & (nrm > 0.0)
+        vmin = jnp.min(jnp.where(live, nrm, jnp.inf))
+        delta = 0.5 * dq_rel * (1.0 + offd * jax.lax.rsqrt(
+            jnp.maximum(vmin, 1e-30))) + _SURF_EPS_REL
     t_up = (kth_exact + 1.1 * delta) * (1.0 + 1.0 / 256.0)
     v_lo = (m_next - delta) * (1.0 - 1.0 / 256.0)
     ok = (v_lo > t_up).astype(jnp.int32)
@@ -407,9 +416,14 @@ def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, slab=None,
     # HIGHEST precision through the full metric chain
     # (_candidate_distances_sharded), so fused selection no longer changes
     # the final distance values
+    from ..ops import pallas_scan
     fused = k <= 128 and codes.shape[0] % (mesh.shape[DATA_AXIS] * _SEG) == 0
     use_slab = fused and slab is not None
-    use_ilv = fused and ilv is not None and not exact
+    # same guards as fused_scan_topk: whole-Q VMEM block, probed widths
+    # (interpret mode may test any width — its dots are true f32)
+    use_ilv = fused and ilv is not None and not exact \
+        and queries.shape[0] <= pallas_scan._ILV_MAX_Q \
+        and (bits in (4, 8, 16) or kernel_interpret)
 
     def local(q, c, nrm, v, *rest):
         if fused:
