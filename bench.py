@@ -203,6 +203,14 @@ def main() -> None:
         qd, qc = qdev[:q_n], qc_all[:q_n]
         t = timeit(lambda: ann_step(qd, qc, 512), reps=5)
         crossover.append({"batch": q_n, "budget": 512, "qps": q_n / t})
+    # ...and the exhaustive side of the same crossover (r3.7: the router's
+    # predicted flip sits between batch 64 and 256 — these rows pin it)
+    high_small = []
+    for q_n in (64, 256):
+        _log(f"bench: timing high batch={q_n}")
+        qd = qdev[:q_n]
+        t = timeit(lambda: high_step(qd), reps=5)
+        high_small.append({"batch": q_n, "qps": q_n / t})
 
     # host NumPy/BLAS baseline on a 100k subsample, scaled to 1M
     # (best of 3: the single shared CPU core makes one-shot timing noisy,
@@ -247,6 +255,8 @@ def main() -> None:
                          for s in sweep],
         "ann_large_batch": [{k2: round(v, 2) for k2, v in s.items()}
                             for s in crossover],
+        "high_small_batch": [{k2: round(v, 2) for k2, v in s.items()}
+                             for s in high_small],
     }))
 
 
