@@ -665,6 +665,25 @@ def _segmin_ilv_kernel(q_ref, codesT_ref, norms_ref, valid_ref, out_ref,
         raw = raw + jax.lax.dot_general(
             qc, lo, dimension_numbers=dn,
             preferred_element_type=jnp.float32)
+    elif bits in (32, 64) and not exact:
+        # f32 codes: bf16x2 CODE split (hi = bf16(c), lo = bf16(c - hi));
+        # the residual |c - hi - lo| <= 2^-18 |c| lands under the
+        # _SURFACE_ACCUM_EPS cushion, so only query rounding remains —
+        # the flag's delta class.  Two bf16 passes vs the sound XLA-HIGH
+        # fallback's three (plus its (Q, N) transient).
+        fcast = jnp.bfloat16 if not interpret else jnp.float32
+        qc = (queries.astype(jnp.bfloat16).astype(jnp.float32)
+              if interpret else queries).astype(fcast)
+        c32 = codes.astype(jnp.float32)
+        chi32 = c32.astype(jnp.bfloat16).astype(jnp.float32)
+        hi = chi32.astype(fcast)
+        lo = (c32 - chi32).astype(jnp.bfloat16).astype(fcast)
+        raw = jax.lax.dot_general(
+            qc, hi, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+        raw = raw + jax.lax.dot_general(
+            qc, lo, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
     else:
         qc = rnd(queries).astype(cast)
         raw = jax.lax.dot_general(
@@ -1056,13 +1075,12 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
     # unprobed on this toolchain — exact mode stays on the XLA surface
     # (interpret-mode tests exercise the exact kernel path directly);
     # oversized batches would overflow the kernel's whole-Q VMEM block;
-    # and 32/64-bit codes are REJECTED on device: the kernel's non-exact
-    # f32 dot is a single bf16 pass on both operands there, whose
-    # codes-side rounding the completeness flag's delta does not bound
-    # (interpret dots are true f32, so CPU tests may pass any width)
+    # 4-bit's dual-nibble program is Mosaic-rejected on this toolchain
+    # (r7d) so it stays interpret-only — every other width has a sound
+    # in-kernel dot (bf16 / hi-lo split / bf16x2 code split)
     use_ilv = codes_ilv is not None and queries.shape[0] <= _ILV_MAX_Q \
         and not (exact and not interpret) \
-        and (bits in (4, 8, 16) or interpret)
+        and (bits in (8, 16, 32, 64) or interpret)
     if use_ilv:
         segmins = segment_min_scan_ilv(queries, codes_ilv, norms, valid,
                                        bits=bits, metric=metric, seg=seg,

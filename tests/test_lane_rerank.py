@@ -77,6 +77,9 @@ def test_collection_lane_slab_sync(tmp_path, monkeypatch):
     from syzgydb_tpu import (Collection, CollectionOptions, SearchArgs,
                              COSINE)
     monkeypatch.setattr(pallas_scan, "supported", lambda: True)
+    # keep the CPU run off the real ilv kernel (interpret-only here)
+    monkeypatch.setattr(pallas_scan, "ilv_supported",
+                        lambda *a, **k: False)
 
     n, d, k = 2048, 128, 5
     rng = np.random.default_rng(11)
@@ -166,6 +169,9 @@ def test_mesh_lane_collection_state(tmp_path, monkeypatch):
                              COSINE)
     from syzgydb_tpu.parallel import mesh as mesh_mod
     monkeypatch.setattr(pallas_scan, "supported", lambda: True)
+    # keep the CPU run off the real ilv kernel (interpret-only here)
+    monkeypatch.setattr(pallas_scan, "ilv_supported",
+                        lambda *a, **k: False)
 
     n, d = 1024, 256
     rng = np.random.default_rng(9)
@@ -197,6 +203,9 @@ def test_collection_no_slab_for_packed_or_ragged(tmp_path, monkeypatch):
     from syzgydb_tpu import (Collection, CollectionOptions, SearchArgs,
                              COSINE)
     monkeypatch.setattr(pallas_scan, "supported", lambda: True)
+    # keep the CPU run off the real ilv kernel (interpret-only here)
+    monkeypatch.setattr(pallas_scan, "ilv_supported",
+                        lambda *a, **k: False)
     rng = np.random.default_rng(5)
     for quant, d in ((4, 128), (8, 96)):
         db = rng.standard_normal((256, d))

@@ -92,6 +92,9 @@ def test_collection_high_precision_escalates_to_exact(tmp_path, monkeypatch):
     assert n * d > 1 << 21  # stays off the host fast path
 
     monkeypatch.setattr(pallas_scan, "supported", lambda: True)
+    # keep the CPU run off the real ilv kernel (interpret-only here)
+    monkeypatch.setattr(pallas_scan, "ilv_supported",
+                        lambda *a, **k: False)
     calls = []
     orig = pallas_scan.fused_scan_topk
 
@@ -131,6 +134,9 @@ def test_margin_hint_skips_reescalation(tmp_path, monkeypatch):
     db, q = _tie_corpus(n, d, n_ties, tie_lo_seg=600)
 
     monkeypatch.setattr(pallas_scan, "supported", lambda: True)
+    # keep the CPU run off the real ilv kernel (interpret-only here)
+    monkeypatch.setattr(pallas_scan, "ilv_supported",
+                        lambda *a, **k: False)
     calls = []
     orig = pallas_scan.fused_scan_topk
 
@@ -198,6 +204,9 @@ def test_outlier_query_does_not_poison_margin_hint(tmp_path, monkeypatch):
     db[tie_rows] = saved
 
     monkeypatch.setattr(pallas_scan, "supported", lambda: True)
+    # keep the CPU run off the real ilv kernel (interpret-only here)
+    monkeypatch.setattr(pallas_scan, "ilv_supported",
+                        lambda *a, **k: False)
 
     c = Collection(CollectionOptions(
         name=str(tmp_path / "poison.dat"), distance_method=COSINE,
