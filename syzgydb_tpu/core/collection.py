@@ -582,14 +582,13 @@ class Collection:
                 # segment-interleaved matmul operand: the fused matmul+min
                 # kernel runs the exhaustive surface without ever
                 # materializing the (Q, N) transient (segment_min_scan_ilv)
-                # — 18.3 -> 10.4 ms of the headline batch.  TPU-probed for
-                # 8-bit (bf16 dot, r7_ilv_probe), 16-bit (exact hi/lo
-                # byte split, 14.8 vs 30.7 ms XLA-HIGH, r7e), and
-                # 32/64-bit (bf16x2 code split, 13.8 vs 27.2 ms, r7h);
-                # 4-bit's dual-nibble program failed Mosaic lowering
-                # (r7d) and stays on its already-sound bf16 XLA surface.
+                # — 18.3 -> 10.4 ms of the headline batch.  TPU-probed at
+                # every width: 8-bit bf16 dot (r7_ilv_probe), 16-bit
+                # exact hi/lo byte split (14.8 vs 30.7 ms XLA-HIGH, r7e),
+                # 32/64-bit bf16x2 code split (13.8 vs 27.2 ms, r7h),
+                # 4-bit dual-nibble (r7j — needed query deinterleave
+                # outside the kernel + int32-widened shifts).
                 if pallas_scan.supported() and \
-                        self.quantization in (8, 16, 32, 64) and \
                         pallas_scan.ilv_supported(self.columns.capacity) and \
                         codes_dev.size * codes_dev.dtype.itemsize <= \
                         _ILV_MAX_CODE_BYTES:

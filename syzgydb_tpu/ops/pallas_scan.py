@@ -638,10 +638,17 @@ def _segmin_ilv_kernel(q_ref, codesT_ref, norms_ref, valid_ref, out_ref,
     dn = (((1,), (0,)), ((), ()))                            # natural form
     codes = codesT_ref[:]                                    # (D|P, sub)
     if bits == 4:
-        qe = rnd(queries[:, 0::2]).astype(cast)
-        qo = rnd(queries[:, 1::2]).astype(cast)
-        h = ((codes >> 4).astype(jnp.int32) - 8).astype(cast)
-        low = ((codes & 0xF).astype(jnp.int32) - 8).astype(cast)
+        # queries arrive PRE-DEINTERLEAVED (even dims then odd dims — the
+        # wrapper reorders them): a strided queries[:, 0::2] in-kernel
+        # lowers to a gather Mosaic rejects ("Shape mismatch in input,
+        # indices and output" — the r7d 4-bit failure); contiguous slices
+        # lower fine, and every sum the epilogue uses is order-invariant
+        w4 = codes.shape[0]
+        qe = rnd(queries[:, :w4]).astype(cast)
+        qo = rnd(queries[:, w4:]).astype(cast)
+        ci = codes.astype(jnp.int32)  # widen BEFORE shifting: sub-word
+        h = ((ci >> 4) - 8).astype(cast)      # shift ops crash the Mosaic
+        low = ((ci & 0xF) - 8).astype(cast)   # compile helper (probed)
         raw = jax.lax.dot_general(
             qe, h, dimension_numbers=dn,
             preferred_element_type=jnp.float32, precision=prec)
@@ -739,6 +746,12 @@ def segment_min_scan_ilv(queries, codes_ilv, norms, valid, *, bits: int,
     steps_per_blk = blk // sub
     norms_i = _ilv_perm(norms, seg)[None, :]
     valid_i = _ilv_perm(valid.astype(jnp.float32), seg)[None, :]
+    queries = queries.astype(jnp.float32)
+    if bits == 4:
+        # deinterleave OUTSIDE the kernel (see the kernel's 4-bit note);
+        # qsum/qn2 are order-invariant so the epilogue math is unchanged
+        queries = jnp.concatenate([queries[:, 0::2], queries[:, 1::2]],
+                                  axis=1)
     grid_spec = pl.GridSpec(
         grid=(n // sub,),
         in_specs=[
@@ -1074,13 +1087,13 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
     # exact surfaces want a HIGHEST-precision dot, whose Mosaic lowering is
     # unprobed on this toolchain — exact mode stays on the XLA surface
     # (interpret-mode tests exercise the exact kernel path directly);
-    # oversized batches would overflow the kernel's whole-Q VMEM block;
-    # 4-bit's dual-nibble program is Mosaic-rejected on this toolchain
-    # (r7d) so it stays interpret-only — every other width has a sound
-    # in-kernel dot (bf16 / hi-lo split / bf16x2 code split)
+    # oversized batches would overflow the kernel's whole-Q VMEM block.
+    # Every width has a sound, TPU-probed in-kernel dot: bf16 (4/8-bit
+    # integer codes are bf16-exact; the 4-bit nibble unpack widens to
+    # int32 before shifting — sub-word shifts crash the Mosaic compile
+    # helper), exact hi/lo split (16), bf16x2 code split (32/64)
     use_ilv = codes_ilv is not None and queries.shape[0] <= _ILV_MAX_Q \
-        and not (exact and not interpret) \
-        and (bits in (8, 16, 32, 64) or interpret)
+        and not (exact and not interpret)
     if use_ilv:
         segmins = segment_min_scan_ilv(queries, codes_ilv, norms, valid,
                                        bits=bits, metric=metric, seg=seg,

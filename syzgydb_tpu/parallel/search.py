@@ -374,13 +374,12 @@ def sharded_ilv_codes(mesh: Mesh, codes):
 
 
 def ilv_ok_mesh(mesh: Mesh, bits: int, capacity: int) -> bool:
-    """Whether the sharded fused scan can ride the ilv fused surface: a
-    TPU-probed in-kernel dot (8-bit bf16 / 16-bit hi-lo split / 32-64-bit
-    bf16x2 code split; 4-bit is Mosaic-rejected), the FULL feature dim on
-    every shard (the kernel's epilogue folds norms before any chance to
-    psum feature partials), and 128*_SEG-aligned data shards."""
-    return (bits in (8, 16, 32, 64)
-            and mesh.shape[FEATURE_AXIS] == 1
+    """Whether the sharded fused scan can ride the ilv fused surface:
+    the FULL feature dim on every shard (the kernel's epilogue folds
+    norms before any chance to psum feature partials — also what keeps
+    4-bit's nibble-aligned splits whole) and 128*_SEG-aligned data
+    shards.  Every width's in-kernel dot is TPU-probed (r7 series)."""
+    return (mesh.shape[FEATURE_AXIS] == 1
             and capacity % (mesh.shape[DATA_AXIS] * 128 * _SEG) == 0)
 
 
@@ -422,8 +421,7 @@ def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, slab=None,
     # same guards as fused_scan_topk: whole-Q VMEM block, probed widths
     # (interpret mode may test any width — its dots are true f32)
     use_ilv = fused and ilv is not None and not exact \
-        and queries.shape[0] <= pallas_scan._ILV_MAX_Q \
-        and (bits in (8, 16, 32, 64) or kernel_interpret)
+        and queries.shape[0] <= pallas_scan._ILV_MAX_Q
 
     def local(q, c, nrm, v, *rest):
         if fused:
