@@ -860,14 +860,12 @@ class Collection:
                 if self.columns.capacity % block == 0:
                     # f32 surfaces (ilv kernel / exact mode) prove
                     # completeness at a much smaller default margin
-                    # (pallas_scan._TIE_MARGIN_F32 note).  The condition
-                    # must MIRROR fused_scan_topk's use_ilv: a batch past
-                    # _ILV_MAX_Q falls back to the bf16 surface, where the
-                    # f32 margin would fail structurally, escalate every
-                    # dispatch, and poison the margin hint
-                    surf_f32 = exact or (
-                        dev.get("ilv") is not None
-                        and queries.shape[0] <= pallas_scan._ILV_MAX_Q)
+                    # (pallas_scan._TIE_MARGIN_F32 note); the SHARED
+                    # predicate keeps this in lockstep with the surface
+                    # fused_scan_topk actually picks
+                    surf_f32 = exact or pallas_scan.will_use_ilv(
+                        dev.get("ilv") is not None, queries.shape[0],
+                        exact)
                     margin = pallas_scan.default_tie_margin(surf_f32) \
                         if tie_margin is None else tie_margin
                     nseg = self.columns.capacity // pallas_scan.DEFAULT_SEG

@@ -588,6 +588,9 @@ _ILV_MAX_Q = 2048
 
 
 def ilv_supported(n: int, seg: int = DEFAULT_SEG) -> bool:
+    """Single-device layout gate (capacity alignment); the mesh analog is
+    parallel/search.ilv_ok_mesh.  CPU tests that fake supported() patch
+    BOTH of these off (the real kernel is interpret-only off-TPU)."""
     return n % (_ILV_LANES * seg) == 0
 
 
@@ -889,6 +892,59 @@ def segment_min_scan_xla(queries, codes, norms, valid, *, bits: int,
 # relative); the dominant bf16 query-rounding term is computed EXACTLY per
 # query in _select_and_rerank, so this only covers the residue.
 _SURFACE_ACCUM_EPS = 3e-5
+# bf16x2 code-split residual for 32/64-bit non-exact surfaces: hi=bf16(c)
+# errs <= 2^-8|c| (8 significand bits), lo=bf16(c-hi) leaves <= 2^-16|c|.
+# Bounded EXPLICITLY rather than leaning on the accumulation cushion
+# (which must also absorb ~D*2^-24 of f32 summation) — r3 review finding.
+_CODE_SPLIT_REL = 2.0 ** -16
+
+
+def will_use_ilv(has_ilv: bool, n_queries: int, exact: bool,
+                 interpret: bool = False) -> bool:
+    """THE ilv-surface predicate — fused_scan_topk, Collection's margin
+    choice, and sharded_exact_topk must all agree on when the kernel runs
+    (a margin picked for the f32 surface fails structurally on the bf16
+    fallback, escalating every dispatch and poisoning the margin hint).
+    Conditions: operand present; batch fits the kernel's whole-Q VMEM
+    block; exact mode stays on the XLA surface (its HIGHEST-precision
+    Mosaic lowering is unprobed) except under interpret, where tests
+    exercise the exact kernel path directly."""
+    return has_ilv and n_queries <= _ILV_MAX_Q \
+        and not (exact and not interpret)
+
+
+def surface_delta(dq_rel, qn2, norms, valid, *, bits: int, metric: str,
+                  dims: int, eps: float, dc_rel: float = 0.0):
+    """Provable per-query surface-error bound (surrogate units), shared by
+    the single-chip (_select_and_rerank) and mesh (_local_segmin_topk)
+    completeness flags so the two bounds can never silently diverge.
+
+    Error sources: dq_rel = EXACTLY-computed relative query rounding
+    (||q - bf16(q)||/||q||, or 0 for accurate/exact dots); dc_rel = code
+    representation residual (0 for 4/8-bit integer codes and the 16-bit
+    hi/lo split, both bf16-exact; _CODE_SPLIT_REL for the 32/64-bit
+    bf16x2 split); the affine offset reach (the surface computes
+    scale*dot(q_hat, c') + offset*sum(q) with qsum unrounded, so query
+    rounding couples to v - offset*1: |err| <= dq (||v|| +
+    |offset|*sqrt(d))); eps = f32 accumulation cushion."""
+    off = abs(qz.affine_constants(bits)[1]) if bits in (4, 8, 16) else 0.0
+    offd = off * float(dims) ** 0.5
+    rel = dq_rel + dc_rel
+    if metric == "euclidean":
+        # surrogate = squared distance;
+        # |2 dot(q - q_hat, v - off*1)| <= 2 dq (|v| + offd), plus the
+        # code term |2 dot(q, dc)| <= 2 dc_rel |q||v| folded into rel
+        vmax = jnp.max(jnp.where(valid, norms, 0.0))
+        return 2.0 * rel * jnp.sqrt(qn2) * (jnp.sqrt(vmax) + offd) + \
+            eps * (qn2 + vmax)
+    # angular surrogate in [0, 1];
+    # |cos err| <= (dq + dc)(||v|| + offd) / (||q|| ||v||) — the offset
+    # term is divided by the smallest positive row norm (zero-norm rows
+    # are pinned to the exact zero-vector distance on both surfaces)
+    live = valid & (norms > 0.0)
+    vmin = jnp.min(jnp.where(live, norms, jnp.inf))
+    return 0.5 * rel * (1.0 + offd * jax.lax.rsqrt(
+        jnp.maximum(vmin, 1e-30))) + eps
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "metric", "k", "seg",
@@ -969,31 +1025,14 @@ def _select_and_rerank(queries, segmins, codes, norms, valid, slab=None, *,
         dq = jnp.sqrt(jnp.sum((queries - qhat) ** 2, axis=-1))
         dq_rel = jnp.where(qn2 > 0.0, dq * jax.lax.rsqrt(
             jnp.maximum(qn2, 1e-30)), 1.0)
-    # query-rounding reach: the affine surface computes
-    # scale*dot(q_hat, c') + offset*sum(q) with the qsum term UNROUNDED,
-    # so its error is dot(q - q_hat, scale*c') = dot(q - q_hat,
-    # v - offset*1) and |.| <= dq*(||v|| + |offset|*sqrt(d)).  The offset
-    # term was missing pre-r3.7 — masked on the bf16 surface by the
-    # half-ulp slack (~kth/256, usually >> delta); the tightened f32
-    # bridge exposed it (round-3 code review).  offset = 1/255 at 8-bit,
-    # so offd ~= 0.08-0.11 at 384-768 dims vs ||v|| ~= 1 on unit corpora.
-    off = abs(qz.affine_constants(bits)[1]) if bits in (4, 8, 16) else 0.0
-    offd = off * float(queries.shape[1]) ** 0.5
-    if metric == "euclidean":
-        # surrogate = squared distance;
-        # |2 dot(q - q_hat, v - off*1)| <= 2 dq (|v| + offd)
-        vmax = jnp.max(jnp.where(valid, norms, 0.0))
-        delta = 2.0 * dq_rel * jnp.sqrt(qn2) * (jnp.sqrt(vmax) + offd) + \
-            _SURFACE_ACCUM_EPS * (qn2 + vmax)
-    else:
-        # angular surrogate in [0, 1];
-        # |cos err| <= dq (||v|| + offd) / (||q|| ||v||) — the offset term
-        # is divided by the smallest positive row norm (zero-norm rows are
-        # pinned to the exact zero-vector distance on both surfaces)
-        live = valid & (norms > 0.0)
-        vmin = jnp.min(jnp.where(live, norms, jnp.inf))
-        delta = 0.5 * dq_rel * (1.0 + offd * jax.lax.rsqrt(
-            jnp.maximum(vmin, 1e-30))) + _SURFACE_ACCUM_EPS
+    # full error bound (offset reach was missing pre-r3.7 — masked on the
+    # bf16 surface by the half-ulp slack, exposed by the tightened f32
+    # bridge; the 32/64-bit code-split residual likewise, both round-3
+    # review findings): see surface_delta
+    dc = _CODE_SPLIT_REL if bits in (32, 64) and not exact else 0.0
+    delta = surface_delta(dq_rel, qn2, norms, valid, bits=bits,
+                          metric=metric, dims=queries.shape[1],
+                          eps=_SURFACE_ACCUM_EPS, dc_rel=dc)
     # bridge exact -> surface values DIRECTLY through kth_exact (r3.5
     # tightening: the old chain went winner -> surface k-th -> kth_exact
     # and paid 3*delta; this one pays 1*delta, halving the provable tie
@@ -1087,13 +1126,12 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
     # exact surfaces want a HIGHEST-precision dot, whose Mosaic lowering is
     # unprobed on this toolchain — exact mode stays on the XLA surface
     # (interpret-mode tests exercise the exact kernel path directly);
-    # oversized batches would overflow the kernel's whole-Q VMEM block.
     # Every width has a sound, TPU-probed in-kernel dot: bf16 (4/8-bit
     # integer codes are bf16-exact; the 4-bit nibble unpack widens to
     # int32 before shifting — sub-word shifts crash the Mosaic compile
     # helper), exact hi/lo split (16), bf16x2 code split (32/64)
-    use_ilv = codes_ilv is not None and queries.shape[0] <= _ILV_MAX_Q \
-        and not (exact and not interpret)
+    use_ilv = will_use_ilv(codes_ilv is not None, queries.shape[0],
+                           exact, interpret)
     if use_ilv:
         segmins = segment_min_scan_ilv(queries, codes_ilv, norms, valid,
                                        bits=bits, metric=metric, seg=seg,

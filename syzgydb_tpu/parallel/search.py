@@ -245,21 +245,15 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin,
             jnp.maximum(qn2[:, 0], 1e-30)), 1.0)
     else:
         dq_rel = jnp.zeros((nq,), jnp.float32)  # accurate dots: eps only
-    # the affine surface's query-rounding error includes an offset*sqrt(d)
-    # term the row-norm term doesn't cover (ops/pallas_scan
-    # _select_and_rerank, round-3 code review); zero for accurate dots
-    # (dq_rel == 0) and for non-affine widths
-    offd = (abs(qz.affine_constants(bits)[1]) if bits in (4, 8, 16)
-            else 0.0) * float(q.shape[1]) ** 0.5
-    if metric == "euclidean":
-        vmax = jnp.max(jnp.where(v, nrm, 0.0))
-        delta = 2.0 * dq_rel * jnp.sqrt(qn2[:, 0]) * \
-            (jnp.sqrt(vmax) + offd) + _SURF_EPS_REL * (qn2[:, 0] + vmax)
-    else:
-        live = v & (nrm > 0.0)
-        vmin = jnp.min(jnp.where(live, nrm, jnp.inf))
-        delta = 0.5 * dq_rel * (1.0 + offd * jax.lax.rsqrt(
-            jnp.maximum(vmin, 1e-30))) + _SURF_EPS_REL
+    # SHARED bound with the single-chip flag (ops/pallas_scan
+    # .surface_delta — query rounding, affine offset reach, code-split
+    # residual, accumulation cushion); dims is the FULL dimension because
+    # the ilv surface requires feature=1 and dq_rel is 0 otherwise
+    from ..ops import pallas_scan as _ps
+    dc = _ps._CODE_SPLIT_REL if (ilv_surface and bits in (32, 64)) else 0.0
+    delta = _ps.surface_delta(dq_rel, qn2[:, 0], nrm, v, bits=bits,
+                              metric=metric, dims=q.shape[1],
+                              eps=_SURF_EPS_REL, dc_rel=dc)
     t_up = (kth_exact + 1.1 * delta) * (1.0 + 1.0 / 256.0)
     v_lo = (m_next - delta) * (1.0 - 1.0 / 256.0)
     ok = (v_lo > t_up).astype(jnp.int32)
@@ -418,10 +412,9 @@ def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, slab=None,
     from ..ops import pallas_scan
     fused = k <= 128 and codes.shape[0] % (mesh.shape[DATA_AXIS] * _SEG) == 0
     use_slab = fused and slab is not None
-    # same guards as fused_scan_topk: whole-Q VMEM block, probed widths
-    # (interpret mode may test any width — its dots are true f32)
-    use_ilv = fused and ilv is not None and not exact \
-        and queries.shape[0] <= pallas_scan._ILV_MAX_Q
+    # the SHARED predicate (whole-Q VMEM block, exact stays off-kernel)
+    use_ilv = fused and pallas_scan.will_use_ilv(
+        ilv is not None, queries.shape[0], exact, kernel_interpret)
 
     def local(q, c, nrm, v, *rest):
         if fused:

@@ -168,8 +168,11 @@ def test_mesh_lane_collection_state(tmp_path, monkeypatch):
     from syzgydb_tpu import (Collection, CollectionOptions, SearchArgs,
                              COSINE)
     from syzgydb_tpu.parallel import mesh as mesh_mod
+    from syzgydb_tpu.parallel import search as psearch
     monkeypatch.setattr(pallas_scan, "supported", lambda: True)
-    # keep the CPU run off the real ilv kernel (interpret-only here)
+    # keep the CPU run off the real ilv kernel (interpret-only here) —
+    # the MESH path gates on ilv_ok_mesh, not ilv_supported
+    monkeypatch.setattr(psearch, "ilv_ok_mesh", lambda *a, **k: False)
     monkeypatch.setattr(pallas_scan, "ilv_supported",
                         lambda *a, **k: False)
 

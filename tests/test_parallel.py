@@ -47,7 +47,7 @@ def test_sharded_exact_matches_single_device(rng, data, feature, bits):
         set(np.asarray(ref_idx)[0].tolist())
 
 
-@pytest.mark.parametrize("bits", [8, 16])
+@pytest.mark.parametrize("bits", [4, 8, 16, 32])
 @pytest.mark.parametrize("metric", ["euclidean", "cosine"])
 def test_sharded_exact_ilv_kernel_parity(rng, metric, bits):
     """The mesh ilv fused surface (r3.7 kernel in interpret mode) must
