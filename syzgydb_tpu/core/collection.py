@@ -855,7 +855,8 @@ class Collection:
         # materializes the f32 (Q, N) distance matrix in HBM
         # (ops/pallas_scan.py).  Falls back to the XLA two-dispatch
         # pipeline for large k (radius escalation) or off-TPU.
-        if kk <= pallas_scan.MAX_FUSED_K and pallas_scan.supported():
+        if pallas_scan.fused_k_ok(kk, queries.shape[0]) and \
+                pallas_scan.supported():
             for block in (4096, 2048, 1024):
                 if self.columns.capacity % block == 0:
                     # f32 surfaces (ilv kernel / exact mode) prove
@@ -868,6 +869,14 @@ class Collection:
                         exact)
                     margin = pallas_scan.default_tie_margin(surf_f32) \
                         if tie_margin is None else tie_margin
+                    if tie_margin is None and \
+                            kk > pallas_scan.MAX_FUSED_K:
+                        # large-k (the radius-escalation shape): tie
+                        # density at the k-th value scales with k —
+                        # start at the 64 rung so the common case is one
+                        # dispatch (margin 8 failed 3/8 queries at
+                        # k=1024 on the headline corpus)
+                        margin = max(margin, 64)
                     nseg = self.columns.capacity // pallas_scan.DEFAULT_SEG
                     dist, rows, ties = pallas_scan.fused_scan_topk(
                         queries, dev["codes"], dev["norms"], valid,
@@ -961,7 +970,7 @@ class Collection:
             tmargin = self._escalate_margin(tmargin)
             dist, rows, ties, s_used, nseg = self._exact_topk_device(
                 queries, dev, valid, k, False, tie_margin=tmargin)
-        self._note_margin(tmargin, first_fail)
+        self._note_margin(tmargin, first_fail, kk=k)
         return self._knn_results_np(dist_np, rows_np, k, searched, n_records)
 
     # A starting-margin failure is "structural" when at least this
@@ -976,12 +985,17 @@ class Collection:
     _HINT_FAIL_FRAC = 0.01
 
     def _note_margin(self, tmargin: Optional[int],
-                     fail_frac: float = 1.0) -> None:
+                     fail_frac: float = 1.0, kk: int = 0) -> None:
         """Record the tie margin a completed dispatch needed so the next
         search starts there instead of re-climbing the escalation ladder
         (monotone max; only ever raises rerank width, never correctness).
-        Skipped for non-structural failures — see _HINT_FAIL_FRAC."""
-        if fail_frac < self._HINT_FAIL_FRAC:
+        Skipped for non-structural failures (_HINT_FAIL_FRAC) and for
+        large-k dispatches (radius escalation, kk > MAX_FUSED_K): their
+        tie density is a property of k, not the corpus, and must not tax
+        every future serving-class search with a widened rerank."""
+        from ..ops import pallas_scan
+        if fail_frac < self._HINT_FAIL_FRAC or \
+                kk > pallas_scan.MAX_FUSED_K:
             return
         if tmargin is not None and tmargin > (self._seg_margin_hint or 0):
             self._seg_margin_hint = tmargin
@@ -1058,7 +1072,7 @@ class Collection:
                 tmargin = self._escalate_margin(tmargin)
                 continue
             self._note_margin(tmargin, first_fail
-                              if first_fail is not None else 1.0)
+                              if first_fail is not None else 1.0, kk=kk)
             out = []
             ok = True
             for qi in range(nq):
@@ -1171,7 +1185,7 @@ class Collection:
                 if int(tie_np.min()) == 0:
                     tmargin = self._escalate_margin(tmargin)
                     continue
-                self._note_margin(tmargin, first_fail)
+                self._note_margin(tmargin, first_fail, kk=kk)
             d0 = np.asarray(dist[0])
             finite = d0[np.isfinite(d0)]
             if kk >= n_passing or len(finite) < kk or \

@@ -47,6 +47,20 @@ from . import quantize as qz
 DEFAULT_BLOCK_N = 4096
 DEFAULT_SEG = 64
 MAX_FUSED_K = 128
+# large-k dispatches (radius escalation asks for up to 1024) may still
+# ride the fused path when the candidate-gather working set stays small:
+# Q*(k+margin)*seg rows.  2^16 row-slots * seg(64) * D(384) ~= 1.6 GB of
+# gather at the headline dims — the per-query radius case (Q<=8) uses a
+# tiny fraction of that; big batched k stays on the two-dispatch path.
+_FUSED_K_BUDGET = 1 << 16
+
+
+def fused_k_ok(k: int, n_queries: int) -> bool:
+    """Whether (k, Q) fits the fused scan: the standard serving bound, or
+    a small-batch large-k dispatch within the gather budget (the radius
+    path's shape — collection._radius_search)."""
+    return k <= MAX_FUSED_K or \
+        (k <= 1024 and max(1, n_queries) * k <= _FUSED_K_BUDGET)
 # default extra segments gathered beyond k: must cover the typical tie
 # count under the provable threshold.  With the tightened 1*delta bridge
 # (see _select_and_rerank) the flag held for 4096/4096 fresh clustered
@@ -1080,7 +1094,9 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
     """Exhaustive fused scan -> (dist (Q, k) ascending, rows (Q, k)).
 
     N must be a multiple of block_n (the column store pads capacity;
-    padding rows carry valid=False).  k <= MAX_FUSED_K.  `surface` picks the
+    padding rows carry valid=False).  (k, Q) must satisfy fused_k_ok —
+    the serving bound, or small-batch large-k within the gather budget
+    (the radius-escalation shape).  `surface` picks the
     segment-minima producer: "xla" (default, fused epilogue) or "pallas"
     (ops kernel above); `codes_ilv` (optional, from make_ilv_codes at the
     same seg) overrides both with the fused matmul+min kernel that never
@@ -1113,7 +1129,7 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
     performance facts).
     """
     q0, d = queries.shape  # d = true dims (codes may be nibble-packed)
-    assert k <= MAX_FUSED_K, k
+    assert fused_k_ok(k, q0), (k, q0)
     if slab is not None:
         assert slab.shape == (norms.shape[0] // seg, (seg * d) // _LANE,
                               _LANE), (slab.shape, seg, d)

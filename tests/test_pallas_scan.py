@@ -126,6 +126,35 @@ def test_ilv_segmins_match_xla_exact(rng, metric):
     assert np.isinf(np.asarray(got)[:, 8:10]).all()
 
 
+@pytest.mark.parametrize("surface", ["xla", "ilv"])
+def test_fused_scan_large_k_radius_shape(rng, surface):
+    """The radius-escalation shape (small Q, k up to 1024) rides the fused
+    path within the gather budget — results must match the full-surface
+    oracle."""
+    n, d, q, k = 4096, 64, 2, 500
+    assert pallas_scan.fused_k_ok(k, q)
+    assert not pallas_scan.fused_k_ok(k, 1024)  # big batches stay off
+    db = rng.uniform(-1, 1, size=(n, d))
+    codes = qz.codes_to_device_repr(db, 8)
+    norms = dist_ops.db_row_stats(codes, 8, d)
+    valid = np.ones(n, dtype=bool)
+    valid[7:19] = False
+    queries = np.float32(rng.uniform(-1, 1, size=(q, d)))
+    vals, rows = pallas_scan.fused_scan_topk(
+        jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
+        jnp.asarray(valid), bits=8, metric="euclidean", k=k, block_n=512,
+        interpret=True, **_ilv_kwargs(surface, codes))
+    ref = dist_ops.score_block(jnp.asarray(queries), jnp.asarray(codes),
+                               jnp.asarray(norms), jnp.asarray(valid),
+                               8, "euclidean")
+    ref_vals, ref_rows = dist_ops.top_k_smallest(ref, k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals),
+                               atol=2e-4)
+    for i in range(q):
+        assert set(np.asarray(rows)[i].tolist()) == \
+            set(np.asarray(ref_rows)[i].tolist())
+
+
 def test_scatter_ilv_matches_rebuild(rng):
     """Collection's donated ilv scatter must equal rebuilding the
     interleaved operand from the scattered codes (incl. dropping the
