@@ -261,6 +261,42 @@ def test_euclidean_tie_flagging():
     assert [int(r) for r in np.asarray(rows2)[0]] == want
 
 
+def test_note_margin_ignores_large_k(tmp_path):
+    """Large-k (radius-escalation) dispatches must never write the
+    serving-class margin hint: their tie density is a property of k, not
+    the corpus (r3.7 review)."""
+    from syzgydb_tpu import Collection, CollectionOptions, COSINE
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "nm.dat"), distance_method=COSINE,
+        dimension_count=8, quantization=8, create_and_overwrite=True,
+        index_seed=1))
+    assert c._seg_margin_hint is None
+    c._note_margin(64, 1.0, kk=pallas_scan.MAX_FUSED_K + 1)
+    assert c._seg_margin_hint is None        # large-k: ignored
+    c._note_margin(64, 1e-4, kk=10)
+    assert c._seg_margin_hint is None        # outlier fraction: ignored
+    c._note_margin(64, 1.0, kk=10)
+    assert c._seg_margin_hint == 64          # structural serving-class
+    c._note_margin(8, 1.0, kk=10)
+    assert c._seg_margin_hint == 64          # monotone max
+    c.close()
+
+
+def test_will_use_ilv_predicate():
+    """The shared predicate's contract: batch cap, exact-off-kernel,
+    interpret override."""
+    f = pallas_scan.will_use_ilv
+    assert f(True, 1024, False)
+    assert not f(False, 1024, False)
+    assert not f(True, pallas_scan._ILV_MAX_Q + 1, False)
+    assert not f(True, 8, True)              # exact stays on XLA...
+    assert f(True, 8, True, interpret=True)  # ...except under interpret
+    assert pallas_scan.fused_k_ok(10, 4096)
+    assert pallas_scan.fused_k_ok(1024, 8)
+    assert not pallas_scan.fused_k_ok(1024, 1024)
+    assert not pallas_scan.fused_k_ok(2000, 1)
+
+
 def test_ilv_f32_bridge_fails_closed_on_ties():
     """The ilv surface's tightened bridge (surf_f32: no bf16 half-ulp
     factors) must still FAIL CLOSED on tie-heavy data — a small margin
