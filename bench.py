@@ -178,10 +178,14 @@ def main() -> None:
         if t_high <= _HEALTHY_HIGH_S:
             break
         _log(f"bench: degraded platform ({t_high*1000:.0f} ms/batch vs "
-             "~15.5 healthy) — waiting 90s for the tunnel to reclaim "
-             "dead clients, then re-measuring")
+             "~15.5 healthy) — waiting 90s for the tunnel to recover, "
+             "then re-measuring")
         time.sleep(90)
-        t_high = min(t_high, timeit(lambda: high_step(qdev)))
+        # longer blocks amortize a degraded per-dispatch RTT (measured
+        # r3.7: RTT can sit at ~1.8s while compute throughput stays
+        # healthy — 36.5 TFLOP/s on a raw matmul during the same episode)
+        t_high = min(t_high, timeit(lambda: high_step(qdev)),
+                     timeit(lambda: high_step(qdev), reps=50))
     _, hidx, ok = high_step(qdev)
     ok_rate = float(np.asarray(ok).mean())
     recall_high = recall_of(np.asarray(hidx), q_big)
