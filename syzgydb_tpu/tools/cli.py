@@ -25,8 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export a collection file as JSON to stdout")
     p.add_argument("--import", dest="import_file", metavar="FILE",
                    help="import a JSON export")
+    p.add_argument("--import-ref", dest="import_ref", metavar="FILE",
+                   help="import a reference SyzgyDB .dat span file "
+                        "(read-only migration; tools/refimport.py)")
     p.add_argument("--output", metavar="FILE",
-                   help="output collection file for --import")
+                   help="output collection file for --import/--import-ref")
     p.add_argument("--config", metavar="FILE", help="config file path")
     # config flags (cmd/config.go:15-22)
     for flag in ("ollama-server", "text-model", "image-model", "data-folder",
@@ -92,6 +95,17 @@ def main(argv: list[str] | None = None) -> int:
             coll = import_json(args.output, f)
         coll.close()
         print(f"Imported into {args.output}")
+        return 0
+
+    if args.import_ref:
+        if not args.output:
+            print("--import-ref requires --output", file=sys.stderr)
+            return 2
+        from .refimport import import_ref_file
+        coll = import_ref_file(args.import_ref, args.output)
+        n = coll.get_document_count()
+        coll.close()
+        print(f"Imported {n} records from reference file into {args.output}")
         return 0
 
     if args.serve:

@@ -74,11 +74,78 @@ def export_json(collection: Collection, out: IO[str]) -> None:
     out.write("\n  ]\n}\n")
 
 
-def import_json(collection_name: str, reader: IO[str]) -> Collection:
-    data = json.load(reader)
-    if "collection" not in data:
+class _JSONStream:
+    """Incremental JSON value reader over a text stream.
+
+    The import analog of the reference's json.Decoder token loop
+    (dump.go:138-217): values are decoded one at a time from a bounded
+    sliding buffer, so a multi-GB export never materializes in RAM —
+    only the options object and one record at a time."""
+
+    _CHUNK = 1 << 16
+
+    def __init__(self, reader: IO[str]):
+        self._reader = reader
+        self._buf = ""
+        self._eof = False
+        self._decoder = json.JSONDecoder()
+
+    def _fill(self) -> bool:
+        chunk = self._reader.read(self._CHUNK)
+        if not chunk:
+            self._eof = True
+            return False
+        self._buf += chunk
+        return True
+
+    def skip_ws(self) -> None:
+        while True:
+            self._buf = self._buf.lstrip()
+            if self._buf or not self._fill():
+                return
+
+    def peek(self) -> str:
+        self.skip_ws()
+        return self._buf[:1]
+
+    def expect(self, ch: str) -> None:
+        self.skip_ws()
+        if not self._buf.startswith(ch):
+            raise ValueError(
+                f"malformed export stream: expected {ch!r}, got "
+                f"{self._buf[:20]!r}")
+        self._buf = self._buf[1:]
+
+    def value(self):
+        """Decode ONE JSON value from the head of the stream."""
+        self.skip_ws()
+        while True:
+            try:
+                val, end = self._decoder.raw_decode(self._buf)
+                self._buf = self._buf[end:]
+                return val
+            except json.JSONDecodeError:
+                # could be an incomplete tail — read more unless at EOF
+                if not self._fill():
+                    raise
+
+
+def import_json(collection_name: str, reader: IO[str],
+                batch_rows: int = 10_000) -> Collection:
+    """Recreate a collection from an export stream (dump.go:138-217).
+
+    Streaming: records are decoded incrementally and fed to
+    add_documents in `batch_rows` chunks, so imports of arbitrarily
+    large exports (config5-scale, 10M rows) run at bounded RSS —
+    the reference gets this from json.Decoder tokens; we get it from an
+    incremental value reader over the export's known shape."""
+    stream = _JSONStream(reader)
+    stream.expect("{")
+    key = stream.value()
+    if key != "collection":
         raise ValueError("export stream missing 'collection' options")
-    copts = data["collection"]
+    stream.expect(":")
+    copts = stream.value()
     options = CollectionOptions(
         name=collection_name,
         distance_method=int(copts.get("distance_method", 0)),
@@ -91,10 +158,38 @@ def import_json(collection_name: str, reader: IO[str]) -> Collection:
         if extra in copts:
             setattr(options, extra, copts[extra])
     collection = Collection(options)
-    records = data.get("records", [])
-    if records:
-        collection.add_documents(
-            [int(r["id"]) for r in records],
-            [r["vector"] for r in records],
-            [json.dumps(r.get("metadata")).encode() for r in records])
+
+    ids: list[int] = []
+    vecs: list = []
+    metas: list[bytes] = []
+
+    def flush() -> None:
+        if ids:
+            collection.add_documents(ids, vecs, metas)
+            ids.clear(); vecs.clear(); metas.clear()
+
+    if stream.peek() == ",":
+        stream.expect(",")
+        key = stream.value()
+        if key != "records":
+            raise ValueError(f"unexpected export key {key!r}")
+        stream.expect(":")
+        stream.expect("[")
+        if stream.peek() == "]":
+            stream.expect("]")
+        else:
+            while True:
+                rec = stream.value()
+                ids.append(int(rec["id"]))
+                vecs.append(rec["vector"])
+                metas.append(json.dumps(rec.get("metadata")).encode())
+                if len(ids) >= batch_rows:
+                    flush()
+                nxt = stream.peek()
+                if nxt == ",":
+                    stream.expect(",")
+                    continue
+                stream.expect("]")
+                break
+    flush()
     return collection
