@@ -318,6 +318,8 @@ class Collection:
         # start there — clustered corpora stay at the default, concentrated
         # ones pay the ladder once per collection instead of per query.
         self._seg_margin_hint: Optional[int] = None
+        # consecutive small-batch structural failures (see _note_margin)
+        self._hint_fail_streak = 0
         # list-mode pagination cache: (columns.version, ids in lexicographic
         # decimal-string order); _list_sort_count counts rebuilds (test pin)
         self._sorted_ids_cache: tuple[int, list[int]] | None = None
@@ -749,8 +751,20 @@ class Collection:
         group, which is what makes concurrent single-query REST serving
         throughput approach the chip's batched QPS.
         """
+        return self.search_many_async(args_list)()
+
+    def search_many_async(self, args_list: Sequence[SearchArgs]
+                          ) -> Callable[[], list[SearchResults]]:
+        """Pipelined search_many: DISPATCH the group's device program now
+        (under the collection lock, ~1 ms) and return a finish() callable
+        that blocks on the result fetch (~33 ms tunnel RTT) WITHOUT the
+        lock.  Concurrent serving overlaps group N+1's dispatch with group
+        N's in-flight fetch — the device never idles on a group boundary
+        (reference analog: concurrent searches under RWMutex,
+        collection.go:569-571; here the exclusive section is the enqueue,
+        not the round trip)."""
         if not args_list:
-            return []
+            return lambda: []
         t0 = time.perf_counter()
         a0 = args_list[0]
         p0 = a0.precision or "medium"
@@ -784,18 +798,26 @@ class Collection:
         with self._lock:
             n_records = len(self.columns)
             if n_records == 0:
+                fin = None
+            else:
+                fin = self._knn_many_async(qvecs, a0, n_records, n_real=b0)
+
+        def finish() -> list[SearchResults]:
+            if fin is None:
                 out = [SearchResults([], 0.0) for _ in args_list]
             else:
-                out = self._knn_many(qvecs, a0, n_records)[:b0]
-        dt = (time.perf_counter() - t0) * 1000.0
-        # every member reports the group's shared dispatch wall time: one
-        # device dispatch served them all, and that dispatch IS the search
-        # time (reference semantics, rest.go:450-452).  Queue/coalescing
-        # wait is NOT in here — the REST layer reports it separately as
-        # queue_wait_time.
-        for r in out:
-            r.search_time_ms = dt
-        return out
+                out = fin()[:b0]
+            dt = (time.perf_counter() - t0) * 1000.0
+            # every member reports the group's shared dispatch wall time:
+            # one device dispatch served them all, and that dispatch IS the
+            # search time (reference semantics, rest.go:450-452).
+            # Queue/coalescing wait is NOT in here — the REST layer reports
+            # it separately as queue_wait_time.
+            for r in out:
+                r.search_time_ms = dt
+            return out
+
+        return finish
 
     def _search_locked(self, args: SearchArgs) -> SearchResults:
         n_records = len(self.columns)
@@ -837,8 +859,11 @@ class Collection:
         ok_flags=None (no escalation needed)."""
         if self._mesh is not None:
             from ..parallel import search as psearch
-            margin = psearch.DEFAULT_SEG_MARGIN if tie_margin is None \
-                else tie_margin
+            # surface-aware default (mirrors sharded_exact_topk's choice —
+            # a margin picked for the wrong surface structurally escalates)
+            margin = psearch.default_mesh_seg_margin(
+                dev.get("ilv") is not None, queries.shape[0], exact) \
+                if tie_margin is None else tie_margin
             out = psearch.sharded_exact_topk(
                 self._mesh, queries, dev["codes"], dev["norms"], valid,
                 dev.get("slab"), dev.get("ilv"),
@@ -892,10 +917,28 @@ class Collection:
         return d, r, None, 0, 0
 
     def _knn_many(self, qvecs: np.ndarray, args: SearchArgs,
-                  n_records: int) -> list[SearchResults]:
-        """kNN for a (Q, D) batch of queries sharing precision/filter."""
+                  n_records: int,
+                  n_real: Optional[int] = None) -> list[SearchResults]:
+        return self._knn_many_async(qvecs, args, n_records, n_real)()
+
+    def _knn_many_async(self, qvecs: np.ndarray, args: SearchArgs,
+                        n_records: int, n_real: Optional[int] = None
+                        ) -> Callable[[], list[SearchResults]]:
+        """kNN for a (Q, D) batch of queries sharing precision/filter,
+        split into a DISPATCH phase (runs now, caller holds the lock) and
+        a returned finish() that blocks on the device->host fetch with the
+        lock RELEASED — result assembly and any escalation re-dispatch
+        re-acquire it briefly (search_many_async).
+
+        n_real: number of REAL queries when the batch is bucket-padded
+        with copies of qvecs[0] (search_many) — the margin-hint gate's
+        structural-failure fraction must be computed over real queries
+        only, or a lone flag-tripping query replicated across its pad
+        copies reads as a structural failure and poisons the hint
+        (ADVICE r3)."""
         precision = args.precision or "medium"
         nq = qvecs.shape[0]
+        n_real = nq if n_real is None else n_real
         mask, n_passing = self._filter_mask(args)
         k = min(args.k, n_passing)
 
@@ -913,7 +956,8 @@ class Collection:
             if nq * budget * ANN_BATCH_CROSSOVER >= n_records:
                 use_index = False
         if self._small() and not use_index:
-            return self._host_scan_knn(qvecs, k, mask, n_passing, n_records)
+            out = self._host_scan_knn(qvecs, k, mask, n_passing, n_records)
+            return lambda: out
 
         queries = jnp.asarray(np.float32(qvecs))
         dev = self._device_state()
@@ -923,8 +967,9 @@ class Collection:
         if use_index:
             searched = min(budget, n_passing)
             if k == 0:
-                return [SearchResults([], self._pct(searched, n_records))
-                        for _ in range(nq)]
+                out = [SearchResults([], self._pct(searched, n_records))
+                       for _ in range(nq)]
+                return lambda: out
             qcode = jnp.asarray(self.index.encode_np(np.float32(qvecs)))
             if self._mesh is not None:
                 from ..parallel import search as psearch
@@ -941,40 +986,78 @@ class Collection:
                 dist, rows, nsc = hamming.rerank_topk(
                     queries, dev["codes"], dev["norms"], valid, cand,
                     self.quantization, self.metric, k, with_counts=True)
-            return self._knn_results_many(dist, rows, k, searched, n_records,
-                                          counts=nsc)
+
+            def finish_ann() -> list[SearchResults]:
+                dist_np, rows_np, cnt = self._fetch_results(dist, rows, nsc)
+                with self._lock:  # result assembly reads host columns
+                    return self._knn_results_np(dist_np, rows_np, k,
+                                                searched, n_records, cnt)
+
+            return finish_ann
 
         # exhaustive device scan (mode (b), and large-N medium w/o index)
         searched = n_passing
         if k == 0:
-            return [SearchResults([], self._pct(searched, n_records))
-                    for _ in range(nq)]
+            out = [SearchResults([], self._pct(searched, n_records))
+                   for _ in range(nq)]
+            return lambda: out
         if precision == "exact":
-            return self._exact_knn_f64(qvecs, queries, dev, valid, k,
-                                       n_passing, searched, n_records)
+            # exact mode interleaves host f64 reranks with escalation
+            # re-dispatches: stays synchronous under the caller's lock
+            out = self._exact_knn_f64(qvecs, queries, dev, valid, k,
+                                      n_passing, searched, n_records,
+                                      n_real=n_real)
+            return lambda: out
         tmargin = self._seg_margin_hint
         dist, rows, ties, s_used, nseg = self._exact_topk_device(
             queries, dev, valid, k, False, tie_margin=tmargin)
+
         if ties is None:
-            return self._knn_results_many(dist, rows, k, searched, n_records)
-        first_fail = None
-        while True:
-            dist_np, rows_np, tie_np = self._fetch_results(dist, rows, ties)
-            if first_fail is None:
-                first_fail = 1.0 - float(tie_np.mean())
-            if s_used >= nseg or int(tie_np.min()) == 1:
-                break
-            # provable-selection escalation: some query's tie cluster
-            # exceeded the margin (adversarially clustered data) —
-            # re-dispatch at the next ladder rung
-            tmargin = self._escalate_margin(tmargin)
-            dist, rows, ties, s_used, nseg = self._exact_topk_device(
-                queries, dev, valid, k, False, tie_margin=tmargin)
-        self._note_margin(tmargin, first_fail, kk=k)
-        return self._knn_results_np(dist_np, rows_np, k, searched, n_records)
+            def finish_plain() -> list[SearchResults]:
+                dist_np, rows_np, _ = self._fetch_results(dist, rows)
+                with self._lock:
+                    return self._knn_results_np(dist_np, rows_np, k,
+                                                searched, n_records)
+
+            return finish_plain
+
+        def finish_escalate() -> list[SearchResults]:
+            d, r, t = dist, rows, ties
+            su, ns, tm = s_used, nseg, tmargin
+            first_fail = None
+            while True:
+                dist_np, rows_np, tie_np = self._fetch_results(d, r, t)
+                if first_fail is None:
+                    first_fail = 1.0 - float(tie_np[:n_real].mean())
+                if su >= ns or int(tie_np.min()) == 1:
+                    break
+                # provable-selection escalation: some query's tie cluster
+                # exceeded the margin (adversarially clustered data) —
+                # re-dispatch at the next ladder rung.  Device state is
+                # RE-READ under the lock: a donated scatter sync may have
+                # replaced the buffers captured at dispatch time (using a
+                # donated-away array raises), and batch-boundary
+                # consistency allows the retry to see the newer data.
+                with self._lock:
+                    tm = self._escalate_margin(tm)
+                    dev2 = self._device_state()
+                    if unfiltered:
+                        valid2 = dev2["valid"]
+                    else:
+                        mask2, _ = self._filter_mask(args)
+                        valid2 = jnp.asarray(mask2)
+                    d, r, t, su, ns = self._exact_topk_device(
+                        queries, dev2, valid2, k, False, tie_margin=tm)
+            with self._lock:
+                self._note_margin(tm, first_fail, kk=k, n_real=n_real)
+                return self._knn_results_np(dist_np, rows_np, k, searched,
+                                            n_records)
+
+        return finish_escalate
 
     # A starting-margin failure is "structural" when at least this
-    # fraction of the batch's queries tripped the flag: such corpora
+    # fraction of the batch's REAL queries tripped the flag (pads are
+    # copies of query 0 and must not count — ADVICE r3): such corpora
     # (concentrated iid high-D — the config-4 pattern) fail on EVERY
     # batch, so remembering the proven rung saves re-climbing the ladder
     # per search.  Below the threshold the failure is an outlier query
@@ -983,20 +1066,37 @@ class Collection:
     # permanently widen every future search's rerank (hint poisoning —
     # one unlucky query would tax the collection's throughput forever).
     _HINT_FAIL_FRAC = 0.01
+    # Small batches can't distinguish an outlier from a structural corpus
+    # by fraction alone (1 failing query of 1 is 100%): below this many
+    # real queries, require _HINT_STREAK consecutive failing SEARCHES
+    # before setting the hint.  A clustered corpus at the measured 2e-4
+    # outlier rate hits 3 consecutive lone-query failures with p ~ 1e-11;
+    # a structural corpus (config 4 serves single queries) pays the ladder
+    # thrice, then every later search starts at the proven rung.
+    _HINT_MIN_BATCH = 64
+    _HINT_STREAK = 3
 
     def _note_margin(self, tmargin: Optional[int],
-                     fail_frac: float = 1.0, kk: int = 0) -> None:
+                     fail_frac: float = 1.0, kk: int = 0,
+                     n_real: int = 1 << 30) -> None:
         """Record the tie margin a completed dispatch needed so the next
         search starts there instead of re-climbing the escalation ladder
         (monotone max; only ever raises rerank width, never correctness).
-        Skipped for non-structural failures (_HINT_FAIL_FRAC) and for
-        large-k dispatches (radius escalation, kk > MAX_FUSED_K): their
-        tie density is a property of k, not the corpus, and must not tax
+        Skipped for non-structural failures (_HINT_FAIL_FRAC over the real
+        queries, streak-confirmed below _HINT_MIN_BATCH) and for large-k
+        dispatches (radius escalation, kk > MAX_FUSED_K): their tie
+        density is a property of k, not the corpus, and must not tax
         every future serving-class search with a widened rerank."""
         from ..ops import pallas_scan
-        if fail_frac < self._HINT_FAIL_FRAC or \
-                kk > pallas_scan.MAX_FUSED_K:
+        if kk > pallas_scan.MAX_FUSED_K:
             return
+        if fail_frac < self._HINT_FAIL_FRAC:
+            self._hint_fail_streak = 0
+            return
+        if n_real < self._HINT_MIN_BATCH:
+            self._hint_fail_streak += 1
+            if self._hint_fail_streak < self._HINT_STREAK:
+                return
         if tmargin is not None and tmargin > (self._seg_margin_hint or 0):
             self._seg_margin_hint = tmargin
 
@@ -1044,8 +1144,8 @@ class Collection:
                                        self.dimension_count)
 
     def _exact_knn_f64(self, qvecs, queries, dev, valid, k: int,
-                       n_passing: int, searched: int,
-                       n_records: int) -> list[SearchResults]:
+                       n_passing: int, searched: int, n_records: int,
+                       n_real: Optional[int] = None) -> list[SearchResults]:
         """precision="exact" above the host-scan threshold: the device
         produces an f32-HIGHEST top-(k+margin) shortlist, and the final
         ranking is recomputed on the host in f64 from the stored codes —
@@ -1055,6 +1155,7 @@ class Collection:
         f32 distance >= the boundary, hence f64 distance >= boundary - eps,
         so boundary > d64_k + eps proves no missing winner."""
         nq = qvecs.shape[0]
+        n_real = nq if n_real is None else n_real  # pad-aware (ADVICE r3)
         m = max(64, k)
         tmargin = self._seg_margin_hint
         first_fail = None
@@ -1064,7 +1165,7 @@ class Collection:
                 queries, dev, valid, kk, True, tie_margin=tmargin)
             dist_np, rows_np, tie_np = self._fetch_results(dist, rows, ties)
             if first_fail is None and ties is not None:
-                first_fail = 1.0 - float(tie_np.mean())
+                first_fail = 1.0 - float(tie_np[:n_real].mean())
             if ties is not None and s_used < nseg and \
                     int(tie_np.min()) == 0:
                 # segment-selection tie overflow: the shortlist itself may
@@ -1072,7 +1173,8 @@ class Collection:
                 tmargin = self._escalate_margin(tmargin)
                 continue
             self._note_margin(tmargin, first_fail
-                              if first_fail is not None else 1.0, kk=kk)
+                              if first_fail is not None else 1.0, kk=kk,
+                              n_real=n_real)
             out = []
             ok = True
             for qi in range(nq):
@@ -1185,7 +1287,7 @@ class Collection:
                 if int(tie_np.min()) == 0:
                     tmargin = self._escalate_margin(tmargin)
                     continue
-                self._note_margin(tmargin, first_fail, kk=kk)
+                self._note_margin(tmargin, first_fail, kk=kk, n_real=1)
             d0 = np.asarray(dist[0])
             finite = d0[np.isfinite(d0)]
             if kk >= n_passing or len(finite) < kk or \
@@ -1293,11 +1395,6 @@ class Collection:
             cnt = None
         k = arr.shape[1] // 2
         return arr[:, :k].copy().view(np.float32), arr[:, k:], cnt
-
-    def _knn_results_many(self, dist, rows, k: int, searched: int,
-                          n_records: int, counts=None) -> list[SearchResults]:
-        dist, rows, cnt = self._fetch_results(dist, rows, counts)
-        return self._knn_results_np(dist, rows, k, searched, n_records, cnt)
 
     def _knn_results_np(self, dist, rows, k: int, searched: int,
                         n_records: int, cnt=None) -> list[SearchResults]:

@@ -38,6 +38,12 @@ class EmbedderConfig:
     mlp_dim: int = 1536
     max_len: int = 128
     dtype: Any = jnp.bfloat16
+    # "preln" = our trained-from-scratch arch (pre-LayerNorm, approximate
+    # gelu); "bert" = HF MiniLM/BERT compatibility (post-LayerNorm blocks,
+    # embeddings LayerNorm + token-type table, exact gelu) so real
+    # pretrained checkpoints load with numerical parity (models/hf_loader)
+    arch: str = "preln"
+    ln_eps: float = 1e-6  # BERT checkpoints use 1e-12
 
 
 class Block(nn.Module):
@@ -46,13 +52,23 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, mask):
         cfg = self.cfg
-        h = nn.LayerNorm(dtype=jnp.float32)(x)
         attn_mask = mask[:, None, None, :] > 0
+        if cfg.arch == "bert":
+            # post-LN (BERT ordering): sublayer, residual, then LayerNorm
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.heads, dtype=cfg.dtype, deterministic=True,
+            )(x, x, mask=attn_mask)
+            x = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps)(x + h)
+            h = nn.Dense(cfg.mlp_dim, dtype=cfg.dtype)(x)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(cfg.hidden, dtype=cfg.dtype)(h)
+            return nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps)(x + h)
+        h = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=cfg.heads, dtype=cfg.dtype, deterministic=True,
         )(h, h, mask=attn_mask)
         x = x + h
-        h = nn.LayerNorm(dtype=jnp.float32)(x)
+        h = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps)(x)
         h = nn.Dense(cfg.mlp_dim, dtype=cfg.dtype)(h)
         h = nn.gelu(h)
         h = nn.Dense(cfg.hidden, dtype=cfg.dtype)(h)
@@ -69,9 +85,17 @@ class Encoder(nn.Module):
         pos = nn.Embed(cfg.max_len, cfg.hidden, dtype=cfg.dtype)(
             jnp.arange(ids.shape[1])[None, :])
         x = (tok + pos).astype(cfg.dtype)
+        if cfg.arch == "bert":
+            # single-sentence inputs: token type 0 everywhere (the table
+            # still loads both rows so HF checkpoints map 1:1)
+            typ = nn.Embed(2, cfg.hidden, dtype=cfg.dtype)(
+                jnp.zeros_like(ids))
+            x = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps)(
+                x + typ).astype(cfg.dtype)
         for _ in range(cfg.layers):
             x = Block(cfg)(x, mask)
-        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        if cfg.arch != "bert":
+            x = nn.LayerNorm(dtype=jnp.float32, epsilon=cfg.ln_eps)(x)
         # masked mean pooling -> L2 normalize (sentence-transformers recipe)
         m = mask[:, :, None]
         pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
@@ -83,9 +107,13 @@ class Encoder(nn.Module):
 class TextEmbedder:
     """Host wrapper: tokenizer + jitted forward + optional train step."""
 
-    def __init__(self, cfg: EmbedderConfig = EmbedderConfig(), seed: int = 0):
+    def __init__(self, cfg: EmbedderConfig = EmbedderConfig(), seed: int = 0,
+                 tokenizer=None):
         self.cfg = cfg
-        self.tokenizer = HashingTokenizer(cfg.vocab_size, cfg.max_len)
+        # WordPieceTokenizer for HF checkpoints (real vocab), hashing
+        # fallback otherwise — same batch_encode protocol
+        self.tokenizer = tokenizer if tokenizer is not None else \
+            HashingTokenizer(cfg.vocab_size, cfg.max_len)
         self.model = Encoder(cfg)
         ids = jnp.zeros((1, cfg.max_len), jnp.int32)
         mask = jnp.zeros((1, cfg.max_len), jnp.float32)
@@ -134,9 +162,16 @@ class TextEmbedder:
 
     @classmethod
     def from_checkpoint(cls, path: str) -> "TextEmbedder":
-        """Load a save_checkpoint() file, reconstructing its config; falls
-        back to default-config raw-params loading for legacy blobs."""
+        """Load a save_checkpoint() file, reconstructing its config; a
+        DIRECTORY loads as an HF-format MiniLM/BERT checkpoint
+        (config.json + model.safetensors/pytorch_model.bin + vocab.txt —
+        models/hf_loader.py); falls back to default-config raw-params
+        loading for legacy blobs."""
         import json as _json
+        import os as _os
+        if _os.path.isdir(path):
+            from .hf_loader import load_hf_minilm
+            return load_hf_minilm(path)
         with open(path, "rb") as f:
             magic = f.read(4)
             if magic != cls._CKPT_MAGIC:

@@ -84,125 +84,6 @@ def default_tie_margin(surf_f32: bool) -> int:
 _SUBTILE = 512
 
 
-def _segmin_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
-                   *, bits, metric, seg, exact):
-    """Distance surrogate in TRANSPOSED (B, Q) layout: rows ride the sublane
-    axis, so the per-segment min is a native sublane reduction.
-
-    The block is processed in _SUBTILE-row slices: Pallas values live in
-    vector registers, so computing the whole (block_n, Q) surface at once
-    register-spills ~200MB; per-subtile slices bound the live set to a few
-    hundred KB while the DMA still moves whole block_n tiles."""
-    queries = q_ref[:]                                       # (Q, D)
-    if bits in (4, 8, 16):
-        scale, offset = qz.affine_constants(bits)
-        qsum = jnp.sum(queries, axis=-1)                     # (Q,)
-    qn2 = jnp.sum(queries * queries, axis=-1)[None, :]       # (1, Q)
-    fast = bits in (4, 8) and not exact
-    cast = jnp.bfloat16 if fast else jnp.float32
-    if bits == 4:
-        # packed nibble codes: two half-width matmuls on the nibble planes
-        # (ops/distance.packed4_dots) — codes stream at D/2 bytes/row
-        qeT = queries[:, 0::2].astype(cast).T                # (P, Q)
-        qoT = queries[:, 1::2].astype(cast).T                # (floor(D/2), Q)
-    else:
-        qT = queries.astype(jnp.bfloat16).T if fast else queries.T
-
-    b = codes_ref.shape[0]
-    q = queries.shape[0]
-    sub = min(_SUBTILE, b)
-    for t in range(b // sub):
-        lo = t * sub
-        codes = codes_ref[lo:lo + sub, :]                    # (sub, D|P)
-        prec = jax.lax.Precision.HIGHEST if exact else None
-        if bits == 4:
-            h = (codes >> 4).astype(jnp.int32) - 8           # (sub, P)
-            low = (codes & 0xF).astype(jnp.int32) - 8
-            raw = jnp.dot(h.astype(cast), qeT,
-                          preferred_element_type=jnp.float32, precision=prec)
-            raw = raw + jnp.dot(low[:, : qoT.shape[0]].astype(cast), qoT,
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-        elif fast:
-            raw = jnp.dot(codes.astype(jnp.bfloat16), qT,
-                          preferred_element_type=jnp.float32)  # (sub, Q)
-        else:
-            raw = jnp.dot(codes.astype(jnp.float32), qT,
-                          preferred_element_type=jnp.float32,
-                          precision=prec)
-        if bits in (4, 8, 16):
-            dots = scale * raw + offset * qsum[None, :]
-        else:
-            dots = raw
-        norms = norms_ref[lo:lo + sub, :]                    # (sub, 1)
-        if metric == "euclidean":
-            dist = jnp.maximum(qn2 - 2.0 * dots + norms, 0.0)
-        else:
-            denom2 = qn2 * norms
-            inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
-            cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
-            # zero query or zero row -> cos=-1 -> surrogate 1 -> dist 1.0
-            dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
-        dist = jnp.where(valid_ref[lo:lo + sub, :] > 0, dist, jnp.inf)
-        # Per-segment min over consecutive sublane rows as a log2(seg) tree
-        # of roll+minimum folds: after folds with shifts seg/2 ... 1, row 0
-        # of every segment holds its segment's min (other rows hold
-        # cross-segment garbage the final slice discards).
-        x = dist
-        s = seg // 2
-        while s >= 1:
-            # x[i] <- min(x[i], x[i+s]); pltpu.roll needs shift >= 0 and
-            # rolling by (rows - s) is the same circular move as -s
-            x = jnp.minimum(x, pltpu.roll(x, shift=sub - s, axis=0))
-            s //= 2
-        out_ref[lo // seg:(lo + sub) // seg, :] = \
-            x.reshape(sub // seg, seg, q)[:, 0, :]
-
-
-@functools.partial(jax.jit, static_argnames=("bits", "metric", "block_n",
-                                             "seg", "exact", "interpret"))
-def segment_min_scan(queries, codes, norms, valid, *, bits: int, metric: str,
-                     block_n: int = DEFAULT_BLOCK_N, seg: int = DEFAULT_SEG,
-                     exact: bool = False, interpret: bool = False):
-    """(Q, D) x (N, D|P) -> (Q, N/seg) f32 surrogate segment minima."""
-    n, w = codes.shape  # w = packed width for 4-bit, else D
-    q, d = queries.shape
-    assert n % block_n == 0, (n, block_n)
-    assert block_n % seg == 0, (block_n, seg)
-    nblocks = n // block_n
-
-    grid_spec = pl.GridSpec(
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_n // seg, q), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    kernel = functools.partial(_segmin_kernel, bits=bits, metric=metric,
-                               seg=seg, exact=exact)
-    segmins_t = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n // seg, q), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * q * d * n, transcendentals=0,
-            bytes_accessed=n * w * codes.dtype.itemsize + 4 * n
-            + 4 * q * (n // seg)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(queries.astype(jnp.float32), codes, norms[:, None],
-      valid.astype(jnp.float32)[:, None])
-    return segmins_t.T                                       # (Q, N/seg)
-
-
 def _affine_dots(queries, raw, bits):
     """Raw code contraction -> true dot products (affine dequantization)."""
     if bits in (32, 64):
@@ -390,179 +271,6 @@ def _surface_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
             jnp.asarray(jnp.inf, out_ref.dtype))
 
 
-def _segmin_nat_loop_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
-                            *, bits, metric, exact, seg):
-    """fori_loop variant of _segmin_nat_kernel: the unrolled 8-subtile body
-    made Mosaic compile for >30min at Q=1024; a loop body compiles once.
-
-    Status (r2, v5e attempts): dynamic lane-dim ref writes are rejected
-    ("cannot statically prove index is a multiple of 128"), hence the
-    rotate-accumulator; that version exceeds the 128MB VMEM budget at
-    Q=1024 (Mosaic keeps the whole per-step surface live through the
-    carry).  Not production; surface="xla" is the default.  Revisit with
-    scratch-buffer semantics or smaller Q tiles."""
-    queries = q_ref[:]                                       # (Q, D)
-    if bits in (4, 8, 16):
-        scale, offset = qz.affine_constants(bits)
-        qsum = jnp.sum(queries, axis=-1)[:, None]            # (Q, 1)
-    qn2 = jnp.sum(queries * queries, axis=-1)[:, None]       # (Q, 1)
-    fast = bits in (4, 8) and not exact
-    cast = jnp.bfloat16 if fast else jnp.float32
-    prec = jax.lax.Precision.HIGHEST if exact else None
-    dn = (((1,), (1,)), ((), ()))
-    if bits == 4:
-        qe = queries[:, 0::2].astype(cast)
-        qo = queries[:, 1::2].astype(cast)
-    else:
-        qc = queries.astype(cast)
-
-    b = codes_ref.shape[0]
-    nq = queries.shape[0]
-    sub = min(_SUBTILE, b)
-
-    nout = b // seg
-    step_cols = sub // seg
-
-    def body(t, acc):
-        lo = t * sub
-        codes = codes_ref[pl.ds(lo, sub), :]                 # (sub, D|P)
-        if bits == 4:
-            h = ((codes >> 4).astype(jnp.int32) - 8).astype(cast)
-            low = ((codes & 0xF).astype(jnp.int32) - 8).astype(cast)
-            raw = jax.lax.dot_general(
-                qe, h, dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=prec)
-            raw = raw + jax.lax.dot_general(
-                qo, low[:, : qo.shape[1]], dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=prec)
-        else:
-            raw = jax.lax.dot_general(
-                qc, codes.astype(cast), dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=prec)
-        if bits in (4, 8, 16):
-            dots = scale * raw + offset * qsum
-        else:
-            dots = raw
-        norms = norms_ref[pl.ds(lo, sub), :][:, 0][None, :]
-        if metric == "euclidean":
-            dist = jnp.maximum(qn2 - 2.0 * dots + norms, 0.0)
-        else:
-            denom2 = qn2 * norms
-            inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
-            cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
-            dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
-        validf = valid_ref[pl.ds(lo, sub), :][:, 0][None, :]
-        dist = jnp.where(validf > 0, dist, jnp.inf)
-        mins = jnp.min(dist.reshape(nq, step_cols, seg), axis=-1)
-        # place this step's step_cols minima at lane offset t*step_cols via
-        # a dynamic lane rotate — Mosaic cannot prove alignment of a
-        # dynamic lane-dim ref write, but rotates take traced shifts
-        padded = jnp.pad(mins, ((0, 0), (0, nout - step_cols)),
-                         constant_values=jnp.inf)
-        rolled = pltpu.roll(padded, shift=t * step_cols, axis=1)
-        return jnp.minimum(acc, rolled)
-
-    acc = jnp.full((nq, nout), jnp.inf, jnp.float32)
-    out_ref[:] = jax.lax.fori_loop(0, b // sub, body, acc)
-
-
-def _segmin_nat_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
-                       *, bits, metric, exact, seg):
-    """Natural-layout segment-min: the (Q, sub) distance slice reduces to
-    (Q, sub/seg) minima in-register — the (Q, N) surface never exists, in
-    VMEM or HBM, and the output stays f32 (no bf16 tie collisions)."""
-    queries = q_ref[:]                                       # (Q, D)
-    if bits in (4, 8, 16):
-        scale, offset = qz.affine_constants(bits)
-        qsum = jnp.sum(queries, axis=-1)[:, None]            # (Q, 1)
-    qn2 = jnp.sum(queries * queries, axis=-1)[:, None]       # (Q, 1)
-    fast = bits in (4, 8) and not exact
-    cast = jnp.bfloat16 if fast else jnp.float32
-    prec = jax.lax.Precision.HIGHEST if exact else None
-    dn = (((1,), (1,)), ((), ()))
-    if bits == 4:
-        qe = queries[:, 0::2].astype(cast)
-        qo = queries[:, 1::2].astype(cast)
-    else:
-        qc = queries.astype(cast)
-
-    b = codes_ref.shape[0]
-    nq = queries.shape[0]
-    sub = min(_SUBTILE, b)
-    for t in range(b // sub):
-        lo = t * sub
-        codes = codes_ref[lo:lo + sub, :]                    # (sub, D|P)
-        if bits == 4:
-            h = ((codes >> 4).astype(jnp.int32) - 8).astype(cast)
-            low = ((codes & 0xF).astype(jnp.int32) - 8).astype(cast)
-            raw = jax.lax.dot_general(
-                qe, h, dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=prec)
-            raw = raw + jax.lax.dot_general(
-                qo, low[:, : qo.shape[1]], dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=prec)
-        else:
-            raw = jax.lax.dot_general(
-                qc, codes.astype(cast), dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=prec)
-        if bits in (4, 8, 16):
-            dots = scale * raw + offset * qsum               # (Q, sub)
-        else:
-            dots = raw
-        norms = norms_ref[lo:lo + sub, :][:, 0][None, :]     # (1, sub)
-        if metric == "euclidean":
-            dist = jnp.maximum(qn2 - 2.0 * dots + norms, 0.0)
-        else:
-            denom2 = qn2 * norms
-            inv = jax.lax.rsqrt(jnp.where(denom2 > 0.0, denom2, 1.0))
-            cos = jnp.where(denom2 > 0.0, dots * inv, -1.0)
-            dist = (1.0 - jnp.clip(cos, -1.0, 1.0)) * 0.5
-        validf = valid_ref[lo:lo + sub, :][:, 0][None, :]
-        dist = jnp.where(validf > 0, dist, jnp.inf)
-        out_ref[:, lo // seg:(lo + sub) // seg] = jnp.min(
-            dist.reshape(nq, sub // seg, seg), axis=-1)
-
-
-@functools.partial(jax.jit, static_argnames=("bits", "metric", "block_n",
-                                             "seg", "exact", "interpret"))
-def segment_min_scan_nat(queries, codes, norms, valid, *, bits: int,
-                         metric: str, block_n: int = DEFAULT_BLOCK_N,
-                         seg: int = DEFAULT_SEG, exact: bool = False,
-                         interpret: bool = False):
-    """(Q, D) x (N, D|P) -> (Q, N/seg) f32 segment minima, natural layout."""
-    n, w = codes.shape
-    q, d = queries.shape
-    assert n % block_n == 0 and block_n % seg == 0, (n, block_n, seg)
-    grid_spec = pl.GridSpec(
-        grid=(n // block_n,),
-        in_specs=[
-            pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((q, block_n // seg), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        functools.partial(_segmin_nat_loop_kernel, bits=bits, metric=metric,
-                          exact=exact, seg=seg),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((q, n // seg), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * q * d * n, transcendentals=0,
-            bytes_accessed=n * w * codes.dtype.itemsize + 4 * n
-            + 4 * q * (n // seg)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(queries.astype(jnp.float32), codes, norms[:, None],
-      valid.astype(jnp.float32)[:, None])
-
-
 # ---------------------------------------------------------------------------
 # Segment-interleaved fused matmul+min: the (Q, N) surface never exists.
 #
@@ -692,7 +400,7 @@ def _segmin_ilv_kernel(q_ref, codesT_ref, norms_ref, valid_ref, out_ref,
     elif bits in (32, 64) and not exact:
         # f32 codes: bf16x2 CODE split (hi = bf16(c), lo = bf16(c - hi));
         # the residual |c - hi - lo| <= 2^-18 |c| lands under the
-        # _SURFACE_ACCUM_EPS cushion, so only query rounding remains —
+        # surface_accum_eps cushion, so only query rounding remains —
         # the flag's delta class.  Two bf16 passes vs the sound XLA-HIGH
         # fallback's three (plus its (Q, N) transient).
         fcast = jnp.bfloat16 if not interpret else jnp.float32
@@ -871,7 +579,7 @@ def segment_min_scan_xla(queries, codes, norms, valid, *, bits: int,
     # is a single bf16 pass on BOTH operands, measured rel err ~2^-9 —
     # unbounded by the flag's delta).  Wide codes therefore ride
     # Precision.HIGH (bf16_3x, input error ~2^-21, far under the
-    # _SURFACE_ACCUM_EPS cushion) — same reasoning as the mesh path's
+    # surface_accum_eps cushion) — same reasoning as the mesh path's
     # accurate local dots (parallel/search._local_dots).
     if exact:
         precision = jax.lax.Precision.HIGHEST
@@ -902,10 +610,21 @@ def segment_min_scan_xla(queries, codes, norms, valid, *, bits: int,
         jnp.float32)
 
 
-# Cushion for the f32 accumulation error of the surface dots (~D * 2^-24
-# relative); the dominant bf16 query-rounding term is computed EXACTLY per
-# query in _select_and_rerank, so this only covers the residue.
-_SURFACE_ACCUM_EPS = 3e-5
+# Cushion for the f32 accumulation error of the surface dots and of the
+# rerank's "exact" surrogates; the dominant bf16 query-rounding term is
+# computed EXACTLY per query in _select_and_rerank, so this only covers
+# the residue.
+
+
+def surface_accum_eps(dims: int) -> float:
+    """Accumulation cushion scaled with the feature dimension (r3 review
+    finding): the lane rerank (_lane_dots, plain f32 multiply-accumulate)
+    supplies the exact surrogates the completeness flag bridges through,
+    and its WORST-CASE error is ~D*2^-24 relative (4.6e-5 at D=768 — above
+    the old fixed 3e-5 cushion).  The surface dot's f32 accumulate
+    contributes the same class, hence the factor 2; the 2e-5 floor keeps
+    small-D corpora at the old cushion."""
+    return 2e-5 + 2.0 * dims * 2.0 ** -24
 # bf16x2 code-split residual for 32/64-bit non-exact surfaces: hi=bf16(c)
 # errs <= 2^-8|c| (8 significand bits), lo=bf16(c-hi) leaves <= 2^-16|c|.
 # Bounded EXPLICITLY rather than leaning on the accumulation cushion
@@ -1046,7 +765,7 @@ def _select_and_rerank(queries, segmins, codes, norms, valid, slab=None, *,
     dc = _CODE_SPLIT_REL if bits in (32, 64) and not exact else 0.0
     delta = surface_delta(dq_rel, qn2, norms, valid, bits=bits,
                           metric=metric, dims=queries.shape[1],
-                          eps=_SURFACE_ACCUM_EPS, dc_rel=dc)
+                          eps=surface_accum_eps(queries.shape[1]), dc_rel=dc)
     # bridge exact -> surface values DIRECTLY through kth_exact (r3.5
     # tightening: the old chain went winner -> surface k-th -> kth_exact
     # and paid 3*delta; this one pays 1*delta, halving the provable tie
@@ -1148,20 +867,14 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
     # helper), exact hi/lo split (16), bf16x2 code split (32/64)
     use_ilv = will_use_ilv(codes_ilv is not None, queries.shape[0],
                            exact, interpret)
+    if surface not in ("xla",):
+        # the transposed roll-tree ("pallas") and natural-layout ("kernel")
+        # surfaces were superseded by the ilv kernel in r3.7 and archived
+        # to tools_dev/superseded_kernels.py in r4 (VERDICT item 8)
+        raise ValueError(f"unknown surface {surface!r}")
     if use_ilv:
         segmins = segment_min_scan_ilv(queries, codes_ilv, norms, valid,
                                        bits=bits, metric=metric, seg=seg,
-                                       exact=exact, interpret=interpret)
-    elif surface == "pallas":
-        segmins = segment_min_scan(queries, codes, norms, valid, bits=bits,
-                                   metric=metric, block_n=block_n, seg=seg,
-                                   exact=exact, interpret=interpret)
-    elif surface == "kernel":
-        # natural-layout kernel with IN-REGISTER segment-min: the (Q, N)
-        # surface never exists and the minima stay f32 end-to-end
-        segmins = segment_min_scan_nat(queries, codes, norms, valid,
-                                       bits=bits, metric=metric,
-                                       block_n=block_n, seg=seg,
                                        exact=exact, interpret=interpret)
     else:
         segmins = segment_min_scan_xla(queries, codes, norms, valid,

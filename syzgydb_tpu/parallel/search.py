@@ -131,6 +131,23 @@ def _merge_topk(vals, gidx, k):
 _SEG = 32          # segment width for the fused local scan
 DEFAULT_SEG_MARGIN = 8    # extra segments kept for value ties
 _SEG_MARGIN = DEFAULT_SEG_MARGIN  # back-compat alias
+
+
+def default_mesh_seg_margin(has_ilv: bool, n_queries: int,
+                            exact: bool) -> int:
+    """Starting tie margin for the mesh path, derived from the surface the
+    dispatch will ACTUALLY use (Collection must mirror sharded_exact_topk's
+    choice or margins drift and structurally escalate — the single-chip
+    lesson, CLAUDE.md r3.7).  Both mesh surfaces store f32 minima, so the
+    f32-class default applies either way; kept as one shared-predicate
+    branch so a hardware-measured multi-chip split lands in one place."""
+    from ..ops import pallas_scan
+    if pallas_scan.will_use_ilv(has_ilv, n_queries, exact):
+        # ilv kernel: bf16-dot query-rounding delta — the single-chip
+        # margin-8 class (held 4096/4096 at the headline shape, r7b)
+        return DEFAULT_SEG_MARGIN
+    # accurate-dots XLA surface: eps-only delta, tighter still
+    return DEFAULT_SEG_MARGIN
 # surface error bound, relative (matches ops/pallas_scan._SURFACE_EPS_REL;
 # the local surface uses the same accurate-dots construction)
 _SURF_EPS_REL = 1e-4
@@ -254,8 +271,13 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin,
     delta = _ps.surface_delta(dq_rel, qn2[:, 0], nrm, v, bits=bits,
                               metric=metric, dims=q.shape[1],
                               eps=_SURF_EPS_REL, dc_rel=dc)
-    t_up = (kth_exact + 1.1 * delta) * (1.0 + 1.0 / 256.0)
-    v_lo = (m_next - delta) * (1.0 - 1.0 / 256.0)
+    # NO half-ulp factors (r4/ADVICE r3): BOTH mesh surfaces store f32
+    # minima end-to-end — the accurate-dots XLA surface and the ilv kernel
+    # — so bf16 storage rounding never happens here.  On unit-norm corpora
+    # the dropped 2*kth/256 term was ~4x delta itself: the provable tie
+    # window shrinks accordingly (mirrors the single-chip surf_f32 bridge).
+    t_up = kth_exact + 1.1 * delta
+    v_lo = m_next - delta
     ok = (v_lo > t_up).astype(jnp.int32)
     if metric != "euclidean":
         # zero cosine query: every row scores exactly 1.0, any selection

@@ -243,3 +243,134 @@ def test_batcher_overflow_splits_groups(tmp_path, rng):
     assert all([x.id for x in r.results] == want for r in results)
     assert batcher.dispatches >= 4  # 14 queries / max_batch 4
     c.close()
+
+
+def test_dispatch_fetch_overlap(tmp_path, rng, monkeypatch):
+    """Pipelined serving (VERDICT r3 item 1): group N+1's device dispatch
+    must start while group N's result fetch is still in flight — the
+    collection lock covers the enqueue, not the ~33ms round trip.  The
+    fetch is slowed to an artificial 200ms RTT; thread B's dispatch must
+    land inside thread A's fetch window."""
+    import time
+
+    from syzgydb_tpu.core import collection as coll_mod
+    monkeypatch.setattr(coll_mod, "HOST_SCAN_MAX_ELEMS", 0)  # device path
+    c, _ = make_coll(tmp_path, rng, n=512, dims=16)
+
+    events = []
+    ev_lock = threading.Lock()
+
+    def note(tag):
+        with ev_lock:
+            events.append((tag, time.monotonic()))
+
+    orig_fetch = Collection._fetch_results
+
+    def slow_fetch(dist, rows, counts=None):
+        note("fetch_start")
+        time.sleep(0.2)  # simulated tunnel RTT
+        out = orig_fetch(dist, rows, counts)
+        note("fetch_end")
+        return out
+
+    monkeypatch.setattr(Collection, "_fetch_results",
+                        staticmethod(slow_fetch))
+
+    orig_topk = Collection._exact_topk_device
+
+    def spying_topk(self, *a, **kw):
+        note("dispatch")
+        return orig_topk(self, *a, **kw)
+
+    monkeypatch.setattr(Collection, "_exact_topk_device", spying_topk)
+
+    queries = rng.uniform(-1, 1, size=(8, 16))
+    args = [SearchArgs(vector=q, k=3, precision="high") for q in queries]
+    errs = []
+
+    def run_group():
+        try:
+            c.search_many(args)
+        except BaseException as exc:  # pragma: no cover
+            errs.append(exc)
+
+    ta = threading.Thread(target=run_group)
+    tb = threading.Thread(target=run_group)
+    ta.start()
+    time.sleep(0.05)  # let A dispatch and enter its fetch
+    tb.start()
+    ta.join()
+    tb.join()
+    assert not errs, errs
+
+    dispatches = [t for tag, t in events if tag == "dispatch"]
+    fetch_ends = [t for tag, t in events if tag == "fetch_end"]
+    assert len(dispatches) == 2 and len(fetch_ends) == 2, events
+    # B dispatched strictly before A's fetch completed: overlap proven
+    assert sorted(dispatches)[1] < min(fetch_ends), events
+    c.close()
+
+
+def test_batcher_groups_overlap(tmp_path, rng, monkeypatch):
+    """Same property end-to-end through the SearchBatcher: a second group
+    forms and dispatches while the first group's fetch is in flight."""
+    import time
+
+    from syzgydb_tpu.core import collection as coll_mod
+    monkeypatch.setattr(coll_mod, "HOST_SCAN_MAX_ELEMS", 0)
+    c, _ = make_coll(tmp_path, rng, n=512, dims=16)
+
+    events = []
+    ev_lock = threading.Lock()
+
+    def note(tag):
+        with ev_lock:
+            events.append((tag, time.monotonic()))
+
+    orig_fetch = Collection._fetch_results
+
+    def slow_fetch(dist, rows, counts=None):
+        note("fetch_start")
+        time.sleep(0.25)
+        out = orig_fetch(dist, rows, counts)
+        note("fetch_end")
+        return out
+
+    monkeypatch.setattr(Collection, "_fetch_results",
+                        staticmethod(slow_fetch))
+    orig_topk = Collection._exact_topk_device
+
+    def spying_topk(self, *a, **kw):
+        note("dispatch")
+        return orig_topk(self, *a, **kw)
+
+    monkeypatch.setattr(Collection, "_exact_topk_device", spying_topk)
+
+    batcher = SearchBatcher(window_s=0.03, max_batch=4)
+    q = rng.uniform(-1, 1, size=16)
+    errs = []
+
+    def one_query():
+        try:
+            batcher.search(c, SearchArgs(vector=q, k=3, precision="high"))
+        except BaseException as exc:  # pragma: no cover
+            errs.append(exc)
+
+    # wave 1 fills a group; wave 2 arrives while wave 1's fetch is in
+    # flight and must dispatch before it completes
+    wave1 = [threading.Thread(target=one_query) for _ in range(4)]
+    wave2 = [threading.Thread(target=one_query) for _ in range(4)]
+    for t in wave1:
+        t.start()
+    time.sleep(0.15)  # wave 1 dispatched, inside its 250ms fetch
+    for t in wave2:
+        t.start()
+    for t in wave1 + wave2:
+        t.join()
+    assert not errs, errs
+
+    dispatches = sorted(t for tag, t in events if tag == "dispatch")
+    fetch_ends = sorted(t for tag, t in events if tag == "fetch_end")
+    assert len(dispatches) >= 2, events
+    assert dispatches[1] < fetch_ends[0], events
+    c.close()

@@ -202,3 +202,183 @@ def test_rest_text_search_with_trained_device_embedder(tmp_path):
             c.close()
         cfg_mod.global_config = old_cfg
         emb_mod.set_embed_text(old_fn)
+
+
+# -- HF-format MiniLM/BERT checkpoint path (VERDICT r3 item 7) ---------------
+
+
+def _hf_vocab():
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "the", "cat", "sat", "on", "a", "mat", "dog", "ran", "in",
+             "park", "hello", "world", "##s", "##ing", "##ed", "blue",
+             "sky", "red", "car", ".", ",", "!", "quick", "brown", "fox"]
+    while len(words) < 64:
+        words.append(f"tok{len(words)}")
+    return words
+
+
+def _make_hf_dir(tmp_path):
+    """A real (randomly initialized) transformers BertModel saved in the
+    HF directory layout — the exact format a user's local all-MiniLM
+    checkpoint has."""
+    import torch
+    from transformers import BertConfig, BertModel
+
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=64)
+    torch.manual_seed(0)
+    model = BertModel(cfg).eval()
+    d = tmp_path / "minilm"
+    model.save_pretrained(str(d))
+    (d / "vocab.txt").write_text("\n".join(_hf_vocab()) + "\n")
+    return d, model
+
+
+def test_hf_checkpoint_numerical_parity(tmp_path):
+    """load_hf_minilm's name/shape mapping + bert-arch Encoder reproduce
+    transformers.BertModel to float32 tolerance (mean-pooled, normalized —
+    the sentence-transformers recipe real MiniLM deployments use)."""
+    import torch
+    from syzgydb_tpu.models.hf_loader import load_hf_minilm
+
+    d, torch_model = _make_hf_dir(tmp_path)
+    emb = load_hf_minilm(str(d), dtype=jnp.float32)
+    texts = ["the cat sat on a mat", "hello world !",
+             "a quick brown fox", "dogs running in the park"]
+    ours = emb.embed(texts)
+
+    ids, mask = emb.tokenizer.batch_encode(texts)
+    with torch.no_grad():
+        out = torch_model(input_ids=torch.tensor(ids, dtype=torch.long),
+                          attention_mask=torch.tensor(mask))
+    h = out.last_hidden_state.numpy()
+    m = mask[:, :, None]
+    pooled = (h * m).sum(1) / np.maximum(m.sum(1), 1.0)
+    want = pooled / np.linalg.norm(pooled, axis=-1, keepdims=True)
+    np.testing.assert_allclose(ours, want, atol=2e-4)
+
+
+def test_hf_checkpoint_via_from_checkpoint_dir(tmp_path):
+    """TextEmbedder.from_checkpoint on a DIRECTORY routes through the HF
+    loader — the path server/rest.py takes for embedder_checkpoint."""
+    d, _ = _make_hf_dir(tmp_path)
+    emb = TextEmbedder.from_checkpoint(str(d))
+    assert emb.cfg.arch == "bert"
+    from syzgydb_tpu.models.tokenizer import WordPieceTokenizer
+    assert isinstance(emb.tokenizer, WordPieceTokenizer)
+    out = emb.embed(["hello world"])
+    assert out.shape == (1, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+    # deterministic across loads
+    emb2 = TextEmbedder.from_checkpoint(str(d))
+    np.testing.assert_allclose(out, emb2.embed(["hello world"]), atol=0)
+
+
+def test_hf_checkpoint_pytorch_bin_fallback(tmp_path):
+    """pytorch_model.bin checkpoints (older HF exports) load identically
+    when no safetensors file is present."""
+    import os
+    import torch
+    from syzgydb_tpu.models.hf_loader import load_hf_minilm
+
+    d, torch_model = _make_hf_dir(tmp_path)
+    os.remove(str(d / "model.safetensors"))
+    torch.save(torch_model.state_dict(), str(d / "pytorch_model.bin"))
+    emb = load_hf_minilm(str(d), dtype=jnp.float32)
+    out = emb.embed(["the cat sat"])
+    assert out.shape == (1, 32)
+
+
+def test_hf_checkpoint_malformed_errors(tmp_path):
+    """Malformed checkpoints fail with clean, named errors (VERDICT item 7
+    'done' criterion), never a shape blowup inside jit."""
+    import pytest
+    from syzgydb_tpu.models.hf_loader import load_hf_minilm
+
+    # empty dir: missing config.json
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="config.json"):
+        load_hf_minilm(str(empty))
+
+    # config present but no weights
+    import json as _json
+    (empty / "config.json").write_text(_json.dumps(
+        {"hidden_size": 32, "num_hidden_layers": 2,
+         "num_attention_heads": 2, "intermediate_size": 64,
+         "vocab_size": 64}))
+    with pytest.raises(FileNotFoundError, match="safetensors"):
+        load_hf_minilm(str(empty))
+
+    # non-BERT config
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "config.json").write_text(_json.dumps({"model_type": "gpt2"}))
+    with pytest.raises(ValueError, match="hidden_size"):
+        load_hf_minilm(str(bad))
+
+    # weights missing a tensor
+    d, torch_model = _make_hf_dir(tmp_path)
+    import torch
+    state = torch_model.state_dict()
+    state.pop("embeddings.word_embeddings.weight")
+    import os
+    os.remove(str(d / "model.safetensors"))
+    torch.save(state, str(d / "pytorch_model.bin"))
+    with pytest.raises(KeyError, match="word_embeddings"):
+        load_hf_minilm(str(d))
+
+
+def test_rest_text_search_with_hf_checkpoint(tmp_path):
+    """End-to-end REST through an HF-format checkpoint directory: insert
+    by text, search by text — the embedder=device +
+    embedder_checkpoint=<hf dir> configuration (server/rest.py)."""
+    import json
+    import threading
+    import urllib.request
+
+    from syzgydb_tpu.server import config as cfg_mod
+    from syzgydb_tpu.server import embedding as emb_mod
+    from syzgydb_tpu.server import rest as rest_mod
+
+    d, _ = _make_hf_dir(tmp_path)
+    old_cfg = cfg_mod.global_config
+    old_fn = emb_mod.get_embed_text()
+    cfg_mod.global_config = cfg_mod.Config(
+        data_folder=str(tmp_path), html_root="", embedder="device",
+        embedder_checkpoint=str(d))
+    srv = rest_mod.make_server(str(tmp_path))
+    httpd = rest_mod.make_http_server(srv)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        def req(method, path, body=None):
+            data = json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(r) as resp:
+                return json.loads(resp.read() or b"null")
+
+        req("POST", "/api/v1/collections",
+            {"name": "hf", "vector_size": 32, "quantization": 16,
+             "distance_function": "cosine"})
+        texts = ["the cat sat on a mat", "hello world", "a quick brown fox"]
+        req("POST", "/api/v1/collections/hf/records",
+            [{"id": i, "text": t, "metadata": {"i": str(i)}}
+             for i, t in enumerate(texts)])
+        # searching with an indexed text must return that text top-1 (its
+        # embedding is identical), even under random weights
+        for i, t in enumerate(texts):
+            out = req("POST", "/api/v1/collections/hf/search",
+                      {"text": t, "k": 1})
+            assert out["results"][0]["id"] == i, out
+            assert out["results"][0]["distance"] < 1e-3
+    finally:
+        httpd.shutdown()
+        for c in srv.collections.values():
+            c.close()
+        cfg_mod.global_config = old_cfg
+        emb_mod.set_embed_text(old_fn)

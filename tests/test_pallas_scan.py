@@ -18,7 +18,7 @@ def _ilv_kwargs(surface, codes, seg=4):
         pallas_scan.make_ilv_codes(np.asarray(codes), seg)), "seg": seg}
 
 
-@pytest.mark.parametrize("surface", ["pallas", "xla", "kernel", "ilv"])
+@pytest.mark.parametrize("surface", ["xla", "ilv"])
 @pytest.mark.parametrize("metric", ["euclidean", "cosine"])
 @pytest.mark.parametrize("bits", [4, 8, 16, 32])
 def test_fused_scan_matches_xla(rng, metric, bits, surface):
@@ -46,7 +46,7 @@ def test_fused_scan_matches_xla(rng, metric, bits, surface):
             set(np.asarray(ref_rows)[i].tolist())
 
 
-@pytest.mark.parametrize("surface", ["pallas", "xla", "kernel", "ilv"])
+@pytest.mark.parametrize("surface", ["xla", "ilv"])
 def test_fused_scan_winners_in_late_blocks(rng, surface):
     """The threshold-skip must not drop winners that appear after the
     running top-k has tightened (the correctness-critical case)."""
@@ -79,7 +79,7 @@ def test_fused_scan_winners_in_late_blocks(rng, surface):
                                                  n - 2, n - 1}
 
 
-@pytest.mark.parametrize("surface", ["pallas", "xla", "kernel", "ilv"])
+@pytest.mark.parametrize("surface", ["xla", "ilv"])
 def test_fused_scan_duplicate_distances(rng, surface):
     """Exact duplicates (tied distances) across blocks: the merge must keep
     k distinct rows, never repeat one."""

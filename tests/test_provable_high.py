@@ -154,7 +154,14 @@ def test_margin_hint_skips_reescalation(tmp_path, monkeypatch):
     res1 = c.search(SearchArgs(vector=q, k=k, precision="high"))
     assert len(calls) >= 2, calls  # first search climbs the ladder
     final_margin = calls[-1]
-    assert final_margin is not None and c._seg_margin_hint == final_margin
+    assert final_margin is not None
+    # single-query batches can't distinguish an outlier from a structural
+    # corpus by fraction: the streak gate withholds the hint until
+    # _HINT_STREAK consecutive searches needed escalation (r4/ADVICE r3)
+    assert c._seg_margin_hint is None
+    for _ in range(Collection._HINT_STREAK - 1):
+        c.search(SearchArgs(vector=q, k=k, precision="high"))
+    assert c._seg_margin_hint == final_margin
 
     calls.clear()
     res2 = c.search(SearchArgs(vector=q, k=k, precision="high"))
@@ -279,6 +286,36 @@ def test_note_margin_ignores_large_k(tmp_path):
     assert c._seg_margin_hint == 64          # structural serving-class
     c._note_margin(8, 1.0, kk=10)
     assert c._seg_margin_hint == 64          # monotone max
+    c.close()
+
+
+def test_note_margin_small_batch_streak(tmp_path):
+    """Small real-query batches need _HINT_STREAK consecutive structural
+    failures before the hint is trusted: a lone REST query that trips the
+    flag (fail_frac 1.0 over 1 real query) must not poison the hint, while
+    a config-4-style corpus that fails every single-query search earns it
+    after the streak (r4/ADVICE r3 — pads no longer inflate the fraction,
+    and fraction alone is meaningless at batch 1)."""
+    from syzgydb_tpu import Collection, CollectionOptions, COSINE
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "st.dat"), distance_method=COSINE,
+        dimension_count=8, quantization=8, create_and_overwrite=True,
+        index_seed=1))
+    # one lone-query failure: streak 1 < 3 — no hint
+    c._note_margin(64, 1.0, kk=10, n_real=1)
+    assert c._seg_margin_hint is None
+    # a clean search in between resets the streak
+    c._note_margin(None, 0.0, kk=10, n_real=1)
+    c._note_margin(64, 1.0, kk=10, n_real=1)
+    c._note_margin(64, 1.0, kk=10, n_real=1)
+    assert c._seg_margin_hint is None        # streak 2 after reset
+    c._note_margin(64, 1.0, kk=10, n_real=1)
+    assert c._seg_margin_hint == 64          # streak 3: structural
+    # large real batches set the hint immediately (fraction is meaningful)
+    c._seg_margin_hint = None
+    c._hint_fail_streak = 0
+    c._note_margin(512, 1.0, kk=10, n_real=Collection._HINT_MIN_BATCH)
+    assert c._seg_margin_hint == 512
     c.close()
 
 

@@ -1,3 +1,5 @@
+# NOTE (r4): segment_min_scan / surface="kernel" moved to
+# tools_dev/superseded_kernels.py; re-point imports before re-running.
 """Benchmark the fused streaming-top-k scan kernel on the real TPU."""
 
 import time

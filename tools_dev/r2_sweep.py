@@ -1,3 +1,5 @@
+# NOTE (r4): segment_min_scan / surface="kernel" moved to
+# tools_dev/superseded_kernels.py; re-point imports before re-running.
 """Round-2 consolidated TPU measurements: XLA-surface fused scan, bf16 ANN
 end-to-end, and the sketch-width recall sweep (VERDICT items 2 and 4)."""
 

@@ -1,3 +1,5 @@
+# NOTE (r4): segment_min_scan / surface="kernel" moved to
+# tools_dev/superseded_kernels.py; re-point imports before re-running.
 """Round-2 sweep #3: dispatch-overhead floor, batch-size scaling, and ANN
 candidate-path variants — picks the production configuration by measurement."""
 
