@@ -397,22 +397,39 @@ class Collection:
             raise ValueError(
                 f"vector size {vector.shape} does not match collection "
                 f"dimension count {self.dimension_count}")
-        with self._lock:
-            packed = qz.pack_vector(vector, self.quantization)
-            self.spanlog.write(str(doc_id), [bytes(metadata), packed])
-            row = self.columns.put(int(doc_id), vector, bytes(metadata))
-            seen = qz.device_repr_to_float(self.columns.codes[row][None, :],
-                                           self.quantization,
+        # host prep (quantize/pack/sketch) is pure — keep it OFF the lock
+        # so concurrent searches dispatch during ingest preprocessing
+        packed = qz.pack_vector(vector, self.quantization)
+        codes = qz.codes_to_host_repr(vector, self.quantization)
+        norms = dist_ops.db_row_stats(codes, self.quantization,
+                                      self.dimension_count)
+        hcode = None
+        if self.index.calibrated:  # planes are immutable once calibrated
+            seen = qz.device_repr_to_float(codes, self.quantization,
                                            self.dimension_count)
-            if self.index.calibrated:
-                self.columns.set_hash(row, self.index.encode_np(seen)[0])
+            hcode = self.index.encode_np(np.float32(seen))[0]
+        with self._lock:
+            self.spanlog.write(str(doc_id), [bytes(metadata), packed])
+            row = self.columns.put(int(doc_id), vector, bytes(metadata),
+                                   codes=codes[0], norm=float(norms[0]))
+            if hcode is not None:
+                self.columns.set_hash(row, hcode)
+            elif self.index.calibrated:
+                # calibration raced in between: encode under the lock
+                seen = qz.device_repr_to_float(
+                    self.columns.codes[row][None, :], self.quantization,
+                    self.dimension_count)
+                self.columns.set_hash(row, self.index.encode_np(
+                    np.float32(seen))[0])
             else:
                 self._hashes_stale = True
 
     def add_documents(self, doc_ids: Sequence[int], vectors: np.ndarray,
                       metadatas: Sequence[bytes]) -> None:
         """Vectorized bulk insert — the TPU-native ingest path (packing,
-        column writes, and sketch encoding all happen batched)."""
+        column writes, and sketch encoding all happen batched; the pure
+        quantize/pack/sketch host work runs OUTSIDE the collection lock so
+        streaming ingest overlaps with in-flight searches)."""
         vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float64))
         n = vectors.shape[0]
         if vectors.shape[1] != self.dimension_count:
@@ -421,16 +438,29 @@ class Collection:
                 f"dimension count {self.dimension_count}")
         if not (len(doc_ids) == n == len(metadatas)):
             raise ValueError("ids/vectors/metadatas length mismatch")
+        packed = qz.pack_vectors(vectors, self.quantization)
+        codes = qz.codes_to_host_repr(vectors, self.quantization)
+        norms = dist_ops.db_row_stats(codes, self.quantization,
+                                      self.dimension_count)
+        log_entries = [(str(int(doc_ids[i])), [bytes(metadatas[i]),
+                                               packed[i].tobytes()])
+                       for i in range(n)]
+        metas = [bytes(m) for m in metadatas]
+        hcodes = None
+        if n <= 1024 and self.index.calibrated:
+            # small batch: host-encode so the scatter sync stays cheap
+            seen = qz.device_repr_to_float(codes, self.quantization,
+                                           self.dimension_count)
+            hcodes = self.index.encode_np(np.float32(seen))
         with self._lock:
-            packed = qz.pack_vectors(vectors, self.quantization)
-            self.spanlog.write_many(
-                [(str(int(doc_ids[i])), [bytes(metadatas[i]),
-                                         packed[i].tobytes()])
-                 for i in range(n)])
+            self.spanlog.write_many(log_entries)
             rows = self.columns.put_many(np.asarray(doc_ids, dtype=np.uint64),
-                                         vectors, [bytes(m) for m in metadatas])
-            if len(rows) <= 1024 and self.index.calibrated:
-                # small batch: host-encode so the scatter sync stays cheap
+                                         vectors, metas, codes=codes,
+                                         norms=norms)
+            if hcodes is not None:
+                self.columns.hashes[rows] = hcodes
+            elif n <= 1024 and self.index.calibrated:
+                # calibration raced in between: encode under the lock
                 seen = qz.device_repr_to_float(self.columns.codes[rows],
                                                self.quantization,
                                                self.dimension_count)
@@ -736,7 +766,12 @@ class Collection:
     def search(self, args: SearchArgs) -> SearchResults:
         t0 = time.perf_counter()
         with self._lock:
-            res = self._search_locked(args)
+            fin = self._search_locked(args)
+        # kNN device path: the result fetch (~33ms tunnel RTT) runs with
+        # the lock RELEASED so concurrent mutations (and other searches)
+        # proceed during the round trip — the config5 streaming overlap
+        # (reference analog: RWMutex shared reads, collection.go:569-571)
+        res = fin() if callable(fin) else fin
         res.search_time_ms = (time.perf_counter() - t0) * 1000.0
         return res
 
@@ -819,7 +854,11 @@ class Collection:
 
         return finish
 
-    def _search_locked(self, args: SearchArgs) -> SearchResults:
+    def _search_locked(self, args: SearchArgs):
+        """Dispatch one search under the caller's lock.  kNN device
+        searches return a finish() CALLABLE (fetch outside the lock —
+        see search()); list/radius modes return the SearchResults
+        directly."""
         n_records = len(self.columns)
 
         # mode (a): list all in ID order (collection.go:633-668)
@@ -836,7 +875,8 @@ class Collection:
 
         if args.radius > 0:
             return self._radius_search(args, qvec, n_records)
-        return self._knn_many(qvec[None, :], args, n_records)[0]
+        fin = self._knn_many_async(qvec[None, :], args, n_records)
+        return lambda: fin()[0]
 
     def _small(self) -> bool:
         """Small-collection host fast path: no device sync, no RPC — a host

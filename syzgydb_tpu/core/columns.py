@@ -79,8 +79,12 @@ class ColumnStore:
 
     # -- mutation ----------------------------------------------------------
 
-    def put(self, doc_id: int, vector: np.ndarray, metadata: bytes) -> int:
-        """Insert or replace the row for doc_id; returns the row index."""
+    def put(self, doc_id: int, vector: np.ndarray, metadata: bytes,
+            codes: np.ndarray | None = None,
+            norm: float | None = None) -> int:
+        """Insert or replace the row for doc_id; returns the row index.
+        `codes`/`norm` accept the precomputed host representation so
+        callers can quantize OUTSIDE their lock (Collection.add_document)."""
         row = self._row_of.get(doc_id)
         if row is None:
             if self._free:
@@ -91,11 +95,12 @@ class ColumnStore:
                 row = self.size
                 self.size += 1
             self._row_of[doc_id] = row
-        dev = qz.codes_to_host_repr(vector, self.quantization)[0]
+        dev = codes if codes is not None else \
+            qz.codes_to_host_repr(vector, self.quantization)[0]
         self.codes[row] = dev
-        self.norms[row] = dist_ops.db_row_stats(dev[None, :],
-                                                self.quantization,
-                                                self.dims)[0]
+        self.norms[row] = norm if norm is not None else \
+            dist_ops.db_row_stats(dev[None, :], self.quantization,
+                                  self.dims)[0]
         self.ids[row] = doc_id
         self.valid[row] = True
         self.metadata[row] = metadata
@@ -104,8 +109,12 @@ class ColumnStore:
         return row
 
     def put_many(self, doc_ids: np.ndarray, vectors: np.ndarray,
-                 metadatas: list[bytes]) -> np.ndarray:
-        """Vectorized bulk insert/replace; returns the row indices."""
+                 metadatas: list[bytes],
+                 codes: np.ndarray | None = None,
+                 norms: np.ndarray | None = None) -> np.ndarray:
+        """Vectorized bulk insert/replace; returns the row indices.
+        `codes`/`norms` accept the precomputed host representation
+        (Collection.add_documents quantizes outside its lock)."""
         n = len(doc_ids)
         rows = np.empty(n, dtype=np.int64)
         for i, doc_id in enumerate(doc_ids):
@@ -121,10 +130,11 @@ class ColumnStore:
                     self.size += 1
                 self._row_of[doc_id] = row
             rows[i] = row
-        dev = qz.codes_to_host_repr(vectors, self.quantization)
+        dev = codes if codes is not None else \
+            qz.codes_to_host_repr(vectors, self.quantization)
         self.codes[rows] = dev
-        self.norms[rows] = dist_ops.db_row_stats(dev, self.quantization,
-                                                 self.dims)
+        self.norms[rows] = norms if norms is not None else \
+            dist_ops.db_row_stats(dev, self.quantization, self.dims)
         self.ids[rows] = np.asarray(doc_ids, dtype=np.uint64)
         self.valid[rows] = True
         for i, row in enumerate(rows):

@@ -145,3 +145,67 @@ def test_bulk_then_small_insert_hash_consistency(tmp_path, rng):
     res = c.search(SearchArgs(vector=vecs[1234], k=1))
     assert res.results[0].id == 1234
     c.close()
+
+
+def test_query_during_mutation_old_or_new_never_torn(tmp_path, rng,
+                                                     monkeypatch):
+    """Batch-boundary consistency under the r4 lock split (mutation host
+    prep and search fetches run OFF the collection lock): a query racing a
+    mutation batch must see the batch either fully applied or not at all.
+    16 marker docs are always rewritten TOGETHER to one shared vector; a
+    torn device state would surface as a mixed distance set."""
+    import time
+
+    from syzgydb_tpu import COSINE
+    from syzgydb_tpu.core import collection as coll_mod
+    monkeypatch.setattr(coll_mod, "HOST_SCAN_MAX_ELEMS", 0)  # device path
+
+    n, d, k = 2048, 16, 16
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "torn.dat"), distance_method=COSINE,
+        dimension_count=d, quantization=8, create_and_overwrite=True,
+        index_seed=7))
+    fill = rng.uniform(-1, 1, size=(n, d))
+    c.add_documents(list(range(n)), fill, [b"{}"] * n)
+
+    v_a = np.zeros(d); v_a[0] = 1.0
+    v_b = np.zeros(d); v_b[1] = 1.0  # orthogonal: angular distance 0.5
+    markers = list(range(16))
+    c.add_documents(markers, np.tile(v_a, (16, 1)), [b"{}"] * 16)
+
+    stop = threading.Event()
+    errors = []
+
+    def mutator():
+        try:
+            state = False
+            while not stop.is_set():
+                v = v_b if state else v_a
+                c.add_documents(markers, np.tile(v, (16, 1)), [b"{}"] * 16)
+                state = not state
+        except BaseException as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def reader():
+        try:
+            while not stop.is_set():
+                res = c.search(SearchArgs(vector=v_a, k=k,
+                                          precision="high"))
+                near = sum(1 for r in res.results if r.distance < 0.1)
+                # all markers moved together: 16 near (state a) or 0
+                # (state b) — anything else is a torn snapshot
+                assert near in (0, 16), [
+                    (r.id, round(r.distance, 3)) for r in res.results]
+        except BaseException as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=mutator)] + \
+        [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    time.sleep(2.0)
+    stop.set()
+    for t in threads:
+        t.join()
+    c.close()
+    assert not errors, errors[:2]
