@@ -226,12 +226,14 @@ def _scatter_slab_apply(slab, idx, c_new):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("seg",))
-def _scatter_ilv_apply(ilv, idx, c_new, seg: int = 64):
+def _scatter_ilv_apply(ilv, idx, c_new, seg: Optional[int] = None):
     """Donated scatter into the segment-interleaved TRANSPOSED (D, N)
     matmul operand (ops/pallas_scan.make_ilv_codes): original row
     r = b*blk + s*seg + m lives at column b*blk + m*128 + s (blk =
     128*seg).  Pad indices (idx == capacity, which is blk-aligned whenever
     an ilv operand exists) map past the end and are dropped."""
+    if seg is None:  # resolved at trace time; must match the build seg
+        from ..ops.pallas_scan import DEFAULT_SEG as seg
     blk = 128 * seg
     o = idx % blk
     p = (idx - o) + (o % seg) * 128 + o // seg

@@ -45,7 +45,13 @@ from jax.experimental.pallas import tpu as pltpu
 from . import quantize as qz
 
 DEFAULT_BLOCK_N = 4096
-DEFAULT_SEG = 64
+# segment width: selection top_k width (N/seg) trades against rerank
+# gather bytes (sv*seg*W per query).  r8c re-swept on the subtile-1024
+# stack: seg 32 beats 64 by ~0.3 ms at the headline (12.36 vs 12.67 ms,
+# margin 6) — halving the gather now wins since the lane slab made
+# gathers cheap relative to the wider selection.  (r7g measured a wash at
+# subtile 256 + margin 8; the balance moved with the faster surface.)
+DEFAULT_SEG = 32
 MAX_FUSED_K = 128
 # large-k dispatches (radius escalation asks for up to 1024) may still
 # ride the fused path when the candidate-gather working set stays small:
@@ -71,10 +77,12 @@ def fused_k_ok(k: int, n_queries: int) -> bool:
 _TIE_MARGIN = 24
 # f32 surfaces (the ilv fused kernel, exact mode) have no bf16 storage
 # collisions AND drop the half-ulp factors from the flag bridge: the tie
-# window shrinks to the query-rounding delta alone, and margin 8 held
-# 4096/4096 fresh headline queries at 65.4k QPS vs margin 24's 51.3k
-# (tools_dev/r7b_margin_sweep.py).  A failure escalates to the 64 rung.
-_TIE_MARGIN_F32 = 8
+# window shrinks to the query-rounding delta alone.  Margin 6 held
+# 4096/4096 fresh headline queries at BOTH seg 64 and 32 (margin 4
+# failed 13/4096 — not worth the escalation re-dispatches); 8 was the
+# r3.7 default, re-swept down in r8b/r8c (tools_dev/r8*_stage2_probe).
+# A failure escalates to the 64 rung.
+_TIE_MARGIN_F32 = 6
 
 
 def default_tie_margin(surf_f32: bool) -> int:
@@ -298,12 +306,25 @@ def _surface_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
 # ---------------------------------------------------------------------------
 
 _ILV_LANES = 128
-# subtile = the grid-step dot's N extent.  256 keeps the per-step live set
-# (the (Q, sub) distance slice) ~1 MB at Q=1024: the first fori-loop
-# formulation at (Q=1024, sub=512) spilled 171 MB of registers > the
-# 128 MB VMEM budget (r7_ilv_probe); the grid-reduction formulation has no
-# loop carry at all.
-_ILV_SUBTILE = 256
+# subtile = the grid-step dot's N extent.  Bigger subtiles feed the MXU
+# longer dots: r8b/r8c measured the 1M x 384 x 1024q surface at
+# 9.17 / 8.84 / 8.02 / 7.18 / 7.06 ms for 256 / 512 / 1024 / 2048 / 4096
+# (the r3.7 choice of 256 was forced by a VMEM register spill in the OLD
+# fori-loop formulation; the grid reduction has no loop carry).  The live
+# (Q, sub) distance slice still rides VMEM, so _ilv_subtile scales the
+# subtile down for big query blocks to keep it ~16 MB.
+_ILV_SUBTILE = 4096
+
+
+def _ilv_subtile(q: int, blk: int) -> int:
+    """Largest power-of-two subtile <= _ILV_SUBTILE that divides blk and
+    keeps the (Q, sub) f32 distance slice within ~16 MB (only Q=1024 is
+    TPU-probed; 2048 extrapolates the same live-set budget)."""
+    cap = max(256, 4 * 1024 * 1024 // max(q, 1))
+    sub = 256
+    while sub * 2 <= min(_ILV_SUBTILE, cap) and blk % (sub * 2) == 0:
+        sub *= 2
+    return min(sub, blk)
 # the whole query block rides VMEM each step; larger batches fall back to
 # the XLA surface (fused_scan_topk)
 _ILV_MAX_Q = 2048
@@ -464,7 +485,7 @@ def segment_min_scan_ilv(queries, codes_ilv, norms, valid, *, bits: int,
     q, d = queries.shape
     blk = _ILV_LANES * seg
     assert n % blk == 0, (n, blk)
-    sub = min(_ILV_SUBTILE, blk)
+    sub = _ilv_subtile(q, blk)
     # a non-dividing subtile would floor steps_per_blk and silently write
     # minima into the wrong output blocks
     assert blk % sub == 0, (blk, sub)

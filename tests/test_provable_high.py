@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from syzgydb_tpu.ops import distance as dist_ops
 from syzgydb_tpu.ops import pallas_scan
 
-SEG = pallas_scan.DEFAULT_SEG  # 64
+SEG = pallas_scan.DEFAULT_SEG
 
 
 def _tie_corpus(n, d, n_ties, tie_lo_seg, metric="cosine"):
