@@ -28,15 +28,22 @@ import numpy as np
 
 from ..core.collection import Collection, SearchArgs, SearchResults
 
-DEFAULT_WINDOW_S = 0.048
-# Two-phase window policy (measured on v5e, 32 clients at 100k x 128:
-# window 4ms -> 127 QPS, 16 -> 213, 48 -> 309 QPS with p50 101ms):
+# r4 re-measured with the pipelined dispatch/fetch overlap (32 clients,
+# 100k x 128, warm compile cache): window 4ms -> 518 QPS, 16 -> 576
+# (p50 52ms), 48 -> 360 — overlap moved the optimum from 48ms to 16ms
+# (benchmarks/config1_concurrent.py sweep).
+DEFAULT_WINDOW_S = 0.016
+# Two-phase window policy (pre-overlap r2 sweep for reference: 32
+# clients at 100k x 128: window 4ms -> 127 QPS, 16 -> 213, 48 -> 309):
 # a genuinely lone query dispatches after ONE idle gap (~6ms); once any
 # follower joins — or a same-key dispatch is in flight whose waiters will
 # join on completion — the leader commits to the FULL window.  Arrival-gap
 # early closes were measured to splinter client waves under GIL scheduling
 # (3.6 queries/dispatch vs ~20).
 IDLE_GAP_S = 0.006
+# arrival-gap close for a formed group (see the leader loop): a wave that
+# stopped growing this long ago dispatches without waiting out the window
+GROW_GAP_S = 0.004
 # Last-resort bound on follower waits so a leader thread killed in the
 # narrow pre-dispatch window can never hang a request forever.  Must be
 # FAR beyond any legitimate dispatch: the first dispatch of a new batch
@@ -72,11 +79,18 @@ class _Pending:
 class SearchBatcher:
     def __init__(self, window_s: float = DEFAULT_WINDOW_S,
                  max_batch: int = MAX_BATCH,
-                 idle_gap_s: float = IDLE_GAP_S):
+                 idle_gap_s: float = IDLE_GAP_S,
+                 grow_gap_s: float = GROW_GAP_S):
         self.window_s = window_s
         self.max_batch = max_batch
         self.idle_gap_s = idle_gap_s
+        self.grow_gap_s = grow_gap_s
         self._lock = threading.Lock()
+        # leaders sleep on this instead of a poll loop: join() notifies, so
+        # the only wakeups are real arrivals and the computed deadlines
+        # (a 0.5ms polling sleep burned a GIL slice per iteration, ~2k
+        # preemptions/s of the worker threads on the single shared core)
+        self._cond = threading.Condition(self._lock)
         self._groups: dict[tuple, _Group] = {}
         self._dispatching: dict[tuple, int] = {}  # per batch key
         # observability: how many device dispatches vs queries served
@@ -117,6 +131,8 @@ class SearchBatcher:
             else:
                 leader = False
             group.members.append(pend)
+            if not leader:
+                self._cond.notify_all()  # wake the leader: a member joined
 
         if not leader:
             # liveness-checked wait: poll in 1s slices so a leader thread
@@ -150,19 +166,46 @@ class SearchBatcher:
         try:
             start = time.monotonic()
             deadline = start + self.window_s
-            while True:
-                time.sleep(0.0005)
-                now = time.monotonic()
-                with self._lock:
+            last_n, last_growth = 1, start
+            with self._cond:
+                while True:
+                    now = time.monotonic()
                     n = len(group.members)
                     # only a SAME-KEY in-flight dispatch predicts imminent
                     # arrivals; unrelated collections' traffic must not
                     # make a lone query pay the full window
                     busy = self._dispatching.get(key, 0) > 0
-                if n >= self.max_batch or now >= deadline:
-                    break
-                if n == 1 and not busy and now - start > self.idle_gap_s:
-                    break  # genuinely alone: dispatch now
+                    if n >= self.max_batch or now >= deadline:
+                        break
+                    if n > last_n:
+                        last_n, last_growth = n, now
+                    if n == 1:
+                        # lone query: dispatch after one idle gap unless a
+                        # same-key dispatch in flight predicts arrivals
+                        gap_end = start + self.idle_gap_s
+                        if not busy and now >= gap_end:
+                            break
+                        wake = min(deadline, gap_end if not busy
+                                   else deadline)
+                    else:
+                        # arrival-gap close: once a wave has joined and
+                        # arrivals stop for grow_gap_s, dispatch instead
+                        # of sitting out the window.  Closed-loop
+                        # keep-alive clients otherwise lock-step: every
+                        # client waits on the SAME group, so the residual
+                        # window is pure added latency (measured r4: 349
+                        # QPS p50 91ms at window 16, 32-query groups in
+                        # perfect lock-step).  The r2 "early closes
+                        # splinter waves" measurement predates HTTP
+                        # keep-alive — connection-setup jitter spread
+                        # arrivals over most of the window then.
+                        gap_end = last_growth + self.grow_gap_s
+                        if now >= gap_end:
+                            break
+                        wake = min(deadline, gap_end)
+                    # sleep until the next decision point or a join; a
+                    # notify re-evaluates immediately (no polling)
+                    self._cond.wait(timeout=max(wake - now, 0.0))
 
             with self._lock:
                 group.closed = True

@@ -37,7 +37,7 @@ DEFAULTS = {
     # device dispatch answers the whole group. A lone query dispatches after
     # ~6ms; once any follower joins the leader waits the full window
     # (server/batcher.py two-phase policy); 0 disables batching
-    "search_batch_ms": 48.0,
+    "search_batch_ms": 16.0,
 }
 
 
@@ -53,7 +53,7 @@ class Config:
     embedder: str = "ollama"
     embedder_checkpoint: str = ""
     use_mesh: str = "off"
-    search_batch_ms: float = 48.0
+    search_batch_ms: float = 16.0
 
 
 global_config = Config()

@@ -89,6 +89,12 @@ def _open_existing(path: str) -> CollectionOptions:
 
 class _Handler(BaseHTTPRequestHandler):
     server_version = "syzgydb-tpu/0.1"
+    # HTTP/1.1 keep-alive: every response path goes through _respond, which
+    # always sends Content-Length, so persistent connections are safe.  The
+    # stdlib default (1.0, close-per-request) made each benchmark request
+    # pay a TCP handshake + a fresh handler thread — ~keep-alive is also
+    # what the reference's net/http server does by default.
+    protocol_version = "HTTP/1.1"
     srv: Server  # injected
 
     # -- plumbing ----------------------------------------------------------

@@ -374,3 +374,66 @@ def test_batcher_groups_overlap(tmp_path, rng, monkeypatch):
     assert len(dispatches) >= 2, events
     assert dispatches[1] < fetch_ends[0], events
     c.close()
+
+
+def test_batcher_grow_gap_close(tmp_path, rng):
+    """A formed group whose arrivals stop must dispatch after grow_gap_s,
+    not sit out the full window (the r4 lock-step fix): with an absurd
+    window, a 4-query wave must come back in well under it."""
+    import time
+    c, _ = make_coll(tmp_path, rng, n=50)
+    batcher = SearchBatcher(window_s=30.0, grow_gap_s=0.05)
+    queries = rng.uniform(-1, 1, size=(4, 16))
+    results = [None] * 4
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = batcher.search(
+                c, SearchArgs(vector=queries[i], k=3))
+        except BaseException as exc:  # pragma: no cover
+            errors.append(exc)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    took = time.perf_counter() - t0
+    assert not errors
+    assert all(r is not None for r in results)
+    assert took < 10.0, took  # window is 30s: proves the gap close fired
+    # ...and they still coalesced rather than dispatching one-by-one
+    assert batcher.dispatches < 4
+    c.close()
+
+
+def test_rest_http11_keepalive_reuse(tmp_path, rng):
+    """The server speaks HTTP/1.1 with Content-Length on every response:
+    one client connection must serve several requests back-to-back."""
+    import http.client
+    from syzgydb_tpu.server.rest import Server, make_http_server
+
+    srv = Server(data_folder=str(tmp_path))
+    c, vecs = make_coll(tmp_path, rng, n=40)
+    srv.collections["ka"] = c
+    httpd = make_http_server(srv)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port)
+        for i in range(3):
+            conn.request(
+                "POST", "/api/v1/collections/ka/search",
+                body=json.dumps({"vector": vecs[i].tolist(), "k": 2}),
+                headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.version == 11
+            out = json.loads(resp.read())
+            assert len(out["results"]) == 2
+            assert out["results"][0]["id"] == i  # nearest to itself
+        conn.close()
+    finally:
+        httpd.shutdown()
+        c.close()
