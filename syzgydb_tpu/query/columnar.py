@@ -13,15 +13,27 @@ shapes with numpy mask algebra over per-field columnar projections:
   * evaluation: ==, !=, <, <=, >, >=, IN, NOT IN, CONTAINS, STARTS_WITH,
     ENDS_WITH, MATCHES, EXISTS(f), DOES_NOT_EXIST(f), AND/OR/NOT over those
     become vectorized mask ops — microseconds per million rows instead of
-    seconds.
+    seconds;
+  * path expressions: nested dotted paths (`a.b.c`), literal array indexing
+    (`tags[0]`), `.length`, `LENGTH(x)`, and `:param` placeholders project
+    into derived "path columns".  `:param` derives for free from the root
+    field's top-level column (the reference resolves parameters against the
+    document map itself — compiler.py:106-112); other non-trivial paths pay
+    ONE python parse+walk pass per (new path set, mutation generation),
+    cached thereafter — the cost of a single fallback query amortized over
+    every query that touches the path.  Field-vs-field predicates
+    (`price > cost`, `name == :expected`) vectorize as column-vs-column
+    masks.
 
 Error-semantics parity with query/compiler.py (which mirrors the Go
 compiler's eager evaluation): every node's (value, error) pair is tracked as
 two masks; an error anywhere in the tree rejects the row, exactly like the
-exception path in build_filter.  Queries or field values outside the
-supported shapes (nested paths, :params, functions, array-valued fields)
-return None and the caller falls back to the per-row engine — semantics
-first, speed second.
+exception path in build_filter.  Path extraction records per-row errors in
+FieldColumn.err (e.g. `.` on a missing nested key raises, while an
+out-of-bounds `[i]` yields nil — compiler.py:244-264).  Queries or field
+values outside the supported shapes (ANY/ALL quantifiers, non-literal array
+indices, array-valued terminal values) return None and the caller falls
+back to the per-row engine — semantics first, speed second.
 """
 
 from __future__ import annotations
@@ -33,7 +45,7 @@ from typing import Optional
 import numpy as np
 
 from .parser import (ArrayNode, ExpressionNode, FunctionNode, IdentifierNode,
-                     Node, ValueNode, parse_query)
+                     Node, ParameterNode, ValueNode, parse_query)
 
 _COMPARE_OPS = (">", ">=", "<", "<=")
 _EQ_OPS = ("==", "!=")
@@ -41,10 +53,11 @@ _STR_OPS = ("CONTAINS", "STARTS_WITH", "ENDS_WITH", "MATCHES")
 
 
 class FieldColumn:
-    """Typed columnar projection of one top-level metadata key."""
+    """Typed columnar projection of one top-level metadata key or one
+    derived path expression (a.b.c, tags[0], LENGTH(x), :param)."""
 
     __slots__ = ("present", "is_num", "is_str", "is_bool", "is_none",
-                 "nums", "strs", "scalar")
+                 "nums", "strs", "scalar", "err")
 
     def __init__(self, n: int):
         self.present = np.zeros(n, bool)
@@ -55,6 +68,10 @@ class FieldColumn:
         self.nums = np.zeros(n, np.float64)  # numbers and bools (0/1)
         self.strs = np.empty(n, object)
         self.scalar = True  # False once any row holds an array/object
+        # rows whose EXTRACTION raised EvalError (path columns only: `.` on
+        # a missing key / non-container, `:param` absent, LENGTH of a
+        # non-sized value) — any predicate touching the column rejects them
+        self.err = np.zeros(n, bool)
 
     def set(self, row: int, value) -> None:
         self.present[row] = True
@@ -73,49 +90,108 @@ class FieldColumn:
             self.scalar = False
 
 
-def referenced_fields(node) -> Optional[set]:
-    """Top-level identifiers the query touches, or None if the query uses
-    any construct the vectorizer does not support."""
-    if isinstance(node, ExpressionNode):
-        op = node.operator
-        if op in ("AND", "OR"):
-            lf = referenced_fields(node.left)
-            rf = referenced_fields(node.right)
-            return None if lf is None or rf is None else lf | rf
-        if op == "NOT":
-            return referenced_fields(node.right)
-        if op in _COMPARE_OPS + _EQ_OPS + _STR_OPS:
-            ident, lit, _ = _ident_literal(node)
-            return None if ident is None else {ident}
-        if op in ("IN", "NOT_IN"):
-            ident, values = _ident_array(node)
-            return None if ident is None else {ident}
-        return None
+def _path_of(node) -> Optional[tuple]:
+    """Canonical step tuple for a "path expression" — an identifier,
+    `:param`, a dotted/indexed chain, or LENGTH(path) — else None.
+
+    Steps: ("id", name) root, ("param", name) root, ("key", k) for `.k`,
+    ("idx", i) for a literal `[i]`, ("len",) for LENGTH(...)."""
+    if isinstance(node, IdentifierNode):
+        return (("id", node.name),)
+    if isinstance(node, ParameterNode):
+        return (("param", node.name),)
     if isinstance(node, FunctionNode):
-        if node.name in ("EXISTS", "DOES_NOT_EXIST") \
-                and len(node.arguments) == 1 \
-                and isinstance(node.arguments[0], IdentifierNode):
-            return {node.arguments[0].name}
+        if node.name == "LENGTH" and len(node.arguments) == 1:
+            base = _path_of(node.arguments[0])
+            return None if base is None else base + (("len",),)
+        return None
+    if isinstance(node, ExpressionNode):
+        if node.operator == ".":
+            base = _path_of(node.left)
+            if base is None or not isinstance(node.right, IdentifierNode):
+                return None
+            return base + (("key", node.right.name),)
+        if node.operator == "[]":
+            base = _path_of(node.left)
+            idx = node.right
+            if base is None or not isinstance(idx, ValueNode) \
+                    or isinstance(idx.value, bool) \
+                    or not isinstance(idx.value, (int, float)):
+                return None
+            # int(round(float)) replicates the per-row engine
+            # (compiler.py:261); negative/OOB indices evaluate to nil there
+            return base + (("idx", int(round(float(idx.value)))),)
         return None
     return None
 
 
-def _ident_literal(node: ExpressionNode):
-    """(field, literal, swapped) for ident-vs-literal nodes, else (None,)*3."""
-    l, r = node.left, node.right
-    if isinstance(l, IdentifierNode) and isinstance(r, ValueNode):
-        return l.name, r.value, False
-    if isinstance(l, ValueNode) and isinstance(r, IdentifierNode):
-        return r.name, l.value, True
-    return None, None, None
+def _is_trivial(path: tuple) -> bool:
+    """A bare top-level identifier (projects via the native extractor)."""
+    return len(path) == 1 and path[0][0] == "id"
 
 
-def _ident_array(node: ExpressionNode):
-    l, r = node.left, node.right
-    if isinstance(l, IdentifierNode) and isinstance(r, ArrayNode) and \
-            all(isinstance(e, ValueNode) for e in r.elements):
-        return l.name, [e.value for e in r.elements]
-    return None, None
+def _col_key(path: tuple):
+    """Cache key in the engine's column dict: plain field name for trivial
+    identifiers (shared with the native projection), the step tuple
+    otherwise — the types can't collide."""
+    return path[0][1] if _is_trivial(path) else path
+
+
+def referenced_paths(node) -> Optional[set]:
+    """Path expressions the query touches (as step tuples), or None if the
+    query uses any construct the vectorizer does not support."""
+    if isinstance(node, ExpressionNode):
+        op = node.operator
+        if op in ("AND", "OR"):
+            lf = referenced_paths(node.left)
+            rf = referenced_paths(node.right)
+            return None if lf is None or rf is None else lf | rf
+        if op == "NOT":
+            return referenced_paths(node.right)
+        if op in _COMPARE_OPS + _EQ_OPS:
+            out = set()
+            for side in (node.left, node.right):
+                if isinstance(side, ValueNode):
+                    continue
+                p = _path_of(side)
+                if p is None:
+                    return None
+                out.add(p)
+            return out or None  # literal-vs-literal: fall back
+        if op in _STR_OPS:
+            # needle/pattern must be a literal string (a per-row regex
+            # compile would defeat the point); subject must be a path
+            p = _path_of(node.left)
+            if p is None or not isinstance(node.right, ValueNode):
+                return None
+            return {p}
+        if op in ("IN", "NOT_IN"):
+            p = _path_of(node.left)
+            if p is None or not isinstance(node.right, ArrayNode) or \
+                    not all(isinstance(e, ValueNode)
+                            for e in node.right.elements):
+                return None
+            return {p}
+        return None
+    if isinstance(node, FunctionNode):
+        if node.name == "EXISTS" and len(node.arguments) == 1:
+            p = _path_of(node.arguments[0])
+            return None if p is None else {p}
+        if node.name == "DOES_NOT_EXIST" and len(node.arguments) == 1 \
+                and isinstance(node.arguments[0], IdentifierNode):
+            return {(("id", node.arguments[0].name),)}
+        return None
+    return None
+
+
+def _operand(node, cols):
+    """("lit", value) | ("col", FieldColumn) | (None, None)."""
+    if isinstance(node, ValueNode):
+        return "lit", node.value
+    p = _path_of(node)
+    if p is None:
+        return None, None
+    return "col", cols[_col_key(p)]
 
 
 def _eq_mask(col: FieldColumn, lit) -> np.ndarray:
@@ -134,6 +210,40 @@ def _eq_mask(col: FieldColumn, lit) -> np.ndarray:
     if lit is None:
         return col.is_none | ~col.present
     return np.zeros(len(col.present), bool)  # non-scalar literal: never equal
+
+
+def _null_mask(col: FieldColumn) -> np.ndarray:
+    """Rows whose value is Go-nil: explicit null, a missing top-level key
+    (ident closure returns None), or an OOB index (compiler.py:262-263).
+    Extraction-error rows are excluded — they reject regardless."""
+    return col.is_none | (~col.present & ~col.err)
+
+
+def _eq_cols(a: FieldColumn, b: FieldColumn) -> tuple:
+    """Vectorized _deep_equal(a, b) per row (compiler.py:48-57): same-typed
+    scalars compare by value, bool never equals number, nil == nil."""
+    with np.errstate(all="ignore"):
+        streq = np.asarray(a.strs == b.strs, dtype=bool)
+    val = (a.is_num & b.is_num & (a.nums == b.nums)) \
+        | (a.is_bool & b.is_bool & (a.nums == b.nums)) \
+        | (a.is_str & b.is_str & streq) \
+        | (_null_mask(a) & _null_mask(b))
+    return val, a.err | b.err
+
+
+def _cmp_cols(op: str, a: FieldColumn, b: FieldColumn) -> tuple:
+    """Vectorized _compare(a, b): num-num or str-str, else per-row error."""
+    ok_num = a.is_num & b.is_num
+    ok_str = a.is_str & b.is_str
+    cmp = {">": np.greater, ">=": np.greater_equal,
+           "<": np.less, "<=": np.less_equal}[op]
+    val = ok_num & cmp(a.nums, b.nums)
+    if ok_str.any():
+        sa = np.where(a.is_str, a.strs, "")
+        sb = np.where(b.is_str, b.strs, "")
+        with np.errstate(all="ignore"):
+            val = val | (ok_str & np.asarray(cmp(sa, sb), dtype=bool))
+    return val, ~(ok_num | ok_str) | a.err | b.err
 
 
 def _vectorize(node, cols: dict) -> Optional[tuple]:
@@ -157,21 +267,31 @@ def _vectorize(node, cols: dict) -> Optional[tuple]:
             return val, err
 
         if op in _EQ_OPS:
-            ident, lit, _ = _ident_literal(node)
-            if ident is None:
+            lk, lval = _operand(node.left, cols)
+            rk, rval = _operand(node.right, cols)
+            if lk is None or rk is None:
                 return None
-            col = cols[ident]
-            eq = _eq_mask(col, lit)
-            val = eq if op == "==" else ~eq
-            return val, np.zeros(len(eq), bool)
+            if lk == "col" and rk == "col":
+                val, err = _eq_cols(lval, rval)
+            else:  # referenced_paths guarantees at least one column side
+                col, lit = (lval, rval) if lk == "col" else (rval, lval)
+                val, err = _eq_mask(col, lit), col.err
+            if op == "!=":
+                val = ~val
+            return val, err
 
         if op in _COMPARE_OPS:
-            ident, lit, swapped = _ident_literal(node)
-            if ident is None:
+            lk, lval = _operand(node.left, cols)
+            rk, rval = _operand(node.right, cols)
+            if lk is None or rk is None:
                 return None
-            col = cols[ident]
-            if swapped:  # literal OP field  ->  field FLIP(OP) literal
+            if lk == "col" and rk == "col":
+                return _cmp_cols(op, lval, rval)
+            if lk == "lit":  # literal OP field  ->  field FLIP(OP) literal
                 op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}[op]
+                col, lit = rval, lval
+            else:
+                col, lit = lval, rval
             if isinstance(lit, (int, float)) and not isinstance(lit, bool):
                 ok = col.is_num
                 a, b = col.nums, float(lit)
@@ -187,26 +307,30 @@ def _vectorize(node, cols: dict) -> Optional[tuple]:
             cmp = {">": a > b, ">=": a >= b, "<": a < b,
                    "<=": a <= b}[op]
             val = ok & np.asarray(cmp, dtype=bool)
-            return val, ~ok  # missing/None/wrong-type -> EvalError -> reject
+            # missing/None/wrong-type -> EvalError -> reject
+            return val, ~ok | col.err
 
         if op in ("IN", "NOT_IN"):
-            ident, values = _ident_array(node)
-            if ident is None:
+            p = _path_of(node.left)
+            if p is None or not isinstance(node.right, ArrayNode):
                 return None
-            col = cols[ident]
+            values = [e.value for e in node.right.elements]
+            col = cols[_col_key(p)]
             n = len(col.present)
             val = np.zeros(n, bool)
             for lit in values:
                 val |= _eq_mask(col, lit)
             if op == "NOT_IN":
                 val = ~val
-            return val, np.zeros(n, bool)
+            return val, col.err.copy()
 
         if op in _STR_OPS:
-            ident, lit, swapped = _ident_literal(node)
-            if ident is None or swapped or not isinstance(lit, str):
+            p = _path_of(node.left)
+            lit = node.right.value if isinstance(node.right, ValueNode) \
+                else None
+            if p is None or not isinstance(lit, str):
                 return None
-            col = cols[ident]
+            col = cols[_col_key(p)]
             n = len(col.present)
             val = np.zeros(n, bool)
             rows = np.flatnonzero(col.is_str)
@@ -227,20 +351,87 @@ def _vectorize(node, cols: dict) -> Optional[tuple]:
             for i in rows:
                 if pred(col.strs[i]):
                     val[i] = True
-            return val, ~col.is_str
+            return val, ~col.is_str | col.err
         return None
 
     if isinstance(node, FunctionNode):
-        if node.name == "EXISTS" and len(node.arguments) == 1 and \
-                isinstance(node.arguments[0], IdentifierNode):
-            col = cols[node.arguments[0].name]
-            return col.present.copy(), np.zeros(len(col.present), bool)
+        if node.name == "EXISTS" and len(node.arguments) == 1:
+            p = _path_of(node.arguments[0])
+            if p is None:
+                return None
+            col = cols[_col_key(p)]
+            if _is_trivial(p):
+                # top-level key: `key in data` (compiler.py exists_top)
+                return col.present.copy(), np.zeros(len(col.present), bool)
+            # path: any evaluation that doesn't raise counts, including nil
+            # from an OOB index (compiler.py exists closure)
+            return ~col.err, np.zeros(len(col.err), bool)
         if node.name == "DOES_NOT_EXIST" and len(node.arguments) == 1 and \
                 isinstance(node.arguments[0], IdentifierNode):
             col = cols[node.arguments[0].name]
             return ~col.present, np.zeros(len(col.present), bool)
         return None
     return None
+
+
+class _PathError(Exception):
+    """Per-row extraction error — mirrors compiler.EvalError reject-row."""
+
+
+def _eval_path_steps(data: dict, steps: tuple):
+    """Walk one path over a parsed document with the per-row engine's exact
+    semantics (compiler.py: ident :88-94, param :106-112, `.` :244-254,
+    `[]` :255-264, LENGTH :152-158).  Returns the terminal value (None for
+    Go-nil) or raises _PathError where the closure would raise EvalError."""
+    v = data
+    for st in steps:
+        tag = st[0]
+        if tag == "id":
+            v = v.get(st[1])  # missing top-level key -> nil, no error
+        elif tag == "param":
+            if st[1] not in v:
+                raise _PathError  # "parameter not provided"
+            v = v[st[1]]
+        elif tag == "key":
+            if isinstance(v, dict):
+                if st[1] not in v:
+                    raise _PathError  # "key not found in map"
+                v = v[st[1]]
+            elif isinstance(v, list):
+                if st[1] != "length":
+                    raise _PathError  # "invalid operation on array"
+                v = float(len(v))
+            else:
+                raise _PathError  # '.' on scalar/nil
+        elif tag == "idx":
+            if not isinstance(v, list):
+                raise _PathError  # '[]' on non-array
+            i = st[1]
+            v = v[i] if 0 <= i < len(v) else None  # OOB -> nil
+        else:  # ("len",)
+            if not isinstance(v, (str, list, dict)):
+                raise _PathError  # LENGTH of unsized value (incl. nil)
+            v = float(len(v))
+    return v
+
+
+def _param_column(col: FieldColumn) -> FieldColumn:
+    """`:p` resolves against the document map like an identifier, except a
+    missing key is an EvalError instead of nil (compiler.py:106-112) — so
+    the parameter column IS the field's column plus an absence error mask.
+    Mask/value arrays are shared (projections are immutable per
+    generation)."""
+    pc = FieldColumn(0)
+    pc.present = col.present
+    pc.is_num = col.is_num
+    pc.is_str = col.is_str
+    pc.is_bool = col.is_bool
+    pc.is_none = col.is_none
+    pc.nums = col.nums
+    pc.strs = col.strs
+    pc.scalar = col.scalar
+    pc.err = ~col.present
+    return pc
 
 
 class ColumnarFilterEngine:
@@ -261,10 +452,10 @@ class ColumnarFilterEngine:
             ast = parse_query(query)
         except Exception:
             return None
-        fields = referenced_fields(ast)
-        if fields is None:
+        paths = referenced_paths(ast)
+        if paths is None:
             return None
-        cols, json_ok = self._project(fields, columns)
+        cols, json_ok = self._project_all(paths, columns)
         if cols is None:
             return None
         out = _vectorize(ast, cols)
@@ -272,6 +463,77 @@ class ColumnarFilterEngine:
             return None
         val, err = out
         return val & ~err & json_ok
+
+    def _project_all(self, paths: set, columns):
+        """Column dict keyed by _col_key for every referenced path, plus the
+        json-ok row mask; (None, None) to fall back.
+
+        Trivial identifiers and `:param` roots ride the (native-accelerated)
+        top-level projection — a parameter column is the root field's column
+        with absence turned into a per-row error (compiler.py:106-112).
+        Other paths project via one python parse+walk pass, cached per
+        (path, mutation generation)."""
+        trivial: set = set()
+        params: set = set()
+        nontrivial = []
+        for p in paths:
+            if _is_trivial(p):
+                trivial.add(p[0][1])
+            elif len(p) == 1 and p[0][0] == "param":
+                params.add(p[0][1])
+            else:
+                nontrivial.append(p)
+        base, json_ok = self._project(trivial | params, columns)
+        if base is None:
+            return None, None
+        cols = {f: base[f] for f in trivial}
+        for pname in params:
+            key = (("param", pname),)
+            hit = self._cols.get(key)
+            if hit is None:
+                hit = self._cols[key] = _param_column(base[pname])
+            cols[key] = hit
+        if nontrivial:
+            pcols = self._project_paths(nontrivial, columns)
+            if pcols is None:
+                return None, None
+            cols.update(pcols)
+        return cols, json_ok
+
+    def _project_paths(self, paths: list, columns) -> Optional[dict]:
+        """Derived columns for non-trivial paths: ONE pass over the live
+        rows parses each document and walks every requested path with the
+        per-row engine's exact semantics (_eval_path_steps)."""
+        n = columns.size
+        missing = [p for p in paths if p not in self._cols]
+        if missing:
+            built = {p: FieldColumn(n) for p in missing}
+            items = list(built.items())
+            for row in np.flatnonzero(columns.valid[:n]):
+                md = columns.metadata[row]
+                try:
+                    # parse_int=float: Go decodes every number as float64
+                    data = json.loads(md, parse_int=float)
+                except Exception:
+                    continue  # json_ok (from _project) rejects the row
+                if not isinstance(data, dict):
+                    self._nondict = True
+                    continue
+                r = int(row)
+                for p, col in items:
+                    try:
+                        v = _eval_path_steps(data, p)
+                    except _PathError:
+                        col.err[r] = True
+                        continue
+                    if v is not None:
+                        col.set(r, v)
+                    # v is None (missing root / OOB index): leave absent —
+                    # every mask treats that exactly like Go-nil
+            self._cols.update(built)
+        if self._nondict or any(not self._cols[p].scalar for p in paths):
+            return None
+        return {p: self._cols[p] for p in paths}
 
     def _project_native(self, fields: list, columns) -> bool:
         """Project `fields` with the C extractor; True on success.

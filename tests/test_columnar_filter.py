@@ -31,6 +31,16 @@ DOCS = [
     {"age": 31, "name": "dave", "score": 0},
     {},                                        # empty doc
     {"age": 30, "name": "eve", "score": 99.5},
+    # path-expression docs (user.*, tags[i], LENGTH, :param targets)
+    {"user": {"name": "zoe", "age": 5}, "tags": ["red", "blue"],
+     "cost": 5, "price": 7, "minage": 20, "expected": "zoe"},
+    {"user": {"name": 3, "zero": 0}, "tags": [],
+     "items": [{"price": 1.0}, {"price": 2.5}],
+     "cost": 5, "price": 3, "minage": "x"},
+    {"user": "scalar", "tags": ["solo"], "items": "notanarray",
+     "name": "zoe", "expected": "zoe", "price": 7},
+    {"user": {"name": None}, "tags": {"not": "array"}, "minage": 25,
+     "age": 30},
 ]
 METAS = [json.dumps(d).encode() for d in DOCS] + [b"not json"]
 
@@ -64,6 +74,37 @@ QUERIES = [
     "age EXISTS",
     "age DOES NOT EXIST",
     "score EXISTS AND score < 2",
+    # nested paths ('.' errors on missing keys / non-containers)
+    "user.name == 'zoe'",
+    "user.name != 'zoe'",
+    "user.name CONTAINS 'o'",
+    "user.age > 3",
+    "user.age EXISTS",
+    "user.missing EXISTS",
+    "user.zero == 0 OR user.age == 5",
+    "NOT (user.age > 3)",
+    # literal array indexing (OOB -> nil, '[]' on non-array errors)
+    "tags[0] == 'red'",
+    "tags[0] IN ['red', 'solo']",
+    "tags[5] == null",
+    "items[1].price >= 2",
+    "items[0].price == 1",
+    # .length on arrays ('.' on an array only supports length)
+    "tags.length > 1",
+    "tags.length == 0",
+    # LENGTH() on strings and arrays (errors on numbers/nil)
+    "LENGTH(name) == 3",
+    "LENGTH(tags) >= 2",
+    "LENGTH(user.name) == 3",
+    # :param resolves against the document map; absence is an error
+    "name == :expected",
+    "age > :minage",
+    ":minage == 20",
+    "user.age < :minage",
+    # field-vs-field comparisons
+    "price > cost",
+    "price == cost",
+    "user.name == name",
 ]
 
 
@@ -88,15 +129,37 @@ def test_vectorized_matches_per_row_oracle(query, engine_kind, monkeypatch):
 
 
 @pytest.mark.parametrize("query", [
-    "user.name == 'x'",          # nested path
-    "tags[0] == 'red'",          # array index
     "ANY(items, x == 1)",        # quantifier
-    "LENGTH(name) == 3",         # function
-    "name == :param",            # parameter
+    "ALL(tags[*], x == 'red')",  # quantifier over array-star
+    "items[age] == 1",           # non-literal array index
+    "1 == 1",                    # literal-vs-literal
+    "name MATCHES pattern",      # non-literal regex pattern
+    "tags == ['red', 'blue']",   # whole-array equality
 ])
 def test_unsupported_shapes_fall_back(query):
     engine = columnar.ColumnarFilterEngine()
     assert engine.evaluate(query, FakeColumns(METAS)) is None
+
+
+def test_path_terminal_array_falls_back():
+    """A path whose terminal value is an array/object on any row bails to
+    the per-row engine (same rule as array-valued top-level fields)."""
+    engine = columnar.ColumnarFilterEngine()
+    assert engine.evaluate("user == 'scalar'", FakeColumns(METAS)) is None
+    assert engine.evaluate("items[0] == 1", FakeColumns(METAS)) is None
+
+
+def test_path_projection_cached_across_queries():
+    cols = FakeColumns(METAS)
+    engine = columnar.ColumnarFilterEngine()
+    engine.evaluate("user.age > 3", cols)
+    key = (("id", "user"), ("key", "age"))
+    parsed = engine._cols[key]
+    engine.evaluate("user.age < 100", cols)  # same path: no re-projection
+    assert engine._cols[key] is parsed
+    cols.version += 1  # mutation invalidates
+    engine.evaluate("user.age > 3", cols)
+    assert engine._cols[key] is not parsed
 
 
 def test_non_dict_metadata_falls_back():
