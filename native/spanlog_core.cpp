@@ -142,6 +142,53 @@ uint64_t slc_encode_batch(uint64_t n, uint64_t first_seq, uint8_t flags,
     return pos;
 }
 
+// Same record layout as slc_encode_batch, but each stream arrives as its
+// own concatenated buffer (stream_bufs[s] = stream s of every record,
+// back to back).  Lets the ingest path hand the vector stream over as one
+// contiguous (N, row_bytes) array instead of N python-built row slices.
+uint64_t slc_encode_batch_split(uint64_t n, uint64_t first_seq, uint8_t flags,
+                                const uint8_t* ids, const uint32_t* id_lens,
+                                uint32_t nstreams,
+                                const uint8_t* const* stream_bufs,
+                                const uint32_t* stream_lens, uint8_t* out,
+                                uint64_t* offsets_out, uint64_t* lengths_out) {
+    uint64_t pos = 0;
+    uint64_t id_off = 0;
+    std::vector<uint64_t> soff(nstreams, 0);
+    for (uint64_t i = 0; i < n; i++) {
+        uint64_t body_len = 8 + 1 + 2 + id_lens[i] + 1;
+        for (uint32_t s = 0; s < nstreams; s++)
+            body_len += 4 + stream_lens[i * nstreams + s];
+        uint8_t* rec = out + pos;
+        memcpy(rec, REC_MAGIC, 4);
+        put_u32(rec + 4, (uint32_t)body_len);
+        uint8_t* b = rec + 8;
+        put_u64(b, first_seq + i);
+        b += 8;
+        *b++ = flags;
+        put_u16(b, (uint16_t)id_lens[i]);
+        b += 2;
+        memcpy(b, ids + id_off, id_lens[i]);
+        b += id_lens[i];
+        id_off += id_lens[i];
+        *b++ = (uint8_t)nstreams;
+        for (uint32_t s = 0; s < nstreams; s++) {
+            uint32_t sl = stream_lens[i * nstreams + s];
+            put_u32(b, sl);
+            b += 4;
+            memcpy(b, stream_bufs[s] + soff[s], sl);
+            b += sl;
+            soff[s] += sl;
+        }
+        uint32_t crc = crc32_ieee(rec + 8, body_len);
+        put_u32(rec + 8 + body_len, crc);
+        offsets_out[i] = pos;
+        lengths_out[i] = 8 + body_len + 4;
+        pos += lengths_out[i];
+    }
+    return pos;
+}
+
 // ---------------------------------------------------------------------------
 // Recovery scan
 // ---------------------------------------------------------------------------

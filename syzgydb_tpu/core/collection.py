@@ -440,13 +440,9 @@ class Collection:
                 f"dimension count {self.dimension_count}")
         if not (len(doc_ids) == n == len(metadatas)):
             raise ValueError("ids/vectors/metadatas length mismatch")
-        packed = qz.pack_vectors(vectors, self.quantization)
-        codes = qz.codes_to_host_repr(vectors, self.quantization)
-        norms = dist_ops.db_row_stats(codes, self.quantization,
-                                      self.dimension_count)
-        log_entries = [(str(int(doc_ids[i])), [bytes(metadatas[i]),
-                                               packed[i].tobytes()])
-                       for i in range(n)]
+        packed, codes, norms = dist_ops.ingest_reprs(vectors,
+                                                     self.quantization)
+        ids_str = [str(int(i)) for i in doc_ids]
         metas = [bytes(m) for m in metadatas]
         hcodes = None
         if n <= 1024 and self.index.calibrated:
@@ -455,7 +451,7 @@ class Collection:
                                            self.dimension_count)
             hcodes = self.index.encode_np(np.float32(seen))
         with self._lock:
-            self.spanlog.write_many(log_entries)
+            self.spanlog.write_many_columns(ids_str, metas, packed)
             rows = self.columns.put_many(np.asarray(doc_ids, dtype=np.uint64),
                                          vectors, metas, codes=codes,
                                          norms=norms)

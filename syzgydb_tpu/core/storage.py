@@ -218,6 +218,52 @@ class SpanLog:
                 self._garbage += old.length
             self._maybe_compact()
 
+    def write_many_columns(self, rec_ids: list[str], metas: list[bytes],
+                           vec_rows) -> None:
+        """Bulk append with the vector stream as one contiguous (N, B)
+        uint8 array — the ingest hot path.  The native split-stream encoder
+        (slc_encode_batch_split) reads the vector bytes straight out of the
+        array, skipping N per-row tobytes() slices; falls back to
+        write_many when the C library is unavailable."""
+        import numpy as np
+        n = len(rec_ids)
+        try:
+            from ..native import encode_batch_split
+        except Exception:
+            encode_batch_split = None
+        if encode_batch_split is None or n == 0:
+            self.write_many([(rec_ids[i], [metas[i], vec_rows[i].tobytes()])
+                             for i in range(n)])
+            return
+        with self._lock:
+            self._f.seek(0, os.SEEK_END)
+            offset = self._f.tell()
+            stream_lens = np.empty((n, 2), dtype=np.uint32)
+            stream_lens[:, 0] = [len(m) for m in metas]
+            stream_lens[:, 1] = vec_rows.shape[1]
+            native = encode_batch_split(
+                self._max_seq + 1, 0, [r.encode("utf-8") for r in rec_ids],
+                [b"".join(metas), vec_rows], stream_lens)
+            if native is None:  # RLock: safe to re-enter write_many
+                self.write_many(
+                    [(rec_ids[i], [metas[i], vec_rows[i].tobytes()])
+                     for i in range(n)])
+                return
+            buf, offs, lens = native
+            for i, rec_id in enumerate(rec_ids):
+                self._max_seq += 1
+                old = self._index.get(rec_id)
+                if old is not None:
+                    self._garbage += old.length
+                self._index[rec_id] = _Entry(self._max_seq,
+                                             offset + int(offs[i]),
+                                             int(lens[i]), int(lens[i]))
+            self._f.write(buf)
+            self._f.flush()
+            if self.sync:
+                os.fsync(self._f.fileno())
+            self._maybe_compact()
+
     def write_many(self, items: list[tuple[str, list[bytes]]]) -> None:
         """Bulk append: one buffered write + flush for the whole batch.
         Uses the native C++ encoder when available (native/spanlog_core.cpp)."""

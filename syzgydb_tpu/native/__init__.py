@@ -58,6 +58,10 @@ def get_lib():
     lib.slc_encode_batch.argtypes = [
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint8, u8p, u32p,
         ctypes.c_uint32, u8p, u32p, u8p, u64p, u64p]
+    lib.slc_encode_batch_split.restype = ctypes.c_uint64
+    lib.slc_encode_batch_split.argtypes = [
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint8, u8p, u32p,
+        ctypes.c_uint32, ctypes.POINTER(u8p), u32p, u8p, u64p, u64p]
     lib.slc_scan.restype = ctypes.c_uint64
     lib.slc_scan.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint64, u64p,
                              u64p, u64p, u8p, u64p, u32p]
@@ -102,6 +106,52 @@ def encode_batch(first_seq: int, flags: int, rec_ids: list[bytes],
         n, first_seq, flags, _as_u8p(np.ascontiguousarray(ids_cat)),
         id_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), nstreams,
         _as_u8p(np.ascontiguousarray(payload_arr)),
+        stream_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _as_u8p(out),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    assert written == total
+    return out.tobytes(), offsets, lengths
+
+
+def encode_batch_split(first_seq: int, flags: int, rec_ids: list[bytes],
+                       stream_bufs: list, stream_lens: np.ndarray):
+    """Columnar variant of encode_batch: stream s of every record arrives
+    pre-concatenated in stream_bufs[s] (bytes or uint8 ndarray);
+    stream_lens is (n, nstreams) uint32.  The bulk-ingest path hands the
+    vector stream over as one contiguous array — no per-row slicing.
+    -> (buffer bytes, offsets, lengths) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(rec_ids)
+    nstreams = int(stream_lens.shape[1]) if stream_lens.ndim == 2 else 0
+    if n == 0 or nstreams == 0:
+        return b"", np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    ids_cat = np.frombuffer(b"".join(rec_ids), dtype=np.uint8) \
+        if any(rec_ids) else np.zeros(0, np.uint8)
+    id_lens = np.array([len(r) for r in rec_ids], dtype=np.uint32)
+    stream_lens = np.ascontiguousarray(stream_lens, dtype=np.uint32)
+
+    bufs = []
+    for sb in stream_bufs:
+        a = np.frombuffer(sb, dtype=np.uint8) if isinstance(
+            sb, (bytes, bytearray, memoryview)) else \
+            np.ascontiguousarray(sb, dtype=np.uint8).reshape(-1)
+        bufs.append(a if a.size else np.zeros(1, np.uint8))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    buf_ptrs = (u8p * nstreams)(*[_as_u8p(b) for b in bufs])
+
+    total = lib.slc_encoded_size(
+        n, id_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), nstreams,
+        stream_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    out = np.empty(int(total), dtype=np.uint8)
+    offsets = np.empty(n, dtype=np.uint64)
+    lengths = np.empty(n, dtype=np.uint64)
+    written = lib.slc_encode_batch_split(
+        n, first_seq, flags, _as_u8p(np.ascontiguousarray(ids_cat)),
+        id_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), nstreams,
+        buf_ptrs,
         stream_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         _as_u8p(out),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),

@@ -107,3 +107,23 @@ def test_device_repr_affine_decode(bits, rng):
 def test_invalid_bits_rejected():
     with pytest.raises(ValueError):
         qz.quantize_np(np.zeros(3), 12)
+
+
+@pytest.mark.parametrize("bits", [4, 8, 16, 32, 64])
+@pytest.mark.parametrize("dims", [16, 17])  # odd dims: 4-bit pad nibble
+def test_ingest_reprs_parity(bits, dims, rng):
+    """The fused ingest transform must be BIT-identical to the unfused
+    pack_vectors + codes_to_host_repr + db_row_stats calls at every width
+    (the norms feed the provable-exactness margins; the packed bytes are
+    the golden storage format)."""
+    from syzgydb_tpu.ops import distance as dist_ops
+    vecs = rng.uniform(-1.3, 1.3, size=(257, dims))  # incl. clamped values
+    vecs[0, :] = 0.0
+    vecs[1, 0] = 1.0 if bits != 64 else 3.5
+    packed, host, norms = dist_ops.ingest_reprs(vecs, bits)
+    np.testing.assert_array_equal(packed, qz.pack_vectors(vecs, bits))
+    want_host = qz.codes_to_host_repr(vecs, bits)
+    assert host.dtype == want_host.dtype
+    np.testing.assert_array_equal(host, want_host)
+    np.testing.assert_array_equal(
+        norms, dist_ops.db_row_stats(want_host, bits, dims))
