@@ -366,10 +366,16 @@ class Collection:
             metas.append(bytes(streams[0]))
             blobs.append(np.frombuffer(streams[1], dtype=np.uint8))
         if ids:
-            vectors = qz.unpack_vectors(np.stack(blobs), self.dimension_count,
-                                        self.quantization)
-            self.columns.put_many(np.asarray(ids, dtype=np.uint64), vectors,
-                                  metas)
+            # storage bytes -> host codes directly (byte-level transform;
+            # the old unpack->requantize f64 round trip made reopen 2.3x
+            # slower than the initial load)
+            codes = qz.packed_to_host_repr(np.stack(blobs),
+                                           self.dimension_count,
+                                           self.quantization)
+            norms = dist_ops.db_row_stats(codes, self.quantization,
+                                          self.dimension_count)
+            self.columns.put_many(np.asarray(ids, dtype=np.uint64), None,
+                                  metas, codes=codes, norms=norms)
         self._rebuild_index()
 
     def _rebuild_index(self) -> None:

@@ -127,3 +127,19 @@ def test_ingest_reprs_parity(bits, dims, rng):
     np.testing.assert_array_equal(host, want_host)
     np.testing.assert_array_equal(
         norms, dist_ops.db_row_stats(want_host, bits, dims))
+
+
+@pytest.mark.parametrize("bits", [4, 8, 16, 32, 64])
+@pytest.mark.parametrize("dims", [16, 17])
+def test_packed_to_host_repr_parity(bits, dims, rng):
+    """The replay path's direct bytes->codes transform must be bit-identical
+    to the old unpack (f64 dequant) -> codes_to_host_repr (requantize)
+    round trip."""
+    vecs = rng.uniform(-1.3, 1.3, size=(65, dims))
+    vecs[0, :] = 0.0
+    packed = qz.pack_vectors(vecs, bits)
+    got = qz.packed_to_host_repr(packed, dims, bits)
+    want = qz.codes_to_host_repr(
+        qz.unpack_vectors(packed, dims, bits), bits)
+    assert got.dtype == want.dtype and got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
