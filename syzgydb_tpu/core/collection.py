@@ -358,18 +358,24 @@ class Collection:
     def _replay(self) -> None:
         """Rebuild columnar store + index from the span log (stack 3.1 analog:
         collection.go:297-311 — the index is derived data, never persisted)."""
-        ids, blobs, metas = [], [], []
-        for rec_id, streams in self.spanlog.iterate():
-            if rec_id == "":
-                continue
-            ids.append(int(rec_id))
-            metas.append(bytes(streams[0]))
-            blobs.append(np.frombuffer(streams[1], dtype=np.uint8))
+        bulk = self.spanlog.bulk_rows()
+        if bulk is not None:
+            rec_ids, metas, packed = bulk
+            ids = [int(r) for r in rec_ids]
+        else:  # mixed record shapes: per-record decode
+            ids, blobs, metas = [], [], []
+            for rec_id, streams in self.spanlog.iterate():
+                if rec_id == "":
+                    continue
+                ids.append(int(rec_id))
+                metas.append(bytes(streams[0]))
+                blobs.append(np.frombuffer(streams[1], dtype=np.uint8))
+            packed = np.stack(blobs) if ids else None
         if ids:
             # storage bytes -> host codes directly (byte-level transform;
             # the old unpack->requantize f64 round trip made reopen 2.3x
             # slower than the initial load)
-            codes = qz.packed_to_host_repr(np.stack(blobs),
+            codes = qz.packed_to_host_repr(packed,
                                            self.dimension_count,
                                            self.quantization)
             norms = dist_ops.db_row_stats(codes, self.quantization,

@@ -353,6 +353,57 @@ class SpanLog:
             self._f.seek(0, os.SEEK_END)
             return self._f.tell(), self.record_count()
 
+    def bulk_rows(self):
+        """All live two-stream records decoded in one vectorized pass:
+        (rec_ids, stream0 list[bytes], stream1 (N, B) uint8 matrix) in
+        iterate() order, skipping the options record "".
+
+        The reopen-replay fast path: stream spans are computed with numpy
+        byte gathers over the file image (the record layout is fixed:
+        8B header, u64 seq, u8 flags, u16 id_len, id, u8 nstreams,
+        (u32 len + bytes)*), so the ~7s/500k per-record python decode loop
+        becomes a handful of array ops.  Returns None when the records
+        don't have the uniform shape (mixed stream counts or stream-1
+        widths) — callers fall back to iterate()."""
+        import numpy as np
+        with self._lock:
+            entries = [(rid, e) for rid, e in self._index.items()
+                       if rid != ""]
+            if not entries:
+                return [], [], None
+            self._f.seek(0)
+            image = self._f.read()
+        arr = np.frombuffer(image, np.uint8)
+        offs = np.array([e.offset for _, e in entries], np.int64)
+
+        def u32(at):
+            return (arr[at].astype(np.int64)
+                    | arr[at + 1].astype(np.int64) << 8
+                    | arr[at + 2].astype(np.int64) << 16
+                    | arr[at + 3].astype(np.int64) << 24)
+
+        idl = arr[offs + 17].astype(np.int64) \
+            | arr[offs + 18].astype(np.int64) << 8
+        if not (arr[offs + 19 + idl] == 2).all():
+            return None  # nstreams != 2 somewhere
+        p0 = offs + 20 + idl
+        mlen = u32(p0)
+        moff = p0 + 4
+        vlen = u32(moff + mlen)
+        voff = moff + mlen + 4
+        if not (vlen == vlen[0]).all():
+            return None
+        width = int(vlen[0])
+        n = len(entries)
+        vec = np.empty((n, width), np.uint8)
+        cols = np.arange(width, dtype=np.int64)
+        step = 16384
+        for s in range(0, n, step):
+            vec[s:s + step] = arr[voff[s:s + step, None] + cols]
+        metas = [image[o:o + l]
+                 for o, l in zip(moff.tolist(), mlen.tolist())]
+        return [rid for rid, _ in entries], metas, vec
+
     def iterate(self, sorted_ids: bool = False) -> Iterator[tuple[str, list[bytes]]]:
         """Yield (id, streams) for live records.
 

@@ -71,6 +71,21 @@ def distance_np(a: np.ndarray, b: np.ndarray, metric: Metric) -> np.ndarray:
 # Device (jnp) — batched scoring over the packed representation
 # ---------------------------------------------------------------------------
 
+_SQ_TABLES: dict[int, np.ndarray] = {}
+
+
+def _sq_table(bits: int) -> np.ndarray:
+    """dequantize(code)^2 for every code value — f64, computed with the
+    exact reference dequant chain so a table gather + sum is bit-identical
+    to the dequant + square + sum it replaces."""
+    tab = _SQ_TABLES.get(bits)
+    if tab is None:
+        codes = np.arange(1 << bits, dtype=np.uint64)
+        v = qz.dequantize_np(codes, bits)
+        tab = _SQ_TABLES[bits] = v * v
+    return tab
+
+
 def db_row_stats(device_codes: np.ndarray, bits: int,
                  dims: int | None = None) -> np.ndarray:
     """Per-row squared norm of the *dequantized* vectors, f32 (N,).
@@ -78,14 +93,27 @@ def db_row_stats(device_codes: np.ndarray, bits: int,
     Computed host-side once per ingested batch; uploaded alongside the codes.
     Chunked to keep the working set small (see quantize._CHUNK_ROWS).
     `dims` is required for 4-bit (packed device codes).
-    """
+
+    8/16-bit ride a squared-value lookup table (one gather + one sum
+    instead of the ~6-temporary dequant chain; same f64 values and
+    summation order, so the output is bit-identical — the reopen/ingest
+    hot path at config5 scale)."""
     device_codes = np.atleast_2d(device_codes)
     n = device_codes.shape[0]
     out = np.empty((n,), dtype=np.float32)
     step = qz._CHUNK_ROWS
+    if bits == 8:
+        tab, idx = _sq_table(8), device_codes.view(np.uint8) ^ 0x80
+    elif bits == 16:
+        tab, idx = _sq_table(16), device_codes.view(np.uint16) ^ 0x8000
+    else:
+        tab = idx = None
     for s in range(0, n, step):
-        v = qz.device_repr_to_float(device_codes[s:s + step], bits, dims)
-        out[s:s + step] = np.sum(v * v, axis=-1)
+        if tab is not None:
+            out[s:s + step] = np.sum(tab[idx[s:s + step]], axis=-1)
+        else:
+            v = qz.device_repr_to_float(device_codes[s:s + step], bits, dims)
+            out[s:s + step] = np.sum(v * v, axis=-1)
     return out
 
 

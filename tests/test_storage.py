@@ -316,3 +316,42 @@ def test_write_many_columns_python_fallback(tmp_path, monkeypatch):
     for i in range(n):
         assert s.read(ids[i])[1] == rows[i].tobytes()
     s.close()
+
+
+def test_bulk_rows_matches_iterate(tmp_path):
+    """The vectorized reopen fast path must agree record-for-record with
+    iterate() after interleaved writes/updates/removes, and skip ''."""
+    s = SpanLog(str(tmp_path / "bulk.dat"))
+    s.write("", [b'{"options": 1}'])  # options record: excluded
+    rng = np.random.default_rng(3)
+    for i in range(200):
+        s.write(str(i), [f'{{"i":{i}}}'.encode(),
+                         rng.integers(0, 256, 24).astype(np.uint8).tobytes()])
+    for i in range(0, 200, 7):
+        s.remove(str(i))
+    for i in range(1, 200, 11):  # supersede with new vector bytes
+        s.write(str(i), [b"", rng.integers(0, 256, 24).astype(
+            np.uint8).tobytes()])
+    got = s.bulk_rows()
+    assert got is not None
+    ids, metas, vec = got
+    want = {rid: streams for rid, streams in s.iterate() if rid != ""}
+    assert set(ids) == set(want) and len(ids) == len(want)
+    for j, rid in enumerate(ids):
+        assert metas[j] == want[rid][0], rid
+        assert vec[j].tobytes() == want[rid][1], rid
+    s.close()
+
+
+def test_bulk_rows_mixed_shapes_fall_back(tmp_path):
+    s = SpanLog(str(tmp_path / "mixed.dat"))
+    s.write("1", [b"{}", b"abcd"])
+    s.write("2", [b"{}", b"abcdefgh"])  # different stream-1 width
+    assert s.bulk_rows() is None
+    s.write("2", [b"{}", b"wxyz"])  # now uniform again
+    ids, metas, vec = s.bulk_rows()
+    assert sorted(ids) == ["1", "2"] and vec.shape == (2, 4)
+    s2 = SpanLog(str(tmp_path / "three.dat"))
+    s2.write("1", [b"{}", b"abcd", b"extra"])  # 3 streams
+    assert s2.bulk_rows() is None
+    s.close(); s2.close()
