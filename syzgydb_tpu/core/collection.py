@@ -413,10 +413,9 @@ class Collection:
                 f"dimension count {self.dimension_count}")
         # host prep (quantize/pack/sketch) is pure — keep it OFF the lock
         # so concurrent searches dispatch during ingest preprocessing
-        packed = qz.pack_vector(vector, self.quantization)
-        codes = qz.codes_to_host_repr(vector, self.quantization)
-        norms = dist_ops.db_row_stats(codes, self.quantization,
-                                      self.dimension_count)
+        packed_rows, codes, norms = dist_ops.ingest_reprs(
+            vector, self.quantization)
+        packed = packed_rows[0].tobytes()
         hcode = None
         if self.index.calibrated:  # planes are immutable once calibrated
             seen = qz.device_repr_to_float(codes, self.quantization,
