@@ -1529,6 +1529,37 @@ class Collection:
     def get_all_ids(self) -> list[int]:
         return sorted(self.columns.doc_ids())
 
+    def iter_export_rows(self, chunk: int = 8192, raw: bool = False):
+        """Yield (ids, vectors, metadatas) in ascending-id order for JSON
+        export — the bulk span decode + vectorized dequant path (the
+        per-record get_document loop exported 2.6k docs/s).  Values are
+        identical to get_document's (same storage bytes, same dequant).
+        With raw=True, yields the (m, B) uint8 storage rows instead of f64
+        vectors (tools/dump.py turns discrete-alphabet codes into
+        pre-rendered text).  Falls back to per-record reads for mixed
+        logs."""
+        bulk = self.spanlog.bulk_rows()
+        if bulk is None:  # mixed record shapes
+            for doc_id in self.get_all_ids():
+                doc = self.get_document(doc_id)
+                if raw:
+                    row = np.frombuffer(self.spanlog.read(str(doc_id))[1],
+                                        dtype=np.uint8)
+                    yield [doc.id], row[None], [doc.metadata]
+                else:
+                    yield [doc.id], doc.vector[None], [doc.metadata]
+            return
+        rec_ids, metas, packed = bulk
+        if not rec_ids:
+            return
+        ids = np.array([int(r) for r in rec_ids], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        for s in range(0, len(order), chunk):
+            sel = order[s:s + chunk]
+            rows = packed[sel] if raw else qz.unpack_vectors(
+                packed[sel], self.dimension_count, self.quantization)
+            yield ids[sel].tolist(), rows, [metas[i] for i in sel.tolist()]
+
     def compute_average_distance(self, samples: int = 100) -> float:
         with self._lock:
             return self._compute_average_distance_locked(samples)

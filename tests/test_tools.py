@@ -98,3 +98,37 @@ def test_cli_dump_export_import(tmp_path, rng, capsys):
     c2 = Collection(CollectionOptions(name=dst, dimension_count=3))
     assert c2.get_document_count() == 1
     c2.close()
+
+
+@pytest.mark.parametrize("quant", [4, 8, 16])
+def test_export_code_table_text_identical(tmp_path, rng, quant):
+    """The code-table fast serializer must emit byte-identical JSON to the
+    per-value json.dumps path (same dequant values, same list format)."""
+    import numpy as np
+    from syzgydb_tpu import Collection, CollectionOptions
+    d = 7  # odd: exercises the 4-bit pad-nibble drop
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / f"ct{quant}.dat"), dimension_count=d,
+        quantization=quant, create_and_overwrite=True, index_seed=2))
+    vecs = rng.uniform(-1.2, 1.2, size=(40, d))
+    c.add_documents(list(range(40)), vecs,
+                    [b'{"k": 1}'] * 39 + [b""])
+    fast = io.StringIO()
+    export_json(c, fast)
+    # oracle: the original per-record loop
+    slow = io.StringIO()
+    opts = c.options
+    slow.write("{\n  \"collection\": ")
+    json.dump(json.loads(opts.to_json()), slow, indent=2)
+    slow.write(",\n  \"records\": [")
+    first = True
+    for doc_id in c.get_all_ids():
+        doc = c.get_document(doc_id)
+        slow.write("," if not first else "")
+        first = False
+        slow.write("\n    {\"id\": %d, \"vector\": %s, \"metadata\": %s}" % (
+            doc.id, json.dumps([float(v) for v in doc.vector]),
+            doc.metadata.decode() if doc.metadata else "null"))
+    slow.write("\n  ]\n}\n")
+    assert fast.getvalue() == slow.getvalue()
+    c.close()
