@@ -187,6 +187,31 @@ def test_filtered_search(server):
     assert code == 400
 
 
+def test_filtered_search_path_expressions(server):
+    """Nested paths, array indexing, .length, LENGTH(), :param, and
+    field-vs-field filters through the full REST stack (the r4 columnar
+    path-expression widening)."""
+    make_coll(server, dims=4)
+    recs = [{"id": i, "vector": [i / 20, 0.1, 0.1, 0.1],
+             "metadata": {"user": {"age": i * 10}, "tags": ["t"] * (i % 3),
+                          "minage": 25, "price": i, "cost": 5}}
+            for i in range(10)]
+    req(server, "POST", "/api/v1/collections/test/records", recs)
+    for flt, want in [
+        ("user.age > 50", {6, 7, 8, 9}),
+        ("user.age > :minage", {3, 4, 5, 6, 7, 8, 9}),
+        ("tags.length == 2", {2, 5, 8}),
+        ("tags[0] == 't'", {1, 2, 4, 5, 7, 8}),
+        ("LENGTH(tags) == 0", {0, 3, 6, 9}),
+        ("price > cost", {6, 7, 8, 9}),
+    ]:
+        code, res = req(server, "POST", "/api/v1/collections/test/search",
+                        {"vector": [0.0, 0.1, 0.1, 0.1], "k": 20,
+                         "filter": flt, "precision": "exact"})
+        assert code == 200, flt
+        assert {r["id"] for r in res["results"]} == want, flt
+
+
 def test_pagination_list_mode(server):
     """limit/offset matrix over the ID-ordered listing (rest_test.go:140-148)."""
     make_coll(server, dims=4)
