@@ -1541,18 +1541,23 @@ class Collection:
         bulk = self.spanlog.bulk_rows()
         if bulk is None:  # mixed record shapes
             for doc_id in self.get_all_ids():
-                doc = self.get_document(doc_id)
+                try:
+                    streams = self.spanlog.read(str(int(doc_id)))
+                except KeyError:
+                    continue  # removed concurrently
                 if raw:
-                    row = np.frombuffer(self.spanlog.read(str(doc_id))[1],
-                                        dtype=np.uint8)
-                    yield [doc.id], row[None], [doc.metadata]
+                    row = np.frombuffer(streams[1], dtype=np.uint8)[None]
                 else:
-                    yield [doc.id], doc.vector[None], [doc.metadata]
+                    row = qz.unpack_vector(streams[1], self.dimension_count,
+                                           self.quantization)[None]
+                yield [int(doc_id)], row, [bytes(streams[0])]
             return
         rec_ids, metas, packed = bulk
         if not rec_ids:
             return
-        ids = np.array([int(r) for r in rec_ids], dtype=np.int64)
+        # uint64: doc ids span the full unsigned range (int64 overflowed
+        # on ids >= 2**63 — review finding)
+        ids = np.array([int(r) for r in rec_ids], dtype=np.uint64)
         order = np.argsort(ids, kind="stable")
         for s in range(0, len(order), chunk):
             sel = order[s:s + chunk]

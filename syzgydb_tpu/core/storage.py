@@ -227,13 +227,17 @@ class SpanLog:
         write_many when the C library is unavailable."""
         import numpy as np
         n = len(rec_ids)
+
+        def fallback_items():
+            return [(rec_ids[i], [metas[i], vec_rows[i].tobytes()])
+                    for i in range(n)]
+
         try:
             from ..native import encode_batch_split
         except Exception:
             encode_batch_split = None
         if encode_batch_split is None or n == 0:
-            self.write_many([(rec_ids[i], [metas[i], vec_rows[i].tobytes()])
-                             for i in range(n)])
+            self.write_many(fallback_items())
             return
         with self._lock:
             self._f.seek(0, os.SEEK_END)
@@ -241,13 +245,13 @@ class SpanLog:
             stream_lens = np.empty((n, 2), dtype=np.uint32)
             stream_lens[:, 0] = [len(m) for m in metas]
             stream_lens[:, 1] = vec_rows.shape[1]
+            # the encode bakes in seq numbers, so it must run under the
+            # lock alongside the index update
             native = encode_batch_split(
                 self._max_seq + 1, 0, [r.encode("utf-8") for r in rec_ids],
                 [b"".join(metas), vec_rows], stream_lens)
             if native is None:  # RLock: safe to re-enter write_many
-                self.write_many(
-                    [(rec_ids[i], [metas[i], vec_rows[i].tobytes()])
-                     for i in range(n)])
+                self.write_many(fallback_items())
                 return
             buf, offs, lens = native
             for i, rec_id in enumerate(rec_ids):

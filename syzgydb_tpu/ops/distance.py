@@ -103,14 +103,16 @@ def db_row_stats(device_codes: np.ndarray, bits: int,
     out = np.empty((n,), dtype=np.float32)
     step = qz._CHUNK_ROWS
     if bits == 8:
-        tab, idx = _sq_table(8), device_codes.view(np.uint8) ^ 0x80
+        tab, raw, flip = _sq_table(8), device_codes.view(np.uint8), 0x80
     elif bits == 16:
-        tab, idx = _sq_table(16), device_codes.view(np.uint16) ^ 0x8000
+        tab, raw, flip = _sq_table(16), device_codes.view(np.uint16), 0x8000
     else:
-        tab = idx = None
+        tab = raw = flip = None
     for s in range(0, n, step):
         if tab is not None:
-            out[s:s + step] = np.sum(tab[idx[s:s + step]], axis=-1)
+            # XOR per chunk: a whole-matrix index temporary would defeat
+            # the chunking (review finding)
+            out[s:s + step] = np.sum(tab[raw[s:s + step] ^ flip], axis=-1)
         else:
             v = qz.device_repr_to_float(device_codes[s:s + step], bits, dims)
             out[s:s + step] = np.sum(v * v, axis=-1)

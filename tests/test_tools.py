@@ -132,3 +132,19 @@ def test_export_code_table_text_identical(tmp_path, rng, quant):
     slow.write("\n  ]\n}\n")
     assert fast.getvalue() == slow.getvalue()
     c.close()
+
+
+def test_export_uint64_ids(tmp_path, rng):
+    """Doc ids above 2**63 must export (review finding: the bulk path's
+    int64 id array overflowed where the old per-record loop worked)."""
+    from syzgydb_tpu import Collection, CollectionOptions
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "big.dat"), dimension_count=4, quantization=8,
+        create_and_overwrite=True, index_seed=1))
+    big = 2**63 + 5
+    c.add_documents([1, big], rng.uniform(-1, 1, (2, 4)), [b"{}"] * 2)
+    buf = io.StringIO()
+    export_json(c, buf)
+    recs = json.loads(buf.getvalue())["records"]
+    assert {r["id"] for r in recs} == {1, big}
+    c.close()
