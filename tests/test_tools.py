@@ -148,3 +148,43 @@ def test_export_uint64_ids(tmp_path, rng):
     recs = json.loads(buf.getvalue())["records"]
     assert {r["id"] for r in recs} == {1, big}
     c.close()
+
+
+def test_export_during_concurrent_mutations(tmp_path, rng):
+    """export_json's bulk snapshot (spanlog image + index under the lock)
+    must produce a parseable, internally consistent export while writer
+    threads churn the collection."""
+    import threading
+    from syzgydb_tpu import Collection, CollectionOptions
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "concur.dat"), dimension_count=8,
+        quantization=8, create_and_overwrite=True, index_seed=4))
+    c.add_documents(list(range(200)), rng.uniform(-1, 1, (200, 8)),
+                    [b'{"v": 0}'] * 200)
+    stop = threading.Event()
+
+    def mutator():
+        i = 200
+        r = np.random.default_rng(1)
+        while not stop.is_set():
+            c.add_documents([i], r.uniform(-1, 1, (1, 8)), [b'{"v": 1}'])
+            c.remove_document(i - 200)
+            i += 1
+
+    th = threading.Thread(target=mutator)
+    th.start()
+    try:
+        for _ in range(5):
+            buf = io.StringIO()
+            export_json(c, buf)
+            data = json.loads(buf.getvalue())  # parseable
+            recs = data["records"]
+            assert len(recs) >= 190  # ~200 live at any snapshot
+            ids = [r["id"] for r in recs]
+            assert ids == sorted(ids) and len(set(ids)) == len(ids)
+            for r in recs[:5]:
+                assert len(r["vector"]) == 8
+    finally:
+        stop.set()
+        th.join()
+    c.close()
