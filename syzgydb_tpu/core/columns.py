@@ -116,20 +116,35 @@ class ColumnStore:
         `codes`/`norms` accept the precomputed host representation
         (Collection.add_documents quantizes outside its lock)."""
         n = len(doc_ids)
-        rows = np.empty(n, dtype=np.int64)
-        for i, doc_id in enumerate(doc_ids):
-            doc_id = int(doc_id)
-            row = self._row_of.get(doc_id)
-            if row is None:
-                if self._free:
-                    row = self._free.pop()
-                else:
-                    if self.size >= self.capacity:
-                        self._grow(self.size + max(1, n - i))
-                    row = self.size
-                    self.size += 1
-                self._row_of[doc_id] = row
-            rows[i] = row
+        rows = None
+        if not self._row_of and not self._free:
+            # fresh store (reopen replay / first bulk load): build the
+            # id->row mapping in one C pass — the per-row dict loop was
+            # ~18s of a 10M reopen.  Falls back when the batch contains
+            # duplicate ids (the loop's later-wins row reuse applies).
+            mapping = dict(zip(map(int, doc_ids),
+                               range(self.size, self.size + n)))
+            if len(mapping) == n:
+                if self.size + n > self.capacity:
+                    self._grow(self.size + n)
+                rows = np.arange(self.size, self.size + n, dtype=np.int64)
+                self._row_of.update(mapping)
+                self.size += n
+        if rows is None:
+            rows = np.empty(n, dtype=np.int64)
+            for i, doc_id in enumerate(doc_ids):
+                doc_id = int(doc_id)
+                row = self._row_of.get(doc_id)
+                if row is None:
+                    if self._free:
+                        row = self._free.pop()
+                    else:
+                        if self.size >= self.capacity:
+                            self._grow(self.size + max(1, n - i))
+                        row = self.size
+                        self.size += 1
+                    self._row_of[doc_id] = row
+                rows[i] = row
         dev = codes if codes is not None else \
             qz.codes_to_host_repr(vectors, self.quantization)
         self.codes[rows] = dev

@@ -462,3 +462,22 @@ def test_precision_high_matches_exact(tmp_path, rng, monkeypatch):
         ex = c.search(SearchArgs(vector=v, k=4, precision="exact"))
         assert [r.id for r in b.results] == [r.id for r in ex.results]
     c.close()
+
+
+def test_put_many_duplicate_ids_fresh_store(tmp_path, rng):
+    """A fresh-store bulk insert containing duplicate ids must keep the
+    per-row later-wins semantics (the bulk id->row fast path falls back)."""
+    from syzgydb_tpu import Collection, CollectionOptions, SearchArgs
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "dup.dat"), dimension_count=4, quantization=8,
+        create_and_overwrite=True, index_seed=1))
+    vecs = rng.uniform(-1, 1, (4, 4))
+    c.add_documents([7, 8, 7, 9], vecs,
+                    [b'{"v": 0}', b'{"v": 1}', b'{"v": 2}', b'{"v": 3}'])
+    assert c.get_document_count() == 3
+    doc = c.get_document(7)
+    assert doc.metadata == b'{"v": 2}'  # later duplicate wins
+    import numpy as np
+    np.testing.assert_allclose(doc.vector, np.clip(vecs[2], -1, 1),
+                               atol=1 / 127)
+    c.close()
