@@ -375,9 +375,8 @@ class Collection:
             # storage bytes -> host codes directly (byte-level transform;
             # the old unpack->requantize f64 round trip made reopen 2.3x
             # slower than the initial load)
-            codes = qz.packed_to_host_repr(packed,
-                                           self.dimension_count,
-                                           self.quantization)
+            codes = qz.packed_to_host_repr(packed, self.dimension_count,
+                                           self.quantization, consume=True)
             norms = dist_ops.db_row_stats(codes, self.quantization,
                                           self.dimension_count)
             self.columns.put_many(np.asarray(ids, dtype=np.uint64), None,

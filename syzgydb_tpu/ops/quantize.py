@@ -153,8 +153,8 @@ def unpack_vector(data: bytes, dims: int, bits: int) -> np.ndarray:
     return dequantize_np(codes, bits)
 
 
-def packed_to_host_repr(packed: np.ndarray, dims: int, bits: int
-                        ) -> np.ndarray:
+def packed_to_host_repr(packed: np.ndarray, dims: int, bits: int,
+                        consume: bool = False) -> np.ndarray:
     """Storage bytes (N, vector_byte_size) -> host column codes, directly.
 
     The packed bytes already ARE the quantized codes (big-endian / nibble
@@ -163,14 +163,22 @@ def packed_to_host_repr(packed: np.ndarray, dims: int, bits: int
     2.3x slower than the initial load because of that round trip).  Output
     is bit-identical to codes_to_host_repr(unpack_vectors(packed)) — the
     reference dequant/quantize pair is the identity on in-range codes;
-    pinned by tests/test_quantize.py::test_packed_to_host_repr_parity."""
+    pinned by tests/test_quantize.py::test_packed_to_host_repr_parity.
+
+    consume=True lets 4/8-bit transform the input array in place (the
+    caller hands over ownership) — at 10M x 384 the fresh copy is a 3.8 GB
+    allocation whose first-touch page faults dominate on this host."""
     _check_bits(bits)
     packed = np.atleast_2d(np.asarray(packed, dtype=np.uint8))
     n = packed.shape[0]
     if bits == 4:
-        return packed.copy()  # packed nibbles ARE the device repr
+        # packed nibbles ARE the device repr
+        return packed if consume else packed.copy()
     if bits == 8:
         # unsigned code - 128 == flip the top bit, reread signed
+        if consume:
+            packed ^= 0x80
+            return packed.view(np.int8)
         return (packed ^ 0x80).view(np.int8)
     if bits == 16:
         q = packed.view(">u2").astype(np.uint16)

@@ -143,3 +143,15 @@ def test_packed_to_host_repr_parity(bits, dims, rng):
         qz.unpack_vectors(packed, dims, bits), bits)
     assert got.dtype == want.dtype and got.shape == want.shape
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_packed_to_host_repr_consume(bits, rng):
+    """consume=True (replay hands over ownership) must give the same codes
+    as the copying path."""
+    vecs = rng.uniform(-1.2, 1.2, size=(33, 16))
+    packed = qz.pack_vectors(vecs, bits)
+    want = qz.packed_to_host_repr(packed.copy(), 16, bits)
+    got = qz.packed_to_host_repr(packed, 16, bits, consume=True)
+    np.testing.assert_array_equal(got, want)
+    assert got.base is packed or got is packed  # in place, no fresh copy
