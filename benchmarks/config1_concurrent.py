@@ -61,18 +61,21 @@ def main():
             # server speaks HTTP/1.1): real clients reuse connections, and
             # per-request TCP+thread setup would otherwise dominate the
             # single shared core
-            conn = getattr(local, "conn", None)
-            if conn is None:
-                conn = local.conn = http.client.HTTPConnection(
-                    "127.0.0.1", port)
-            t0 = time.perf_counter()
-            try:
-                conn.request("POST", path, body=bodies[i],
-                             headers={"Content-Type": "application/json"})
-                out = json.loads(conn.getresponse().read())
-            except (http.client.HTTPException, OSError):
-                local.conn = None  # stale keep-alive: retry on a fresh one
-                return one(i)
+            for attempt in range(3):  # bounded: a dead server must fail,
+                conn = getattr(local, "conn", None)  # not recurse forever
+                if conn is None:
+                    conn = local.conn = http.client.HTTPConnection(
+                        "127.0.0.1", port)
+                t0 = time.perf_counter()
+                try:
+                    conn.request("POST", path, body=bodies[i],
+                                 headers={"Content-Type": "application/json"})
+                    out = json.loads(conn.getresponse().read())
+                    break
+                except (http.client.HTTPException, OSError):
+                    local.conn = None  # stale keep-alive: fresh connection
+                    if attempt == 2:
+                        raise
             assert len(out["results"]) == k
             return (time.perf_counter() - t0) * 1000.0
 

@@ -964,10 +964,27 @@ class Collection:
         d, r = dist_ops.top_k_smallest(dists, kk)
         return d, r, None, 0, 0
 
-    def _knn_many(self, qvecs: np.ndarray, args: SearchArgs,
-                  n_records: int,
-                  n_real: Optional[int] = None) -> list[SearchResults]:
-        return self._knn_many_async(qvecs, args, n_records, n_real)()
+    def _leased_finish(self, fin: Callable) -> Callable:
+        """Hold a column-store snapshot lease across a deferred result
+        assembly (review finding, r4): between the locked dispatch and the
+        lock-free fetch, a remove+add pair could recycle a free-list row,
+        making finish() pair the NEW document's id/metadata with the OLD
+        document's distance — a result matching no snapshot.  The lease
+        quarantines rows freed while any fetch is in flight (removes still
+        apply immediately; assemblies see old-or-removed, never torn).
+        Caller must hold self._lock."""
+        self.columns.begin_lease()
+        done = [False]
+
+        def finish_leased():
+            try:
+                return fin()
+            finally:
+                with self._lock:
+                    if not done[0]:
+                        done[0] = True
+                        self.columns.end_lease()
+        return finish_leased
 
     def _knn_many_async(self, qvecs: np.ndarray, args: SearchArgs,
                         n_records: int, n_real: Optional[int] = None
@@ -1041,7 +1058,7 @@ class Collection:
                     return self._knn_results_np(dist_np, rows_np, k,
                                                 searched, n_records, cnt)
 
-            return finish_ann
+            return self._leased_finish(finish_ann)
 
         # exhaustive device scan (mode (b), and large-N medium w/o index)
         searched = n_passing
@@ -1067,7 +1084,7 @@ class Collection:
                     return self._knn_results_np(dist_np, rows_np, k,
                                                 searched, n_records)
 
-            return finish_plain
+            return self._leased_finish(finish_plain)
 
         def finish_escalate() -> list[SearchResults]:
             d, r, t = dist, rows, ties
@@ -1101,7 +1118,7 @@ class Collection:
                 return self._knn_results_np(dist_np, rows_np, k, searched,
                                             n_records)
 
-        return finish_escalate
+        return self._leased_finish(finish_escalate)
 
     # A starting-margin failure is "structural" when at least this
     # fraction of the batch's REAL queries tripped the flag (pads are

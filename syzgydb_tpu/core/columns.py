@@ -35,6 +35,8 @@ class ColumnStore:
         self.version = 0
         self._row_of: dict[int, int] = {}  # doc id -> row
         self._free: list[int] = []
+        self._free_pending: list[int] = []  # freed under an active lease
+        self._leases = 0
         # host_dtype, not device_dtype: 64-bit columns stay f64 host-side
         # so exact searches can rerank in full reference precision; the
         # device upload downcasts to f32 (Collection._device_state)
@@ -170,9 +172,28 @@ class ColumnStore:
         row = self._row_of.pop(doc_id)
         self.valid[row] = False
         self.metadata[row] = None
-        self._free.append(row)
+        # while a search snapshot lease is active the row is quarantined:
+        # an in-flight result assembly (dispatch/fetch lock split,
+        # Collection.search_many_async) may still map device indices to
+        # this row, and reusing it for a new document would pair that
+        # document's id/metadata with the old document's distance
+        (self._free_pending if self._leases else self._free).append(row)
         self._dirty_rows.add(row)
         self.version += 1
+
+    # -- snapshot leases -----------------------------------------------------
+    # Callers that assemble results AFTER releasing the collection lock hold
+    # a lease across the device round trip; rows freed meanwhile only become
+    # reusable once the last lease ends.  Guarded by the collection lock.
+
+    def begin_lease(self) -> None:
+        self._leases += 1
+
+    def end_lease(self) -> None:
+        self._leases -= 1
+        if self._leases == 0 and self._free_pending:
+            self._free.extend(self._free_pending)
+            self._free_pending.clear()
 
     # -- access ------------------------------------------------------------
 

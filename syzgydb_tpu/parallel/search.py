@@ -135,18 +135,17 @@ _SEG_MARGIN = DEFAULT_SEG_MARGIN  # back-compat alias
 
 def default_mesh_seg_margin(has_ilv: bool, n_queries: int,
                             exact: bool) -> int:
-    """Starting tie margin for the mesh path, derived from the surface the
-    dispatch will ACTUALLY use (Collection must mirror sharded_exact_topk's
-    choice or margins drift and structurally escalate — the single-chip
-    lesson, CLAUDE.md r3.7).  Both mesh surfaces store f32 minima, so the
-    f32-class default applies either way; kept as one shared-predicate
-    branch so a hardware-measured multi-chip split lands in one place."""
-    from ..ops import pallas_scan
-    if pallas_scan.will_use_ilv(has_ilv, n_queries, exact):
-        # ilv kernel: bf16-dot query-rounding delta — the single-chip
-        # margin-8 class (held 4096/4096 at the headline shape, r7b)
-        return DEFAULT_SEG_MARGIN
-    # accurate-dots XLA surface: eps-only delta, tighter still
+    """Starting tie margin for the mesh path.
+
+    BOTH mesh surfaces (per-shard ilv kernel and the accurate-dots XLA
+    scan) store f32 minima, so one f32-class margin covers them — unlike
+    the single chip, where the surface choice changes the margin (CLAUDE.md
+    r3.7).  Deliberately conservative at 8 (the single-chip f32 default
+    was cut to 6 in r4 after a 4096/4096 hardware sweep) because the mesh
+    path has never run on real multi-chip hardware; when it does, a
+    measured per-surface split belongs here — the has_ilv/n_queries/exact
+    arguments are kept so callers already thread the inputs that split
+    will need (they are intentionally unused today)."""
     return DEFAULT_SEG_MARGIN
 # surface error bound, relative (matches ops/pallas_scan._SURFACE_EPS_REL;
 # the local surface uses the same accurate-dots construction)

@@ -231,6 +231,12 @@ class SearchBatcher:
                             self._dispatching.pop(key, None)
                         self.dispatches += 1
                         self.queries += len(members)
+                    # wake waiting leaders: a lone query sleeping out the
+                    # window because this dispatch predicted arrivals must
+                    # re-evaluate now that it finished (review finding r4 —
+                    # the condition rewrite lost the poll loop's early exit)
+                    with self._cond:
+                        self._cond.notify_all()
             except BaseException as exc:  # propagate to every member
                 for m in members:
                     m.error = exc

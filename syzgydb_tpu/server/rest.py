@@ -104,10 +104,23 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _body(self) -> bytes:
         length = int(self.headers.get("Content-Length") or 0)
+        self._body_read = True
         return self.rfile.read(length) if length else b""
 
     def _respond(self, code: int, payload, pretty: bool = False,
                  content_type: str = "application/json") -> None:
+        # keep-alive safety (review finding r4): an early-error path that
+        # never read the request body would leave its bytes in the socket,
+        # and the NEXT request on this persistent connection would parse
+        # them as a request line.  Drain small unread bodies; close the
+        # connection instead of draining huge ones.
+        length = int(self.headers.get("Content-Length") or 0)
+        if length and not getattr(self, "_body_read", False):
+            if length <= (1 << 20):
+                self.rfile.read(length)
+            else:
+                self.close_connection = True
+            self._body_read = True
         if isinstance(payload, (dict, list)):
             body = json.dumps(payload, indent=2 if pretty else None).encode()
             body += b"\n"
@@ -137,6 +150,7 @@ class _Handler(BaseHTTPRequestHandler):
     # -- routing -----------------------------------------------------------
 
     def _route(self) -> None:
+        self._body_read = False  # handler instance persists across requests
         path = self.path.split("?")[0].rstrip()
         parts = path.split("/")
         try:

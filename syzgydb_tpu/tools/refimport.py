@@ -102,7 +102,9 @@ def scan_ref_spans(data: bytes) -> Iterator[RefSpan]:
             return  # scanFile errors here; for import, stop tolerantly
         if offset + length > size:
             return
-        if magic == ACTIVE_MAGIC:
+        if magic == ACTIVE_MAGIC and length >= _MIN_SPAN:
+            # length < _MIN_SPAN: corrupt header — too short to even hold
+            # a checksum; skip by length like any other corrupt span
             span_bytes = data[offset:offset + length]
             want = struct.unpack_from(">I", span_bytes, length - 4)[0]
             if zlib.crc32(span_bytes[:-4]) == want:

@@ -209,3 +209,44 @@ def test_query_during_mutation_old_or_new_never_torn(tmp_path, rng,
         t.join()
     c.close()
     assert not errors, errors[:2]
+
+
+def test_inflight_fetch_never_sees_recycled_row(tmp_path, rng):
+    """Between a search's locked dispatch and its lock-free result fetch, a
+    remove+add pair must NOT recycle a row the in-flight assembly can still
+    reference (review finding r4: the recycled row would pair the new
+    document's id/metadata with the old document's distance)."""
+    from syzgydb_tpu import Collection, CollectionOptions, SearchArgs
+    from syzgydb_tpu.core import collection as cmod
+    import numpy as np
+    d = 16
+    n = cmod.HOST_SCAN_MAX_ELEMS // d + 64  # above the host-scan threshold
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "lease.dat"), dimension_count=d, quantization=8,
+        create_and_overwrite=True, index_seed=7))
+    vecs = rng.uniform(-1, 1, (n, d))
+    target = vecs[5] / np.linalg.norm(vecs[5])
+    c.add_documents(list(range(n)), vecs, [b'{"gen": 0}'] * n)
+
+    fin = c.search_many_async(
+        [SearchArgs(vector=target, k=3, precision="high")])
+    # doc 5 is the top hit; remove it and insert a replacement while the
+    # fetch is notionally in flight — without the lease the replacement
+    # reuses row 5 and the assembled result claims the NEW id at the OLD
+    # document's distance
+    row5 = c.columns._row_of[5]
+    c.remove_document(5)
+    c.add_documents([10_000_000], rng.uniform(-1, 1, (1, d)),
+                    [b'{"gen": 1}'])
+    assert c.columns._row_of[10_000_000] != row5  # quarantined, not reused
+    (res,) = fin()
+    ids = [r.id for r in res.results]
+    assert 10_000_000 not in ids
+    for r in res.results:
+        if r.id == 5:  # stale pre-remove snapshot is allowed...
+            assert r.metadata in (b'{"gen": 0}', b"", None)  # ...torn isn't
+    # lease released: the quarantined row is reusable again
+    assert c.columns._leases == 0
+    c.add_documents([10_000_001], rng.uniform(-1, 1, (1, d)), [b"{}"])
+    assert c.columns._row_of[10_000_001] == row5
+    c.close()
