@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import unicodedata
 
 import numpy as np
 
@@ -77,8 +78,17 @@ class WordPieceTokenizer:
         return ids
 
     def encode(self, text: str) -> list[int]:
+        # BasicTokenizer parity (do_lower_case=True): lowercase, then NFD
+        # and drop combining marks so accented text matches transformers'
+        # BertTokenizer ("café" -> "cafe", not "caf"+UNK — review finding
+        # r4).  CJK needs no spacing pass here: the token regex already
+        # emits each non-alphanumeric char as its own token, which equals
+        # HF's space-around-CJK behavior.
+        text = unicodedata.normalize("NFD", text.lower())
+        text = "".join(ch for ch in text
+                       if unicodedata.category(ch) != "Mn")
         ids = [self.cls_id]
-        for word in _TOKEN_RE.findall(text.lower()):
+        for word in _TOKEN_RE.findall(text):
             ids += self._wordpiece(word)
         ids = ids[: self.max_len - 1]
         ids.append(self.sep_id)

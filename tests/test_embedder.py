@@ -382,3 +382,34 @@ def test_rest_text_search_with_hf_checkpoint(tmp_path):
             c.close()
         cfg_mod.global_config = old_cfg
         emb_mod.set_embed_text(old_fn)
+
+
+def test_wordpiece_tokenizer_matches_transformers(tmp_path):
+    """WordPieceTokenizer must produce transformers.BertTokenizer's exact
+    id sequences, including accent stripping (NFD + drop Mn) and per-char
+    CJK tokens (review finding r4: 'café' previously tokenized as
+    'caf'+[UNK] instead of 'cafe')."""
+    from transformers import BertTokenizer
+    from syzgydb_tpu.models.tokenizer import WordPieceTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "cafe", "resume", "the",
+             "##s", "##sume", "re", "a", "b", "c", "##a", "##b", "##c",
+             "!", ",", "'", "world", "hello", "na", "##ive", "deja", "vu"]
+    vf = tmp_path / "vocab.txt"
+    vf.write_text("\n".join(vocab) + "\n")
+    hf = BertTokenizer(str(vf), do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(str(vf), max_len=64)
+
+    texts = [
+        "Café RÉSUMÉ",              # accents strip to in-vocab words
+        "naïve déjà vu",            # combining marks mid-word
+        "hello, world!",            # punctuation splits
+        "the cafes resume",         # wordpiece continuations
+        "你好 world",       # CJK chars -> per-char [UNK] tokens
+        "İstanbul",                 # dotted capital I (lower+NFD edge)
+        "abc a'b",
+    ]
+    for t in texts:
+        want = hf.encode(t)
+        got = ours.encode(t)
+        assert got == want, (t, got, want)
