@@ -25,15 +25,27 @@ shapes with numpy mask algebra over per-field columnar projections:
     (`price > cost`, `name == :expected`) vectorize as column-vs-column
     masks.
 
+  * quantifiers and arrays (r5): ANY/ALL conditions evaluate over a
+    (row, position)-expanded element space — one python pass per (array
+    path, mutation generation) flattens the array into CSR element columns
+    (bounded by _ARR_CAP elements; beyond that the query falls back), the
+    condition vectorizes over the flattened elements with the document row
+    as a segment id, and the quantifier reduces per-segment with bincount.
+    Whole-array equality (`tags == ['red', 'blue']`) compares the CSR
+    layout against the literal positionally with python's list-equality
+    semantics (the per-row engine's _deep_equal defers to `a == b` for
+    lists, so bool==number holds INSIDE arrays).
+
 Error-semantics parity with query/compiler.py (which mirrors the Go
 compiler's eager evaluation): every node's (value, error) pair is tracked as
 two masks; an error anywhere in the tree rejects the row, exactly like the
 exception path in build_filter.  Path extraction records per-row errors in
 FieldColumn.err (e.g. `.` on a missing nested key raises, while an
 out-of-bounds `[i]` yields nil — compiler.py:244-264).  Queries or field
-values outside the supported shapes (ANY/ALL quantifiers, non-literal array
-indices, array-valued terminal values) return None and the caller falls
-back to the per-row engine — semantics first, speed second.
+values outside the supported shapes (non-literal array indices,
+array-valued terminal values in scalar predicates, nested quantifiers)
+return None and the caller falls back to the per-row engine — semantics
+first, speed second.
 """
 
 from __future__ import annotations
@@ -44,8 +56,9 @@ from typing import Optional
 
 import numpy as np
 
-from .parser import (ArrayNode, ExpressionNode, FunctionNode, IdentifierNode,
-                     Node, ParameterNode, ValueNode, parse_query)
+from .parser import (AllNode, AnyNode, ArrayNode, ArrayStarNode,
+                     ExpressionNode, FunctionNode, IdentifierNode, Node,
+                     ParameterNode, ValueNode, parse_query)
 
 _COMPARE_OPS = (">", ">=", "<", "<=")
 _EQ_OPS = ("==", "!=")
@@ -88,6 +101,137 @@ class FieldColumn:
             self.is_none[row] = True
         else:
             self.scalar = False
+
+
+# Bound on the (row, position)-expanded element space: one flattened
+# element costs ~25 bytes of CSR state plus a reference to the parsed
+# fragment; past this the memory and the per-element python projection
+# passes stop being worth it vs one per-row fallback query.
+_ARR_CAP = 16_000_000
+
+# element kind codes in ArrayColumn.kinds
+_K_NUM, _K_STR, _K_BOOL, _K_NULL, _K_COMPLEX = 1, 2, 3, 4, 5
+
+
+class ArrayColumn:
+    """CSR projection of one array-valued path: row r's elements live at
+    flat positions starts[r]:starts[r+1].  kinds/nums/strs mirror
+    FieldColumn typing per element; elems keeps the parsed python values
+    (dict elements feed the quantifier's element-path projections)."""
+
+    __slots__ = ("is_list", "err", "starts", "kinds", "nums", "strs",
+                 "elems", "rowidx")
+
+    def __init__(self, n: int):
+        self.is_list = np.zeros(n, bool)
+        self.err = np.zeros(n, bool)      # the path WALK raised
+        self.starts = np.zeros(n + 1, np.int64)
+        self.kinds = np.zeros(0, np.int8)
+        self.nums = np.zeros(0, np.float64)
+        self.strs = np.empty(0, object)
+        self.elems: list = []
+        self.rowidx = np.zeros(0, np.int64)
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.starts)
+
+
+def _elem_eq_mask(kinds, nums, strs, lit) -> np.ndarray:
+    """Positional python `==` of elements vs a scalar literal (the per-row
+    engine compares whole arrays with python list equality, under which
+    True == 1.0 — unlike top-level _deep_equal)."""
+    if isinstance(lit, (bool, int, float)):
+        with np.errstate(all="ignore"):
+            return ((kinds == _K_NUM) | (kinds == _K_BOOL)) \
+                & (nums == float(lit))
+    if isinstance(lit, str):
+        with np.errstate(all="ignore"):
+            return (kinds == _K_STR) & np.asarray(strs == lit, dtype=bool)
+    if lit is None:
+        return kinds == _K_NULL
+    return np.zeros(len(kinds), bool)
+
+
+def _arr_eq_mask(arr: ArrayColumn, lit: list) -> tuple:
+    """Vectorized `path == [literal, ...]`: row matches iff its value is a
+    list of equal length whose elements positionally python-equal the
+    literal's.  Non-list rows (including nil from a missing key) compare
+    False without error (_deep_equal type mismatch); only a failed path
+    walk errors."""
+    n = len(arr.is_list)
+    cand = arr.is_list & (arr.lengths == len(lit))
+    val = np.zeros(n, bool)
+    if not lit:
+        val = cand.copy()  # [] == [] is True
+        return val, arr.err.copy()
+    rows = np.flatnonzero(cand)
+    if len(rows):
+        ok = np.ones(len(rows), bool)
+        base = arr.starts[rows]
+        for j, litv in enumerate(lit):
+            idx = base + j
+            ok &= _elem_eq_mask(arr.kinds[idx], arr.nums[idx],
+                                arr.strs[idx], litv)
+        val[rows] = ok
+    return val, arr.err.copy()
+
+
+def _is_literal_array(node) -> bool:
+    """ArrayNode whose elements are all scalar literals (the only array
+    shape the vectorized equality supports)."""
+    return isinstance(node, ArrayNode) and all(
+        isinstance(e, ValueNode) and not isinstance(e.value, (list, dict))
+        for e in node.elements)
+
+
+def _contains_quantifier(node) -> bool:
+    if isinstance(node, (AnyNode, AllNode)):
+        return True
+    if isinstance(node, ExpressionNode):
+        return any(_contains_quantifier(s) for s in (node.left, node.right)
+                   if s is not None)
+    if isinstance(node, FunctionNode):
+        return any(_contains_quantifier(a) for a in node.arguments)
+    if isinstance(node, ArrayNode):
+        return any(_contains_quantifier(e) for e in node.elements)
+    return False
+
+
+def _quant_array_path(node) -> Optional[tuple]:
+    """The quantifier's array operand as a path tuple (unwrapping the
+    optional `[*]` marker), or None."""
+    arr = node.array
+    if isinstance(arr, ArrayStarNode):
+        arr = arr.array
+    return _path_of(arr)
+
+
+def _collect_array_paths(node, out: list) -> None:
+    """Array paths the query will project (quantifier operands + whole-
+    array-equality subjects), so evaluate() can batch them into ONE doc
+    parse pass instead of one pass per path."""
+    if isinstance(node, (AnyNode, AllNode)):
+        p = _quant_array_path(node)
+        if p is not None:
+            out.append(p)
+        return  # condition runs in element space; no doc-level arrays
+    if isinstance(node, ExpressionNode):
+        if node.operator in _EQ_OPS:
+            sides = (node.left, node.right)
+            if any(_is_literal_array(s) for s in sides):
+                other = sides[1] if _is_literal_array(sides[0]) else sides[0]
+                p = None if isinstance(other, ArrayNode) else _path_of(other)
+                if p is not None:
+                    out.append(p)
+                return
+        for side in (node.left, node.right):
+            if side is not None:
+                _collect_array_paths(side, out)
+        return
+    if isinstance(node, FunctionNode):
+        for a in node.arguments:
+            _collect_array_paths(a, out)
 
 
 def _path_of(node) -> Optional[tuple]:
@@ -148,6 +292,19 @@ def referenced_paths(node) -> Optional[set]:
             return None if lf is None or rf is None else lf | rf
         if op == "NOT":
             return referenced_paths(node.right)
+        if op in _EQ_OPS:
+            # whole-array equality: path == [scalar literals] projects the
+            # path as an ArrayColumn lazily inside _vectorize — no
+            # top-level field projection needed, but the shape is
+            # supported, so signal "vectorizable, no regular paths"
+            sides = (node.left, node.right)
+            if any(_is_literal_array(s) for s in sides):
+                arr_side = 0 if _is_literal_array(node.left) else 1
+                other = sides[1 - arr_side]
+                if isinstance(other, ValueNode) or \
+                        isinstance(other, ArrayNode):
+                    return None  # literal-vs-literal / array-vs-array
+                return set() if _path_of(other) is not None else None
         if op in _COMPARE_OPS + _EQ_OPS:
             out = set()
             for side in (node.left, node.right):
@@ -173,6 +330,15 @@ def referenced_paths(node) -> Optional[set]:
                 return None
             return {p}
         return None
+    if isinstance(node, (AnyNode, AllNode)):
+        # quantifier: the array path and the condition's element-level
+        # paths project lazily in _vectorize; nested quantifiers would
+        # need elements-of-elements expansion — fall back
+        if _quant_array_path(node) is None or \
+                _contains_quantifier(node.condition):
+            return None
+        return set() if referenced_paths(node.condition) is not None \
+            else None
     if isinstance(node, FunctionNode):
         if node.name == "EXISTS" and len(node.arguments) == 1:
             p = _path_of(node.arguments[0])
@@ -246,17 +412,36 @@ def _cmp_cols(op: str, a: FieldColumn, b: FieldColumn) -> tuple:
     return val, ~(ok_num | ok_str) | a.err | b.err
 
 
-def _vectorize(node, cols: dict) -> Optional[tuple]:
+class _Ctx:
+    """Evaluation context for _vectorize: the projected columns plus (at
+    document level) the engine + column store for lazy array projections.
+    Element-level contexts (inside a quantifier) carry engine=None — shapes
+    that would need a second expansion level fall back."""
+
+    __slots__ = ("cols", "engine", "columns")
+
+    def __init__(self, cols: dict, engine=None, columns=None):
+        self.cols = cols
+        self.engine = engine
+        self.columns = columns
+
+
+def _vectorize(node, ctx: _Ctx) -> Optional[tuple]:
     """-> (value_mask, error_mask) or None if unsupported."""
+    cols = ctx.cols
+    if isinstance(node, (AnyNode, AllNode)):
+        if ctx.engine is None:
+            return None
+        return ctx.engine._vectorize_quantifier(node, ctx.columns)
     if isinstance(node, ExpressionNode):
         op = node.operator
         if op in ("AND", "OR", "NOT"):
-            rv = _vectorize(node.right, cols)
+            rv = _vectorize(node.right, ctx)
             if rv is None:
                 return None
             if op == "NOT":
                 return ~rv[0], rv[1]
-            lv = _vectorize(node.left, cols)
+            lv = _vectorize(node.left, ctx)
             if lv is None:
                 return None
             # run() evaluates BOTH sides before the op, so an eval error on
@@ -267,6 +452,25 @@ def _vectorize(node, cols: dict) -> Optional[tuple]:
             return val, err
 
         if op in _EQ_OPS:
+            sides = (node.left, node.right)
+            if any(isinstance(s, ArrayNode) for s in sides):
+                # whole-array equality vs a literal array of scalars
+                arrnode = sides[0] if isinstance(sides[0], ArrayNode) \
+                    else sides[1]
+                other = sides[1] if arrnode is sides[0] else sides[0]
+                if ctx.engine is None or not _is_literal_array(arrnode):
+                    return None
+                p = _path_of(other)
+                if p is None:
+                    return None
+                arr = ctx.engine._project_array(p, ctx.columns)
+                if arr is None:
+                    return None
+                val, err = _arr_eq_mask(
+                    arr, [e.value for e in arrnode.elements])
+                if op == "!=":
+                    val = ~val
+                return val, err
             lk, lval = _operand(node.left, cols)
             rk, rval = _operand(node.right, cols)
             if lk is None or rk is None:
@@ -369,7 +573,11 @@ def _vectorize(node, cols: dict) -> Optional[tuple]:
         if node.name == "DOES_NOT_EXIST" and len(node.arguments) == 1 and \
                 isinstance(node.arguments[0], IdentifierNode):
             col = cols[node.arguments[0].name]
-            return ~col.present, np.zeros(len(col.present), bool)
+            # non-dict data returns False (compiler.py does_not_exist) —
+            # only reachable for ELEMENT columns, whose err marks those
+            # rows; document columns never set err on trivial keys
+            return ~col.present & ~col.err, \
+                np.zeros(len(col.present), bool)
         return None
     return None
 
@@ -387,8 +595,15 @@ def _eval_path_steps(data: dict, steps: tuple):
     for st in steps:
         tag = st[0]
         if tag == "id":
-            v = v.get(st[1])  # missing top-level key -> nil, no error
+            # document roots are always dicts here; ELEMENT roots (inside a
+            # quantifier) can be scalars/arrays, where the ident closure
+            # raises EvalError (compiler.py:88-94)
+            if not isinstance(v, dict):
+                raise _PathError
+            v = v.get(st[1])  # missing key -> nil, no error
         elif tag == "param":
+            if not isinstance(v, dict):
+                raise _PathError  # "parameters not provided"
             if st[1] not in v:
                 raise _PathError  # "parameter not provided"
             v = v[st[1]]
@@ -458,7 +673,11 @@ class ColumnarFilterEngine:
         cols, json_ok = self._project_all(paths, columns)
         if cols is None:
             return None
-        out = _vectorize(ast, cols)
+        apaths: list = []
+        _collect_array_paths(ast, apaths)
+        if apaths:
+            self._project_arrays(apaths, columns)
+        out = _vectorize(ast, _Ctx(cols, self, columns))
         if out is None:
             return None
         val, err = out
@@ -483,7 +702,14 @@ class ColumnarFilterEngine:
                 params.add(p[0][1])
             else:
                 nontrivial.append(p)
-        base, json_ok = self._project(trivial | params, columns)
+        fields = trivial | params
+        if not fields:
+            # quantifier-only / array-equality-only query: no top-level
+            # scalar fields to project, but the json-ok row mask (and the
+            # non-dict-document global fallback) still come from the base
+            # projection pass — run it on a dummy never-present field
+            fields = {"\x00"}
+        base, json_ok = self._project(fields, columns)
         if base is None:
             return None, None
         cols = {f: base[f] for f in trivial}
@@ -534,6 +760,185 @@ class ColumnarFilterEngine:
         if self._nondict or any(not self._cols[p].scalar for p in paths):
             return None
         return {p: self._cols[p] for p in paths}
+
+    def _project_array(self, path: tuple, columns) -> Optional[ArrayColumn]:
+        """Cached CSR element projection of one array-valued path; None
+        when the expansion exceeded _ARR_CAP (per-row engine handles it).
+        evaluate() pre-projects every array path the query touches in one
+        batched pass (_project_arrays), so this is normally a cache hit."""
+        hit = self._cols.get(("__arr__", path))
+        if hit is None:
+            self._project_arrays([path], columns)
+            hit = self._cols.get(("__arr__", path))
+        return hit if isinstance(hit, ArrayColumn) else None
+
+    def _project_arrays(self, paths: list, columns) -> None:
+        """ONE pass over the live rows parses each document once and walks
+        every requested array path, flattening list values into CSR element
+        arrays (cached per mutation generation).  A path whose expansion
+        exceeds _ARR_CAP elements gets a fail sentinel instead."""
+        missing = [p for p in dict.fromkeys(paths)
+                   if ("__arr__", p) not in self._cols]
+        if not missing:
+            return
+        n = columns.size
+
+        class _Acc:
+            __slots__ = ("arr", "kinds", "nums", "strs", "total", "failed")
+
+            def __init__(self):
+                self.arr = ArrayColumn(n)
+                self.kinds: list = []
+                self.nums: list = []
+                self.strs: list = []
+                self.total = 0
+                self.failed = False
+
+        accs = {p: _Acc() for p in missing}
+        items = list(accs.items())
+        for row in np.flatnonzero(columns.valid[:n]):
+            r = int(row)
+            md = columns.metadata[r]
+            try:
+                data = json.loads(md, parse_int=float)
+            except Exception:
+                data = None  # json_ok also rejects the row
+            if data is not None and not isinstance(data, dict):
+                self._nondict = True
+                data = None
+            for p, a in items:
+                if a.failed:
+                    continue
+                arr = a.arr
+                if data is None:
+                    arr.err[r] = True
+                    arr.starts[r + 1] = a.total
+                    continue
+                try:
+                    v = _eval_path_steps(data, p)
+                except _PathError:
+                    arr.err[r] = True
+                    arr.starts[r + 1] = a.total
+                    continue
+                if isinstance(v, list):
+                    arr.is_list[r] = True
+                    a.total += len(v)
+                    if a.total > _ARR_CAP:
+                        a.failed = True
+                        continue
+                    arr.elems.extend(v)
+                    for e in v:
+                        if isinstance(e, bool):
+                            a.kinds.append(_K_BOOL)
+                            a.nums.append(1.0 if e else 0.0)
+                            a.strs.append(None)
+                        elif isinstance(e, (int, float)):
+                            a.kinds.append(_K_NUM)
+                            a.nums.append(float(e))
+                            a.strs.append(None)
+                        elif isinstance(e, str):
+                            a.kinds.append(_K_STR)
+                            a.nums.append(0.0)
+                            a.strs.append(e)
+                        elif e is None:
+                            a.kinds.append(_K_NULL)
+                            a.nums.append(0.0)
+                            a.strs.append(None)
+                        else:
+                            a.kinds.append(_K_COMPLEX)
+                            a.nums.append(0.0)
+                            a.strs.append(None)
+                arr.starts[r + 1] = a.total
+        for p, a in items:
+            if a.failed:
+                self._cols[("__arr__", p)] = False  # per-generation sentinel
+                continue
+            arr = a.arr
+            # rows skipped by the loop (invalid) inherit the running offset
+            np.maximum.accumulate(arr.starts, out=arr.starts)
+            arr.kinds = np.asarray(a.kinds, np.int8)
+            arr.nums = np.asarray(a.nums, np.float64)
+            arr.strs = np.asarray(a.strs, object)
+            arr.rowidx = np.repeat(np.arange(n, dtype=np.int64),
+                                   arr.lengths)
+            self._cols[("__arr__", p)] = arr
+
+    def _elem_cols(self, apath: tuple, arr: ArrayColumn,
+                   cpaths: set) -> dict:
+        """FieldColumns over the flattened ELEMENT space for the condition's
+        paths (roots resolve against each element, compiler.py quantifier
+        closure), cached per (array path, element path, generation)."""
+        out = {}
+        missing = []
+        for p in cpaths:
+            key = ("__elem__", apath, p)
+            col = self._cols.get(key)
+            if col is None:
+                missing.append(p)
+            else:
+                out[_col_key(p)] = col
+        if missing:
+            m = len(arr.elems)
+            built = {p: FieldColumn(m) for p in missing}
+            items = list(built.items())
+            for i, e in enumerate(arr.elems):
+                for p, col in items:
+                    if len(p) == 1 and p[0][0] == "id":
+                        # trivial key: EXISTS(x) on elements is exists_top
+                        # (`key in element`), so an explicit null must
+                        # project as present+is_none, not absent
+                        if isinstance(e, dict):
+                            if p[0][1] in e:
+                                col.set(i, e[p[0][1]])
+                        else:
+                            col.err[i] = True  # ident on scalar/array
+                        continue
+                    try:
+                        v = _eval_path_steps(e, p)
+                    except _PathError:
+                        col.err[i] = True
+                        continue
+                    if v is not None:
+                        col.set(i, v)
+            for p, col in items:
+                self._cols[("__elem__", apath, p)] = col
+                out[_col_key(p)] = col
+        return out
+
+    def _vectorize_quantifier(self, node, columns) -> Optional[tuple]:
+        """ANY/ALL as a segment reduction: vectorize the condition over the
+        (row, position)-expanded elements, then bincount matches per row.
+        Per-row parity (compiler.py:118-137): a condition error on an
+        element means "no match" (not row rejection); a non-list array
+        value rejects the row; ANY of [] is False, ALL of [] is True."""
+        if _contains_quantifier(node.condition):
+            return None
+        apath = _quant_array_path(node)
+        if apath is None:
+            return None
+        cpaths = referenced_paths(node.condition)
+        if cpaths is None:
+            return None
+        arr = self._project_array(apath, columns)
+        if arr is None:
+            return None
+        ecols = self._elem_cols(apath, arr, cpaths)
+        for p in cpaths:  # element columns are always "projected": any
+            # non-scalar terminal just never matches scalar predicates
+            if not ecols[_col_key(p)].scalar:
+                return None
+        ev = _vectorize(node.condition, _Ctx(ecols))
+        if ev is None:
+            return None
+        match = ev[0] & ~ev[1]
+        n = len(arr.is_list)
+        counts = np.bincount(arr.rowidx[match], minlength=n)
+        if isinstance(node, AnyNode):
+            val = counts > 0
+        else:
+            val = counts == arr.lengths
+        err = arr.err | ~arr.is_list
+        return val, err
 
     def _project_native(self, fields: list, columns) -> bool:
         """Project `fields` with the C extractor; True on success.

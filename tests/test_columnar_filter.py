@@ -41,6 +41,11 @@ DOCS = [
      "name": "zoe", "expected": "zoe", "price": 7},
     {"user": {"name": None}, "tags": {"not": "array"}, "minage": 25,
      "age": 30},
+    # quantifier / whole-array-equality docs
+    {"items": [{"price": 9.0, "name": "x"}, {"price": 0.5, "nil": None}],
+     "tags": ["red", "blue"], "flags": [True, 0]},
+    {"items": [], "tags": ["red"], "flags": [1, False], "age": 30},
+    {"nested": [[1], [2]], "items": [{"price": "str"}], "tags": [None, 2]},
 ]
 METAS = [json.dumps(d).encode() for d in DOCS] + [b"not json"]
 
@@ -105,6 +110,36 @@ QUERIES = [
     "price > cost",
     "price == cost",
     "user.name == name",
+    # ANY/ALL quantifiers (vectorized r5): condition evaluates per element
+    # with the element as data root; errors mean "no match"; a non-list
+    # array value rejects the row
+    "ANY(items, price > 1)",
+    "ANY(items[*], price > 1)",
+    "ALL(items[*], price > 0.4)",
+    "ALL(items, price >= 0.5 AND price <= 9)",
+    "ANY(items, x == 1)",
+    "ALL(tags[*], x == 'red')",
+    "ANY(tags[*], x == 'red')",
+    "ANY(items, price == 0.5 OR name == 'x')",
+    "ANY(items, nil == null)",
+    "ANY(items, name EXISTS)",
+    "ANY(items, name DOES NOT EXIST)",
+    "ALL(items, price EXISTS)",
+    "ANY(nested, x == 1)",
+    "NOT ANY(items, price > 100)",
+    "ANY(items, price >= 2.5) OR age == 30",
+    "ALL(items, price > 0) AND age EXISTS",
+    "ANY(items, LENGTH(name) == 1)",
+    # whole-array equality: python list semantics inside arrays
+    "tags == ['red', 'blue']",
+    "tags != ['red', 'blue']",
+    "tags == ['red']",
+    "tags == []",
+    # doc-side booleans: python list eq makes [True, 0] == [1, 0]
+    "flags == [1, 0]",
+    "flags == [1, 1]",
+    "nested == [1, 2]",
+    "tags == ['red', 'blue'] AND age DOES NOT EXIST",
 ]
 
 
@@ -129,12 +164,13 @@ def test_vectorized_matches_per_row_oracle(query, engine_kind, monkeypatch):
 
 
 @pytest.mark.parametrize("query", [
-    "ANY(items, x == 1)",        # quantifier
-    "ALL(tags[*], x == 'red')",  # quantifier over array-star
-    "items[age] == 1",           # non-literal array index
-    "1 == 1",                    # literal-vs-literal
-    "name MATCHES pattern",      # non-literal regex pattern
-    "tags == ['red', 'blue']",   # whole-array equality
+    "items[age] == 1",             # non-literal array index
+    "1 == 1",                      # literal-vs-literal
+    "name MATCHES pattern",        # non-literal regex pattern
+    "ANY(items, ANY(tags, x == 1))",  # nested quantifier
+    "ANY(nested, x == [1])",       # array equality inside a quantifier
+    "[1, 2] == [1, 2]",            # array-vs-array literal
+    "tags == [age]",               # non-literal array element
 ])
 def test_unsupported_shapes_fall_back(query):
     engine = columnar.ColumnarFilterEngine()
