@@ -1,0 +1,143 @@
+"""Concurrent radius-search serving: batched vs per-request dispatches.
+
+VERDICT r4 weak #4: radius searches bypassed the SearchBatcher, so every
+concurrent radius request paid its own device dispatch (~33 ms tunnel RTT
+each).  The batcher now groups radius traffic by (collection, precision,
+filter_query) — different radii share one escalating dispatch and
+post-filter (Collection.radius_many).  This benchmark measures the same
+closed-loop radius load with the batcher enabled and disabled
+(window_s=0 bypasses) and reports the ratio.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from benchmarks.common import Timer, emit, log, make_vectors, scale  # noqa: E402
+
+
+def run_phase(port, path, bodies, clients, per_client):
+    import http.client
+    local = threading.local()
+
+    def one(i):
+        for attempt in range(3):
+            conn = getattr(local, "conn", None)
+            if conn is None:
+                conn = local.conn = http.client.HTTPConnection(
+                    "127.0.0.1", port)
+            t0 = time.perf_counter()
+            try:
+                conn.request("POST", path, body=bodies[i],
+                             headers={"Content-Type": "application/json"})
+                out = json.loads(conn.getresponse().read())
+                break
+            except (http.client.HTTPException, OSError):
+                local.conn = None
+                if attempt == 2:
+                    raise
+        assert "results" in out, out
+        return (time.perf_counter() - t0) * 1000.0
+
+    lats = []
+    lock = threading.Lock()
+
+    def client(i):
+        mine = [one(i) for _ in range(per_client)]
+        with lock:
+            lats.extend(mine)
+
+    # warmup: every bucket shape (and the escalation ladder) compiles once
+    burst = [threading.Thread(target=one, args=(i % clients,))
+             for i in range(2 * clients)]
+    for th in burst:
+        th.start()
+    for th in burst:
+        th.join()
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(clients)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.perf_counter() - t0
+    total = clients * per_client
+    return total / wall, float(np.percentile(lats, 50)), \
+        float(np.percentile(lats, 95))
+
+
+def main():
+    from syzgydb_tpu import Collection, CollectionOptions, COSINE
+    from syzgydb_tpu.server.rest import Server, make_http_server
+
+    n = max(5000, int(100_000 * scale()))
+    d = 128
+    clients = 16
+    per_client = int(os.environ.get("SYZGY_PER_CLIENT", "8"))
+    rng = np.random.default_rng(23)
+    vecs = make_vectors(rng, n, d)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        srv = Server(data_folder=tmp)
+        c = Collection(CollectionOptions(
+            name=os.path.join(tmp, "r.dat"), distance_method=COSINE,
+            dimension_count=d, quantization=8, create_and_overwrite=True,
+            index_seed=5))
+        t = Timer()
+        c.add_documents(list(range(n)), vecs, [b"{}"] * n)
+        log(f"ingested {n} in {t.lap():.1f}s")
+        srv.collections["r"] = c
+
+        httpd = make_http_server(srv)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        path = "/api/v1/collections/r/search"
+
+        queries = make_vectors(rng, clients, d)
+        # radii spread across the group: members share a dispatch at the
+        # group's escalated k and post-filter to their own radius
+        bodies = [json.dumps({"vector": q.tolist(),
+                              "radius": 0.15 + 0.05 * (i % 4),
+                              "precision": "high"}).encode()
+                  for i, q in enumerate(queries)]
+
+        srv.batcher.window_s = 0.016
+        qps_b, p50_b, p95_b = run_phase(port, path, bodies, clients,
+                                        per_client)
+        disp_b, q_b = srv.batcher.dispatches, srv.batcher.queries
+        log(f"batched: {qps_b:.0f} QPS p50 {p50_b:.0f}ms p95 {p95_b:.0f}ms "
+            f"({q_b} queries in {disp_b} dispatches)")
+
+        srv.batcher.window_s = 0.0  # bypass: per-request dispatches
+        qps_u, p50_u, p95_u = run_phase(port, path, bodies, clients,
+                                        per_client)
+        log(f"unbatched: {qps_u:.0f} QPS p50 {p50_u:.0f}ms p95 {p95_u:.0f}ms")
+
+        httpd.shutdown()
+        c.close()
+
+    emit({
+        "metric": "radius_concurrent_rest_qps",
+        "value": round(qps_b, 1),
+        "unit": "queries/s",
+        "n": n,
+        "clients": clients,
+        "vs_unbatched": round(qps_b / max(qps_u, 1e-9), 2),
+        "unbatched_qps": round(qps_u, 1),
+        "p50_ms": round(p50_b, 1),
+        "p95_ms": round(p95_b, 1),
+        "dispatches": disp_b,
+        "queries_batched": q_b,
+    })
+
+
+if __name__ == "__main__":
+    main()

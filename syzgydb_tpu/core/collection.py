@@ -862,6 +862,169 @@ class Collection:
 
         return finish
 
+    def radius_many(self, args_list: Sequence[SearchArgs]
+                    ) -> list[SearchResults]:
+        """Batched radius search: one shared device escalation loop answers
+        the whole group.  Searches must share precision and filter_query
+        (no callable filters) but may carry DIFFERENT radii — the group
+        dispatches at the shared top-k shape and escalates k until every
+        member's worst returned distance clears its own radius, then each
+        member post-filters to its radius (reference accept-reset
+        semantics, collection.go:598-604, at one dispatch for the group —
+        previously every concurrent radius request paid its own ~33 ms
+        tunnel round trip, the exact pathology the kNN batcher removes)."""
+        if not args_list:
+            return []
+        t0 = time.perf_counter()
+        a0 = args_list[0]
+        p0 = a0.precision or "medium"
+        for a in args_list:
+            if (a.radius <= 0 or a.vector is None or a.filter is not None
+                    or (a.precision or "medium") != p0
+                    or (a.filter_query or "") != (a0.filter_query or "")):
+                raise ValueError(
+                    "radius_many requires homogeneous radius searches "
+                    "(radius > 0, same precision/filter_query, no callable "
+                    "filter)")
+        qvecs = np.stack([np.asarray(a.vector, dtype=np.float64)
+                          for a in args_list])
+        if qvecs.shape[1] != self.dimension_count:
+            raise ValueError("query vector dimension mismatch")
+        radii = np.array([float(a.radius) for a in args_list])
+        # power-of-two bucket (same compile-shape bounding as search_many);
+        # pads are copies of query 0 and share its radius
+        b0 = qvecs.shape[0]
+        bucket = max(8, 1 << (b0 - 1).bit_length())
+        if bucket != b0:
+            qvecs = np.concatenate(
+                [qvecs, np.repeat(qvecs[:1], bucket - b0, axis=0)])
+            radii = np.concatenate(
+                [radii, np.repeat(radii[:1], bucket - b0)])
+        with self._lock:
+            out = self._radius_many_locked(a0, qvecs, radii, n_real=b0)
+        dt = (time.perf_counter() - t0) * 1000.0
+        for r in out:
+            r.search_time_ms = dt
+        return out
+
+    def _radius_many_locked(self, args: SearchArgs, qvecs: np.ndarray,
+                            radii: np.ndarray, n_real: int
+                            ) -> list[SearchResults]:
+        """(Q, D)-batched generalization of _radius_search; returns results
+        for the first n_real queries (the rest are bucket pads)."""
+        n_records = len(self.columns)
+        if n_records == 0:
+            return [SearchResults([], 0.0) for _ in range(n_real)]
+        precision = args.precision or "medium"
+        mask, n_passing = self._filter_mask(args)
+
+        use_index = (precision not in ("exact", "high")
+                     and self.index.calibrated
+                     and n_records >= MIN_INDEX_SIZE)
+        if self._small() and not use_index:
+            return [self._host_scan(
+                dataclasses.replace(args, radius=float(radii[i])),
+                qvecs[i], mask, n_passing, n_records)
+                for i in range(n_real)]
+
+        queries = jnp.asarray(np.float32(qvecs))
+        dev = self._device_state()
+        unfiltered = args.filter is None and not args.filter_query
+        valid = dev["valid"] if unfiltered else jnp.asarray(mask)
+
+        if use_index:
+            budget = min(max(self.options.search_budget,
+                             4 * max(args.k, 1)), self.columns.capacity)
+            qcode = jnp.asarray(self.index.encode_np(np.float32(qvecs)))
+            cap = min(n_passing, self.columns.capacity)
+            b = budget
+            while True:
+                if self._mesh is not None:
+                    from ..parallel import search as psearch
+                    shards = self._mesh.shape["data"]
+                    dist, rows, nsc = psearch.sharded_ann_topk(
+                        self._mesh, qcode, queries, dev["codes"],
+                        dev["norms"], dev["hashes"], valid,
+                        bits=self.quantization, metric=self.metric, k=b,
+                        local_budget=max(1, b // shards),
+                        words=self.index.words, with_counts=True)
+                else:
+                    _, cand = hamming.hamming_candidates(
+                        qcode, dev["hashes"], valid, b, self.index.words)
+                    dist, rows, nsc = hamming.rerank_topk(
+                        queries, dev["codes"], dev["norms"], valid, cand,
+                        self.quantization, self.metric, b,
+                        with_counts=True)
+                dist_np, rows_np, cnt = self._fetch_results(dist, rows, nsc)
+                if b >= cap or all(
+                        self._radius_done(dist_np[i], b, radii[i], 0.0)
+                        for i in range(n_real)):
+                    break
+                b = min(b * 4, cap)
+            searched = min(b, n_passing)
+            return [self._radius_results_np(
+                dist_np[i], rows_np[i], radii[i],
+                int(cnt[i]) if cnt is not None else searched, n_records)
+                for i in range(n_real)]
+
+        # exhaustive: shared bounded top-k with escalation (one device
+        # program per iteration serves the whole group)
+        searched = n_passing
+        exact = precision == "exact"
+        eps = self._F32_EPS_REL * np.maximum(1.0, radii) if exact \
+            else np.zeros_like(radii)
+        kk = min(1024, n_passing)
+        tmargin = self._seg_margin_hint
+        first_fail = None
+        while True:
+            dist, rows, ties, s_used, nseg = self._exact_topk_device(
+                queries, dev, valid, kk, exact, tie_margin=tmargin)
+            if ties is not None and s_used < nseg:
+                tie_np = np.asarray(ties)
+                if first_fail is None:
+                    first_fail = 1.0 - float(tie_np[:n_real].mean())
+                if int(tie_np.min()) == 0:
+                    tmargin = self._escalate_margin(tmargin)
+                    continue
+                self._note_margin(tmargin, first_fail, kk=kk,
+                                  n_real=n_real)
+            dist_np, rows_np, _ = self._fetch_results(dist, rows)
+            if kk >= n_passing or all(
+                    self._radius_done(dist_np[i], kk, radii[i], eps[i])
+                    for i in range(n_real)):
+                break
+            kk = min(kk * 4, n_passing)
+        out = []
+        for i in range(n_real):
+            if exact:
+                rows_i = rows_np[i][np.isfinite(dist_np[i])]
+                out.append(self._radius_results_f64(
+                    qvecs[i], rows_i, float(radii[i]), searched, n_records))
+            else:
+                out.append(self._radius_results_np(
+                    dist_np[i], rows_np[i], float(radii[i]), searched,
+                    n_records))
+        return out
+
+    @staticmethod
+    def _radius_done(dist_row: np.ndarray, kk: int, radius: float,
+                     eps: float) -> bool:
+        """One query's escalation stop test: its candidate set is complete
+        when fewer than kk rows came back finite or the worst returned
+        distance already exceeds its radius (+ the exact-mode f32 cushion)."""
+        finite = dist_row[np.isfinite(dist_row)]
+        return len(finite) < kk or \
+            (len(finite) > 0 and finite[-1] > radius + eps)
+
+    def _radius_results_np(self, dist: np.ndarray, rows: np.ndarray,
+                           radius: float, searched: int,
+                           n_records: int) -> SearchResults:
+        """Assemble one query's radius results from already-fetched arrays."""
+        keep = np.flatnonzero(np.isfinite(dist) & (dist <= radius))
+        results = [self._mk_result(int(rows[i]), float(dist[i]))
+                   for i in keep]
+        return SearchResults(results, self._pct(searched, n_records))
+
     def _search_locked(self, args: SearchArgs):
         """Dispatch one search under the caller's lock.  kNN device
         searches return a finish() CALLABLE (fetch outside the lock —
@@ -1268,103 +1431,10 @@ class Collection:
 
     def _radius_search(self, args: SearchArgs, qvec: np.ndarray,
                        n_records: int) -> SearchResults:
-        precision = args.precision or "medium"
-        mask, n_passing = self._filter_mask(args)
-
-        use_index = (precision not in ("exact", "high")
-                     and self.index.calibrated
-                     and n_records >= MIN_INDEX_SIZE)
-        if self._small() and not use_index:
-            return self._host_scan(args, qvec, mask, n_passing, n_records)
-
-        queries = jnp.asarray(np.float32(qvec)[None, :])
-        dev = self._device_state()
-        unfiltered = args.filter is None and not args.filter_query
-        valid = dev["valid"] if unfiltered else jnp.asarray(mask)
-
-        if use_index:
-            budget = min(max(self.options.search_budget,
-                             4 * max(args.k, 1)), self.columns.capacity)
-            qcode = jnp.asarray(self.index.encode_np(np.float32(qvec)))
-
-            if self._mesh is not None:
-                from ..parallel import search as psearch
-                shards = self._mesh.shape["data"]
-
-                def ann_topk(kk, b):
-                    return psearch.sharded_ann_topk(
-                        self._mesh, qcode, queries, dev["codes"],
-                        dev["norms"], dev["hashes"], valid,
-                        bits=self.quantization, metric=self.metric, k=kk,
-                        local_budget=max(1, b // shards),
-                        words=self.index.words, with_counts=True)
-            else:
-                def ann_topk(kk, b):
-                    _, cand = hamming.hamming_candidates(
-                        qcode, dev["hashes"], valid, b, self.index.words)
-                    return hamming.rerank_topk(
-                        queries, dev["codes"], dev["norms"], valid,
-                        cand, self.quantization, self.metric, kk,
-                        with_counts=True)
-
-            # Escalate the candidate budget until the worst returned
-            # distance exceeds the radius or candidates are exhausted —
-            # dense in-radius sets come back complete, matching the
-            # reference's accept-reset radius semantics
-            # (lshtree.go:311-313, collection.go:598-604).
-            cap = min(n_passing, self.columns.capacity)
-            b = budget
-            while True:
-                dist, rows, nsc = ann_topk(b, b)
-                d0 = np.asarray(dist[0])
-                finite = d0[np.isfinite(d0)]
-                if b >= cap or len(finite) < b or \
-                        (len(finite) and finite[-1] > args.radius):
-                    break
-                b = min(b * 4, cap)
-            searched = min(b, n_passing)
-            return self._radius_results(dist, rows, args.radius,
-                                        searched, n_records, counts=nsc)
-
-        # exhaustive: bounded top-k with escalation — never pulls the full
-        # (Q, N) distance matrix across the (slow) device->host link.
-        # NOTE: when nearly the whole collection is in radius the final
-        # (dist, rows) fetch is proportional to the RESULT size — that
-        # data volume is what the caller asked for (the JSON response
-        # carries it all anyway), not an avoidable transfer.
-        searched = n_passing
-        exact = precision == "exact"
-        # exact mode over-fetches by the f32 error bound so borderline rows
-        # the f32 scan placed just OUTSIDE the radius still reach the f64
-        # re-filter below (reference computes the radius test in f64,
-        # collection.go:598-604)
-        eps = self._F32_EPS_REL * max(1.0, args.radius) if exact else 0.0
-        kk = min(1024, n_passing)
-        tmargin = self._seg_margin_hint
-        first_fail = None
-        while True:
-            dist, rows, ties, s_used, nseg = self._exact_topk_device(
-                queries, dev, valid, kk, exact, tie_margin=tmargin)
-            if ties is not None and s_used < nseg:
-                tie_np = np.asarray(ties)
-                if first_fail is None:
-                    first_fail = 1.0 - float(tie_np.mean())
-                if int(tie_np.min()) == 0:
-                    tmargin = self._escalate_margin(tmargin)
-                    continue
-                self._note_margin(tmargin, first_fail, kk=kk, n_real=1)
-            d0 = np.asarray(dist[0])
-            finite = d0[np.isfinite(d0)]
-            if kk >= n_passing or len(finite) < kk or \
-                    (len(finite) and finite[-1] > args.radius + eps):
-                break
-            kk = min(kk * 4, n_passing)
-        if exact:
-            rows_np = np.asarray(rows[0])[np.isfinite(d0)]
-            return self._radius_results_f64(qvec, rows_np, args.radius,
-                                            searched, n_records)
-        return self._radius_results(dist, rows, args.radius, searched,
-                                    n_records)
+        """Single-query radius search: the Q=1 case of the batched
+        escalation loop (_radius_many_locked)."""
+        return self._radius_many_locked(
+            args, qvec[None, :], np.array([float(args.radius)]), n_real=1)[0]
 
     def _radius_results_f64(self, qvec: np.ndarray, rows_np: np.ndarray,
                             radius: float, searched: int,
@@ -1468,17 +1538,6 @@ class Collection:
              for d, r in zip(dist[qi][:k], rows[qi][:k]) if np.isfinite(d)],
             self._pct(int(cnt[qi]) if cnt is not None else searched,
                       n_records)) for qi in range(dist.shape[0])]
-
-    def _radius_results(self, dist, rows, radius: float, searched: int,
-                        n_records: int, counts=None) -> SearchResults:
-        dist, rows, cnt = self._fetch_results(dist, rows, counts)
-        dist = dist[0]
-        rows = rows[0]
-        keep = np.flatnonzero(np.isfinite(dist) & (dist <= radius))
-        results = [self._mk_result(int(rows[i]), float(dist[i])) for i in keep]
-        if cnt is not None:
-            searched = int(cnt[0])
-        return SearchResults(results, self._pct(searched, n_records))
 
     def _sorted_doc_ids(self) -> list[int]:
         """Doc ids in lexicographic decimal-string order (the reference's

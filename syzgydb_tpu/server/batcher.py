@@ -9,9 +9,12 @@ compatible key becomes the group LEADER, waits a few milliseconds for
 followers to pile on, then issues ONE Collection.search_many() for the whole
 group and distributes the per-query results.
 
-Batching keys on (collection, k, precision, filter_query): only homogeneous
-kNN searches share a device dispatch.  Radius searches, callable filters, and
-list-mode queries bypass the batcher entirely.
+Batching keys on (collection, mode, k, precision, filter_query): homogeneous
+kNN searches share a device dispatch, and (r5) radius searches batch among
+themselves — different radii may share a group, since the device escalation
+loop runs at the group's shared top-k shape and each member post-filters to
+its own radius (Collection.radius_many).  Callable filters and list-mode
+queries bypass the batcher entirely.
 
 A lone query on an idle server pays only one idle-gap (~6ms) before
 dispatching; once any follower joins, the leader commits to the full
@@ -51,6 +54,10 @@ GROW_GAP_S = 0.004
 # tunneled remote compiler).
 FOLLOWER_TIMEOUT_S = 900.0
 MAX_BATCH = 64
+# Radius groups escalate k geometrically until every member's worst
+# distance clears its radius; a wide group escalates to the most demanding
+# member's k, so cap radius batches smaller than kNN ones
+MAX_BATCH_RADIUS = 16
 
 
 class _Group:
@@ -98,32 +105,42 @@ class SearchBatcher:
         self.queries = 0
 
     @staticmethod
-    def _batchable(args: SearchArgs) -> bool:
-        return (args.k > 0 and args.radius == 0 and args.vector is not None
-                and args.filter is None)
+    def _mode(args: SearchArgs) -> Optional[str]:
+        """Batchable dispatch mode: "knn", "radius", or None (bypass)."""
+        if args.vector is None or args.filter is not None:
+            return None
+        if args.radius > 0:
+            return "radius"
+        if args.k > 0:
+            return "knn"
+        return None
 
     def search(self, coll: Collection, args: SearchArgs) -> SearchResults:
-        batchable = self.window_s > 0 and self._batchable(args)
-        if batchable:
+        mode = self._mode(args) if self.window_s > 0 else None
+        if mode is not None:
             try:  # malformed vectors must fail their own request, not the
                 # group: a right-length vector with a non-numeric element
                 # would otherwise blow up the whole search_many batch
                 v = np.asarray(args.vector, dtype=np.float64)
-                batchable = v.shape == (coll.dimension_count,)
+                if v.shape != (coll.dimension_count,):
+                    mode = None
             except (TypeError, ValueError):
-                batchable = False
-        if not batchable:
+                mode = None
+        if mode is None:
             return coll.search(args)
+        cap = self.max_batch if mode == "knn" else MAX_BATCH_RADIUS
 
         # batch_token, not id(coll): CPython reuses object addresses, so a
-        # deleted collection's id() can alias a new one's and mix batches
-        key = (coll.batch_token, args.k, args.precision or "medium",
-               args.filter_query or "")
+        # deleted collection's id() can alias a new one's and mix batches.
+        # Radius groups ignore k (radius mode returns every in-radius row)
+        # and coalesce across different radii.
+        key = (coll.batch_token, mode, args.k if mode == "knn" else 0,
+               args.precision or "medium", args.filter_query or "")
         pend = _Pending(args)
         with self._lock:
             group = self._groups.get(key)
             if group is None or group.closed or \
-                    len(group.members) >= self.max_batch:
+                    len(group.members) >= cap:
                 group = _Group()
                 group.leader_thread = threading.current_thread()
                 self._groups[key] = group
@@ -175,7 +192,7 @@ class SearchBatcher:
                     # arrivals; unrelated collections' traffic must not
                     # make a lone query pay the full window
                     busy = self._dispatching.get(key, 0) > 0
-                    if n >= self.max_batch or now >= deadline:
+                    if n >= cap or now >= deadline:
                         break
                     if n > last_n:
                         last_n, last_growth = n, now
@@ -218,6 +235,10 @@ class SearchBatcher:
                 try:
                     if len(members) == 1:
                         members[0].result = coll.search(members[0].args)
+                    elif mode == "radius":
+                        res = coll.radius_many([m.args for m in members])
+                        for m, r in zip(members, res, strict=True):
+                            m.result = r
                     else:
                         res = coll.search_many([m.args for m in members])
                         for m, r in zip(members, res, strict=True):

@@ -55,7 +55,7 @@ def test_follower_detects_dead_leader_quickly(tmp_path, rng):
     dead = threading.Thread(target=lambda: None)
     dead.start()
     dead.join()
-    key = (c.batch_token, 5, "medium", "")
+    key = (c.batch_token, "knn", 5, "medium", "")
     group = _Group()
     group.leader_thread = dead
     batcher._groups[key] = group
