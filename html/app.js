@@ -74,12 +74,19 @@ async function doCreate() {
 /* ---------------- collection view ---------------- */
 
 let searchTimer = null;
+/* listing-mode pagination (reference: CollectionView.js:27-54 pages
+   through records; the REST layer already honors offset/limit) */
+let listPage = 0;
+let listTotal = 0;
+const PAGE_SIZE = 50;
 
 async function renderCollection(name) {
   crumb.innerHTML = `<a href="#">collections</a> / ${name}`;
   let info;
   try { info = await api.getCollection(name); }
   catch (e) { app.innerHTML = `<div class="card">${e}</div>`; return; }
+  listPage = 0;
+  listTotal = info.document_count;
   app.innerHTML = `
     <div class="card">
       <div class="row" style="justify-content:space-between">
@@ -127,7 +134,8 @@ async function runSearch(name) {
     body.k = 100;
     if (precision) body.precision = precision;
   } else {
-    body.limit = 50;
+    body.offset = listPage * PAGE_SIZE;
+    body.limit = PAGE_SIZE;
   }
   let res;
   try { res = await api.search(name, body); }
@@ -136,11 +144,24 @@ async function runSearch(name) {
       `<div class="empty">${e}</div>`;
     return;
   }
+  const pages = Math.max(1, Math.ceil(listTotal / PAGE_SIZE));
+  const first = listPage * PAGE_SIZE;
   document.getElementById("searchStats").innerHTML = q ?
     `searched <b>${res.percent_searched.toFixed(1)}%</b> of collection in ` +
     `<b>${res.search_time}ms</b>` +
     (res.embedding_time ? ` (embedding <b>${res.embedding_time}ms</b>)` : "")
-    : `listing first ${res.results.length} documents by id`;
+    : `documents <b>${Math.min(first + 1, listTotal)}&ndash;` +
+      `${first + res.results.length}</b> of <b>${listTotal}</b> (by id) ` +
+      `<button id="pgPrev" ${listPage === 0 ? "disabled" : ""}>&larr; prev` +
+      `</button> page ${listPage + 1}/${pages} ` +
+      `<button id="pgNext" ${listPage + 1 >= pages ? "disabled" : ""}>` +
+      `next &rarr;</button>`;
+  if (!q) {
+    const prev = document.getElementById("pgPrev");
+    const next = document.getElementById("pgNext");
+    if (prev) prev.onclick = () => { listPage--; runSearch(name); };
+    if (next) next.onclick = () => { listPage++; runSearch(name); };
+  }
   const rows = res.results.map(r => `
     <tr><td>${r.id}</td>
         <td class="dist">${q ? r.distance.toFixed(6) : ""}</td>

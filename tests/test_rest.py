@@ -229,6 +229,38 @@ def test_pagination_list_mode(server):
         assert [r["id"] for r in res["results"]] == want
 
 
+def test_ui_page_walk(server):
+    """The UI's record-browsing pagination (html/app.js listing mode,
+    reference CollectionView.js:27-54): walking offset += PAGE_SIZE pages
+    covers every document exactly once, in the reference's lexicographic
+    decimal-string id order."""
+    page = 50  # PAGE_SIZE in html/app.js
+    import pathlib
+    appjs = (pathlib.Path(__file__).parent.parent / "html" /
+             "app.js").read_text()
+    assert f"const PAGE_SIZE = {page};" in appjs
+    for frag in ("pgPrev", "pgNext", "body.offset = listPage * PAGE_SIZE"):
+        assert frag in appjs, f"pagination control {frag!r} missing"
+    make_coll(server, dims=4)
+    n = 123
+    req(server, "POST", "/api/v1/collections/test/records",
+        [{"id": i, "vector": [0, 0, 0, 0.1]} for i in range(n)])
+    seen = []
+    off = 0
+    while True:
+        code, res = req(server, "POST", "/api/v1/collections/test/search",
+                        {"offset": off, "limit": page})
+        assert code == 200
+        ids = [r["id"] for r in res["results"]]
+        assert len(ids) <= page
+        seen.extend(ids)
+        off += page
+        if len(ids) < page:
+            break
+    assert sorted(seen) == list(range(n))          # complete, disjoint
+    assert seen == sorted(seen, key=str)           # decimal-string order
+
+
 def test_search_get_method(server):
     make_coll(server, dims=4)
     req(server, "POST", "/api/v1/collections/test/records",
