@@ -47,6 +47,7 @@ import numpy as np
 
 from ..index import hamming
 from ..ops import distance as dist_ops
+from . import capacity as capacity_mod
 from ..ops import quantize as qz
 from ..utils.rng import MyRandom, my_random
 
@@ -372,6 +373,10 @@ class Collection:
                 blobs.append(np.frombuffer(streams[1], dtype=np.uint8))
             packed = np.stack(blobs) if ids else None
         if ids:
+            # a reopen that cannot fit is the "create" side of the capacity
+            # preflight: fail with the actionable error, not an OOM kill
+            capacity_mod.preflight(self, len(ids),
+                                   sum(len(m) for m in metas))
             # storage bytes -> host codes directly (byte-level transform;
             # the old unpack->requantize f64 round trip made reopen 2.3x
             # slower than the initial load)
@@ -421,6 +426,8 @@ class Collection:
                                            self.dimension_count)
             hcode = self.index.encode_np(np.float32(seen))[0]
         with self._lock:
+            if int(doc_id) not in self.columns:
+                capacity_mod.preflight(self, 1, len(metadata))
             self.spanlog.write(str(doc_id), [bytes(metadata), packed])
             row = self.columns.put(int(doc_id), vector, bytes(metadata),
                                    codes=codes[0], norm=float(norms[0]))
@@ -461,6 +468,10 @@ class Collection:
                                            self.dimension_count)
             hcodes = self.index.encode_np(np.float32(seen))
         with self._lock:
+            # fail a too-big ingest cleanly BEFORE any log write (the
+            # reference's mmap never hits this; our resident columns do —
+            # core/capacity.py)
+            capacity_mod.preflight(self, n, sum(len(m) for m in metas))
             self.spanlog.write_many_columns(ids_str, metas, packed)
             rows = self.columns.put_many(np.asarray(doc_ids, dtype=np.uint64),
                                          vectors, metas, codes=codes,

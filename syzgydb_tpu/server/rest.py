@@ -328,6 +328,10 @@ class _Handler(BaseHTTPRequestHandler):
             coll.add_documents(ids, vecs, metas)
         except ValueError as exc:
             return self._error(str(exc), 400)
+        except MemoryError as exc:
+            # capacity preflight (core/capacity.py): nothing was written —
+            # 507 Insufficient Storage with the actionable message
+            return self._error(str(exc), 507)
         self._respond(201, {"message": "Records inserted successfully."})
 
     def _handle_update_metadata(self, parts) -> None:
