@@ -1609,6 +1609,34 @@ class Collection:
 
     # -- stats & misc ------------------------------------------------------
 
+    def metadata_json_ok(self, result: SearchResult) -> bool:
+        """Memoized JSON-validity check of a result's metadata bytes —
+        the REST layer splices valid bytes VERBATIM into the response
+        instead of parse+re-serialize per result (the biggest server-side
+        term of the serving-knee decomposition, tools_dev/r9b; reference
+        analog rest.go:453-461, which re-unmarshals every result).
+
+        The memo is row-indexed and guarded by an IDENTITY check on the
+        bytes object, so a concurrent rewrite of the row between result
+        assembly and response encode can never validate the wrong bytes —
+        it just falls back to a direct json.loads of the snapshot."""
+        md = result.metadata
+        if not md:
+            return False
+        cols = self.columns
+        row = cols._row_of.get(result.id)  # GIL-atomic dict read
+        if row is not None and row < len(cols.meta_ok) and \
+                cols.meta_ok[row] and cols.metadata[row] is md:
+            return True
+        try:
+            json.loads(md)
+        except Exception:
+            return False
+        if row is not None and row < len(cols.meta_ok) and \
+                cols.metadata[row] is md:
+            cols.meta_ok[row] = True
+        return True
+
     def get_document_count(self) -> int:
         return len(self.columns)
 

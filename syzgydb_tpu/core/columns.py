@@ -48,6 +48,12 @@ class ColumnStore:
         self.valid = np.zeros((0,), dtype=bool)
         self.hashes = np.zeros((0, hash_words), dtype=np.uint32)
         self.metadata: list[bytes | None] = []
+        # REST raw-splice memo: meta_ok[row] means "metadata[row] was
+        # validated as JSON".  Guarded by an IDENTITY check on the bytes
+        # object at read time (Collection.metadata_json_ok), so rewrites
+        # never need to reset it — a stale True simply fails the identity
+        # test and revalidates.
+        self.meta_ok = np.zeros((0,), dtype=bool)
         # incremental-upload support: rows touched since the last device sync
         self._dirty_rows: set[int] = set()
         self.dirty_all = True
@@ -75,6 +81,7 @@ class ColumnStore:
         self.ids = pad(self.ids)
         self.valid = pad(self.valid)
         self.hashes = pad(self.hashes)
+        self.meta_ok = pad(self.meta_ok)
         self.metadata.extend([None] * (new_cap - self.capacity))
         self.capacity = new_cap
         self.dirty_all = True  # shapes changed; device must re-place fully
