@@ -494,6 +494,40 @@ class Collection:
                 if not self.index.calibrated:
                     self._hashes_stale = True
 
+    def add_documents_packed(self, doc_ids: Sequence[int],
+                             packed: np.ndarray,
+                             metadatas: Sequence[bytes]) -> None:
+        """Bulk insert from PACKED storage bytes (the span-log stream-1
+        representation: big-endian codes, high-nibble-first 4-bit) — the
+        fast-restore path for compact exports (tools/dump.py): no float
+        parsing, no requantization, bit-identical storage by construction.
+        Mirrors _replay's byte-level transform."""
+        packed = np.ascontiguousarray(np.atleast_2d(packed), dtype=np.uint8)
+        n = packed.shape[0]
+        want = qz.vector_byte_size(self.quantization, self.dimension_count)
+        if packed.shape[1] != want:
+            raise ValueError(
+                f"packed rows are {packed.shape[1]} bytes; a "
+                f"{self.dimension_count}-d {self.quantization}-bit "
+                f"collection stores {want}")
+        if not (len(doc_ids) == n == len(metadatas)):
+            raise ValueError("ids/packed/metadatas length mismatch")
+        codes = qz.packed_to_host_repr(packed, self.dimension_count,
+                                       self.quantization)
+        norms = dist_ops.db_row_stats(codes, self.quantization,
+                                      self.dimension_count)
+        ids_str = [str(int(i)) for i in doc_ids]
+        metas = [bytes(m) for m in metadatas]
+        with self._lock:
+            capacity_mod.preflight(self, n, sum(len(m) for m in metas))
+            self.spanlog.write_many_columns(ids_str, metas, packed)
+            self.columns.put_many(np.asarray(doc_ids, dtype=np.uint64),
+                                  None, metas, codes=codes, norms=norms)
+            # sketches regenerate on device from the uploaded codes
+            self.columns.dirty_all = True
+            if not self.index.calibrated:
+                self._hashes_stale = True
+
     def get_document(self, doc_id: int) -> Document:
         with self._lock:
             if int(doc_id) not in self.columns:
