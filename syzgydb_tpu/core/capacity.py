@@ -91,16 +91,23 @@ def device_budget() -> Optional[int]:
 
 def estimate(capacity: int, code_row_bytes_host: int,
              code_row_bytes_dev: int, hash_words: int,
-             meta_row_bytes: int, slab: bool, ilv: bool) -> dict:
+             meta_row_bytes: int, slab: bool, ilv: bool,
+             lean: bool = False) -> dict:
     """Byte estimates for one capacity.  Per-row host fixed costs: codes +
     norms f32 + ids u64 + valid bool + hashes u32*words; device adds the
-    derived surfaces and the placement transient."""
+    derived surfaces and the placement transient.  Lean placements
+    (collection._LEAN_CODE_BYTES) drop the matmul-layout buffer and
+    stream the relayout, so the peak is slab + ilv + one chunk."""
     fixed = code_row_bytes_host + 4 + 8 + 1 + 4 * hash_words
     host = capacity * (fixed + meta_row_bytes)
     dev_rows = 4 + 1 + 4 * hash_words  # norms + valid + hashes
-    surfaces = 1 + (1 if slab else 0) + (1 if ilv else 0)
+    surfaces = (0 if lean else 1) + (1 if slab else 0) + (1 if ilv else 0)
     dev = capacity * (code_row_bytes_dev * surfaces + dev_rows)
-    peak = dev + capacity * code_row_bytes_dev  # one relayout transient
+    if lean:
+        from .collection import _LEAN_CHUNK_ROWS
+        peak = dev + _LEAN_CHUNK_ROWS * code_row_bytes_dev
+    else:
+        peak = dev + capacity * code_row_bytes_dev  # relayout transient
     return {"host_bytes": host, "device_bytes": dev, "device_peak": peak}
 
 
@@ -128,12 +135,15 @@ def preflight(collection, n_new: int, meta_bytes_new: int = 0) -> None:
     meta_row = (live_meta + meta_bytes_new) // max(n_meta, 1)
 
     from ..ops import pallas_scan
+    from .collection import _LEAN_CODE_BYTES
     dims = collection.dimension_count
     slab = pallas_scan.supported() and \
         pallas_scan.lane_slab_supported(q, dims)
     ilv = pallas_scan.supported() and pallas_scan.ilv_supported(new_cap)
+    lean = (slab and ilv and collection._mesh is None
+            and new_cap * code_row_dev > _LEAN_CODE_BYTES)
     est = estimate(new_cap, code_row_host, code_row_dev,
-                   cols.hash_words, meta_row, slab, ilv)
+                   cols.hash_words, meta_row, slab, ilv, lean)
 
     host_avail = host_available()
     if host_avail is not None and \

@@ -209,6 +209,15 @@ def _scatter_apply(codes, norms, valid, hashes, idx, c_new, n_new, v_new,
             hashes.at[idx].set(h_new, mode="drop"))
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_apply_lean(norms, valid, hashes, idx, n_new, v_new, h_new):
+    """_scatter_apply minus the matmul-layout codes buffer (lean
+    placements: the code payload scatters into slab+ilv instead)."""
+    return (norms.at[idx].set(n_new, mode="drop"),
+            valid.at[idx].set(v_new, mode="drop"),
+            hashes.at[idx].set(h_new, mode="drop"))
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_slab_apply(slab, idx, c_new):
     """Donated scatter of a dirty-row batch into the tile-aligned lane
@@ -242,10 +251,41 @@ def _scatter_ilv_apply(ilv, idx, c_new, seg: Optional[int] = None):
                             mode="drop")
 
 
-# the interleaved operand is a THIRD codes-sized device buffer (after the
-# matmul codes and the lane slab); cap its size so 10M-row collections
-# don't trade 4 GB of HBM for the ~5 ms it saves per 1024-query batch
-_ILV_MAX_CODE_BYTES = 2 << 30
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("bits", "dims", "seg"))
+def _lean_chunk_update(slab, ilv, hashes, chunk, planes, offsets, start,
+                       *, bits: int, dims: int, seg: int):
+    """One streamed lean-placement step: write chunk's slab segments, ilv
+    columns (the permutation is per-4096-row block, so block-aligned
+    chunks map to contiguous column ranges), and sketch hashes.  Donated
+    buffers keep the peak at slab + ilv + chunk."""
+    from ..index.hamming import _encode_codes_jit
+    from ..ops import pallas_scan
+    sl = pallas_scan.make_lane_slab(chunk, seg)
+    slab = jax.lax.dynamic_update_slice(slab, sl, (start // seg, 0, 0))
+    iv = pallas_scan.make_ilv_codes(chunk, seg).astype(ilv.dtype)
+    ilv = jax.lax.dynamic_update_slice(ilv, iv, (0, start))
+    h = _encode_codes_jit(chunk, planes, offsets, bits=bits, dims=dims)
+    hashes = jax.lax.dynamic_update_slice(hashes, h, (start, 0))
+    return slab, ilv, hashes
+
+
+# Placement strategy threshold (r5, VERDICT r4 item 2).  Below this many
+# code bytes the device keeps THREE code-sized buffers — matmul-layout
+# codes, lane slab, ilv operand — so every consumer has its fastest
+# layout resident (the r3.7/r4 headline configuration).  ABOVE it (the
+# 10M-scale regime where 3x codes + the relayout transient overflowed
+# v5e and the old gate dropped the ilv kernel entirely), placement goes
+# LEAN: the matmul-layout buffer is dropped, every production consumer is
+# served from slab+ilv (fused surface; lane rerank; slab-based ANN
+# rerank), the placement relayout streams in chunks so the peak is
+# 2x codes + chunk, and the rare codes-needing dispatches (exact-mode XLA
+# surface, Q > _ILV_MAX_Q, non-fused large-k) reconstruct the layout from
+# the slab per dispatch (pallas_scan.codes_from_slab).
+_LEAN_CODE_BYTES = 2 << 30
+# rows per streamed lean-placement chunk: a multiple of the ilv block
+# (128*seg = 4096) and the slab segment; ~200 MB of upload at 384-d 8-bit
+_LEAN_CHUNK_ROWS = 1 << 19
 
 
 import itertools
@@ -584,7 +624,7 @@ class Collection:
         if self._hashes_stale and len(self.columns) >= MIN_INDEX_SIZE:
             self._rebuild_index()
         if self._dev is not None and self._dev_version != self.columns.version \
-                and self._dev["codes"].shape[0] == self.columns.capacity:
+                and self._dev["valid"].shape[0] == self.columns.capacity:
             rows = self.columns.drain_dirty()
             if rows is not None and len(rows) <= max(
                     1024, self.columns.capacity // 8):
@@ -638,9 +678,16 @@ class Collection:
                         self._mesh, self.quantization,
                         self.columns.capacity) and \
                         codes_dev.size * codes_dev.dtype.itemsize <= \
-                        _ILV_MAX_CODE_BYTES:
+                        _LEAN_CODE_BYTES:
                     self._dev["ilv"] = psearch.sharded_ilv_codes(
                         self._mesh, codes_dev)
+            elif self._lean_ok(codes_np):
+                # LEAN placement (>2 GB codes): slab + ilv only, streamed
+                # in chunks so the relayout peak is 2x codes + chunk — the
+                # 10M-scale workload now runs the flagship fused kernel
+                # (VERDICT r4 item 2; the old gate kept it on the slower
+                # XLA surface because 3x codes + transient overflowed v5e)
+                self._dev = self._place_lean(codes_np)
             else:
                 codes_dev = jnp.asarray(codes_np)
                 self._dev = {
@@ -673,10 +720,14 @@ class Collection:
                 # 32/64-bit bf16x2 code split (13.8 vs 27.2 ms, r7h),
                 # 4-bit dual-nibble (r7j — needed query deinterleave
                 # outside the kernel + int32-widened shifts).
+                # the byte cap only matters when LEAN couldn't engage
+                # (e.g. packed 4-bit has no lane slab): there the third
+                # buffer + transient must still not blow past the old
+                # envelope
                 if pallas_scan.supported() and \
                         pallas_scan.ilv_supported(self.columns.capacity) and \
                         codes_dev.size * codes_dev.dtype.itemsize <= \
-                        _ILV_MAX_CODE_BYTES:
+                        _LEAN_CODE_BYTES:
                     self._dev["ilv"] = pallas_scan.make_ilv_codes(codes_dev)
             self._dev_version = self.columns.version
             # prewarm the scatter program (a no-op update): its first
@@ -684,6 +735,56 @@ class Collection:
             # the first query after the first mutation
             self._dev = self._scatter_rows(np.empty(0, dtype=np.int64))
         return self._dev
+
+    # tests flip this on (with pallas_scan.supported patched) to exercise
+    # the fused-kernel paths through the whole Collection stack on CPU
+    _kernel_interpret = False
+
+    def _lean_ok(self, codes_np: np.ndarray) -> bool:
+        """Whether this placement should go lean (see _LEAN_CODE_BYTES):
+        big enough to matter, and both derived surfaces available so no
+        production path needs the dropped matmul buffer resident."""
+        from ..ops import pallas_scan
+        itemsize = 4 if self.quantization == 64 else codes_np.dtype.itemsize
+        return (pallas_scan.supported()
+                and codes_np.size * itemsize > _LEAN_CODE_BYTES
+                and pallas_scan.lane_slab_supported(
+                    self.quantization, self.options.dimension_count)
+                and pallas_scan.ilv_supported(self.columns.capacity))
+
+    def _place_lean(self, codes_np: np.ndarray) -> dict:
+        """Streamed lean placement: upload the codes in _LEAN_CHUNK_ROWS
+        chunks and build the lane slab, ilv operand, and sketch hashes
+        incrementally with donated updates — HBM peak is slab + ilv + one
+        chunk (~2x codes + 200 MB) instead of the 3x-codes + full relayout
+        transient that kept 10M collections off the fused kernel."""
+        from ..ops import pallas_scan
+        n, w = codes_np.shape
+        seg = pallas_scan.DEFAULT_SEG
+        lane = pallas_scan._LANE
+        dt = jnp.float32 if self.quantization == 64 else codes_np.dtype
+        slab = jnp.zeros((n // seg, (seg * w) // lane, lane), dtype=dt)
+        ilv = jnp.zeros((w, n), dtype=dt)
+        hashes = jnp.zeros((n, self.index.words), dtype=jnp.uint32)
+        planes = jnp.asarray(self.index.planes)
+        offsets = jnp.asarray(self.index.offsets)
+        step = _LEAN_CHUNK_ROWS
+        for a in range(0, n, step):
+            chunk = np.asarray(codes_np[a:a + step])
+            if self.quantization == 64:
+                chunk = np.float32(chunk)
+            slab, ilv, hashes = _lean_chunk_update(
+                slab, ilv, hashes, jnp.asarray(chunk),
+                planes, offsets, a,
+                bits=self.quantization, dims=self.dimension_count,
+                seg=seg)
+        return {
+            "norms": jnp.asarray(self.columns.norms),
+            "valid": jnp.asarray(self.columns.valid),
+            "hashes": hashes,
+            "slab": slab,
+            "ilv": ilv,
+        }
 
     def _scatter_rows(self, rows: np.ndarray) -> dict:
         """Apply a bounded set of mutated rows to the device columns as
@@ -717,12 +818,20 @@ class Collection:
 
         dev = self._dev
         c_new = take(self.columns.codes)
-        out = _scatter_apply(dev["codes"], dev["norms"], dev["valid"],
-                             dev["hashes"], idx, c_new,
-                             take(self.columns.norms),
-                             take(self.columns.valid),
-                             take(self.columns.hashes))
-        new = dict(zip(("codes", "norms", "valid", "hashes"), out))
+        if "codes" in dev:
+            out = _scatter_apply(dev["codes"], dev["norms"], dev["valid"],
+                                 dev["hashes"], idx, c_new,
+                                 take(self.columns.norms),
+                                 take(self.columns.valid),
+                                 take(self.columns.hashes))
+            new = dict(zip(("codes", "norms", "valid", "hashes"), out))
+        else:  # lean placement: no resident matmul-layout buffer
+            out = _scatter_apply_lean(dev["norms"], dev["valid"],
+                                      dev["hashes"], idx,
+                                      take(self.columns.norms),
+                                      take(self.columns.valid),
+                                      take(self.columns.hashes))
+            new = dict(zip(("norms", "valid", "hashes"), out))
         if self._mesh is not None:
             from ..parallel import mesh as mesh_mod
             want = {"codes": mesh_mod.row_sharding(self._mesh),
@@ -996,10 +1105,8 @@ class Collection:
                 else:
                     _, cand = hamming.hamming_candidates(
                         qcode, dev["hashes"], valid, b, self.index.words)
-                    dist, rows, nsc = hamming.rerank_topk(
-                        queries, dev["codes"], dev["norms"], valid, cand,
-                        self.quantization, self.metric, b,
-                        with_counts=True)
+                    dist, rows, nsc = self._ann_rerank(
+                        queries, dev, valid, cand, b)
                 dist_np, rows_np, cnt = self._fetch_results(dist, rows, nsc)
                 if b >= cap or all(
                         self._radius_done(dist_np[i], b, radii[i], 0.0)
@@ -1132,6 +1239,8 @@ class Collection:
                     self._mesh.shape["data"]) // psearch._SEG
             return dist, rows, ties, min(kk + margin, nseg), nseg
         from ..ops import pallas_scan
+        codes_dev = dev.get("codes")
+        interp = self._kernel_interpret
         # Fused segment-min scan: streams the codes once and never
         # materializes the f32 (Q, N) distance matrix in HBM
         # (ops/pallas_scan.py).  Falls back to the XLA two-dispatch
@@ -1145,9 +1254,10 @@ class Collection:
                     # (pallas_scan._TIE_MARGIN_F32 note); the SHARED
                     # predicate keeps this in lockstep with the surface
                     # fused_scan_topk actually picks
-                    surf_f32 = exact or pallas_scan.will_use_ilv(
+                    use_ilv = pallas_scan.will_use_ilv(
                         dev.get("ilv") is not None, queries.shape[0],
-                        exact)
+                        exact, interp)
+                    surf_f32 = exact or use_ilv
                     margin = pallas_scan.default_tie_margin(surf_f32) \
                         if tie_margin is None else tie_margin
                     if tie_margin is None and \
@@ -1159,18 +1269,42 @@ class Collection:
                         # k=1024 on the headline corpus)
                         margin = max(margin, 64)
                     nseg = self.columns.capacity // pallas_scan.DEFAULT_SEG
+                    if codes_dev is None and not use_ilv:
+                        # lean placement meets a codes-needing surface
+                        # (exact-mode XLA / Q past the kernel's block):
+                        # reconstruct the matmul layout from the slab for
+                        # this dispatch (one HBM relayout pass)
+                        codes_dev = pallas_scan.codes_from_slab(
+                            dev["slab"])
                     dist, rows, ties = pallas_scan.fused_scan_topk(
-                        queries, dev["codes"], dev["norms"], valid,
+                        queries, codes_dev, dev["norms"], valid,
                         dev.get("slab"), dev.get("ilv"),
                         bits=self.quantization, metric=self.metric,
                         k=kk, block_n=block, exact=exact,
+                        interpret=interp,
                         tie_margin=margin, with_ties=True)
                     return dist, rows, ties, min(kk + margin, nseg), nseg
+        if codes_dev is None:
+            codes_dev = pallas_scan.codes_from_slab(dev["slab"])
         dists = dist_ops.score_block(
-            queries, dev["codes"], dev["norms"], valid,
+            queries, codes_dev, dev["norms"], valid,
             self.quantization, self.metric, exact=exact)
         d, r = dist_ops.top_k_smallest(dists, kk)
         return d, r, None, 0, 0
+
+    def _ann_rerank(self, queries, dev: dict, valid, cand, k: int):
+        """Exact rerank of sketch candidates: per-row gathers from the
+        matmul-layout codes when resident, otherwise (lean placement) the
+        slab-served variant — same (dist, rows, nscored) contract."""
+        from ..ops import pallas_scan
+        if "codes" in dev:
+            return hamming.rerank_topk(
+                queries, dev["codes"], dev["norms"], valid, cand,
+                self.quantization, self.metric, k, with_counts=True)
+        return pallas_scan.lane_rerank_topk(
+            queries, dev["slab"], dev["norms"], valid, cand,
+            bits=self.quantization, metric=self.metric, k=k,
+            with_counts=True)
 
     def _leased_finish(self, fin: Callable) -> Callable:
         """Hold a column-store snapshot lease across a deferred result
@@ -1256,9 +1390,8 @@ class Collection:
             else:
                 _, cand = hamming.hamming_candidates(
                     qcode, dev["hashes"], valid, budget, self.index.words)
-                dist, rows, nsc = hamming.rerank_topk(
-                    queries, dev["codes"], dev["norms"], valid, cand,
-                    self.quantization, self.metric, k, with_counts=True)
+                dist, rows, nsc = self._ann_rerank(
+                    queries, dev, valid, cand, k)
 
             def finish_ann() -> list[SearchResults]:
                 dist_np, rows_np, cnt = self._fetch_results(dist, rows, nsc)

@@ -200,6 +200,54 @@ def make_lane_slab(codes, seg: int = DEFAULT_SEG):
     return codes.reshape(n // seg, (seg * d) // _LANE, _LANE)
 
 
+def codes_from_slab(slab, seg: int = DEFAULT_SEG):
+    """Matmul-layout (N, D|P) view of the lane slab — the slab is a pure
+    reshape of the codes (same linear order), so this logical view costs
+    nothing until a consumer forces a physical relayout (one HBM pass).
+    Lean placements (Collection, >2 GB codes) drop the resident matmul
+    buffer and reconstruct it per dispatch for the RARE paths that need it
+    (exact-mode XLA surface, Q > _ILV_MAX_Q, non-fused large-k)."""
+    nseg, m, lanes = slab.shape
+    return slab.reshape(nseg * seg, (m * lanes) // seg)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "metric", "k", "seg",
+                                             "with_counts"))
+def lane_rerank_topk(queries, slab, norms, valid, cand, *, bits: int,
+                     metric: str, k: int, seg: int = DEFAULT_SEG,
+                     with_counts: bool = False):
+    """ANN candidate rerank served from the lane slab (no matmul-layout
+    codes buffer — the lean-placement analog of hamming.rerank_topk).
+
+    Per-row gathers from a 2-D code layout are inherently sub-tile
+    (~37 GB/s, index/hamming.py layout note); the slab's whole-tile
+    SEGMENT gathers run ~2.7x faster, so each candidate fetches its whole
+    seg-row segment (duplicates included) and selects its own row from the
+    lane dots — 32x the bytes at full bandwidth, a fine trade at the small
+    serving batches where the ANN path wins.  Returns the same
+    (dist, rows[, nscored]) contract as rerank_topk."""
+    nq, c = cand.shape
+    seg_idx = cand // seg
+    within = (cand % seg).astype(jnp.int32)
+    raw = _lane_dots(queries, slab, seg_idx, seg)      # (Q, C*seg)
+    raw = jnp.take_along_axis(raw.reshape(nq, c, seg),
+                              within[..., None], axis=2)[..., 0]
+    dots = _affine_dots(queries, raw, bits)
+    cnorms = jnp.take(norms, cand, axis=0)
+    cvalid = jnp.take(valid, cand, axis=0)
+    dist, _ = _dots_to_dist_surr(queries, dots, cnorms, cvalid, metric)
+    kk = min(k, dist.shape[1])
+    if kk > 128:
+        vals, pos = jax.lax.approx_min_k(dist, kk, recall_target=0.95)
+        rows = jnp.take_along_axis(cand, pos, axis=1)
+    else:
+        neg, pos = jax.lax.top_k(-dist, kk)
+        vals, rows = -neg, jnp.take_along_axis(cand, pos, axis=1)
+    if with_counts:
+        return vals, rows, jnp.sum(cvalid, axis=1).astype(jnp.int32)
+    return vals, rows
+
+
 def _lane_dots(queries, slab, seg_idx, seg: int):
     """Raw contraction dot(q, row) for every row of the selected segments,
     computed on the tile-aligned slab layout: (Q, D) x (nseg, seg*Lr, 128)
