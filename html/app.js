@@ -136,6 +136,10 @@ async function runSearch(name) {
   } else {
     body.offset = listPage * PAGE_SIZE;
     body.limit = PAGE_SIZE;
+    // refresh the total per page so paging stays correct after
+    // concurrent inserts/deletes (stale totals disabled "next" wrongly)
+    try { listTotal = (await api.getCollection(name)).document_count; }
+    catch (e) { /* keep the last-known total */ }
   }
   let res;
   try { res = await api.search(name, body); }

@@ -45,8 +45,9 @@ class CapacityError(MemoryError):
 
 
 def grown_capacity(cur_cap: int, min_capacity: int) -> int:
-    """Mirror of ColumnStore._grow's sizing policy (columns.py): doubling
-    to 4M rows, then 25% linear growth, 8192-aligned."""
+    """THE column-store sizing policy (ColumnStore._grow delegates here,
+    so preflight and allocator can never drift): doubling to 4M rows,
+    then 25% linear growth, 8192-aligned."""
     from .columns import (_GROWTH_ALIGN, _INITIAL_CAPACITY,
                           _LINEAR_GROWTH_ABOVE)
     new_cap = max(_INITIAL_CAPACITY, cur_cap)
@@ -115,12 +116,22 @@ def _gib(n: int) -> str:
     return f"{n / (1 << 30):.2f} GiB"
 
 
+def new_rows_needed(columns, doc_ids) -> int:
+    """How many genuinely NEW rows an ingest of doc_ids allocates: ids
+    already stored reuse their row, and free-list rows absorb the rest —
+    so pure update/upsert batches never trip the preflight (review
+    finding r5: treating every batch row as growth turned re-ingests of
+    existing ids into spurious CapacityErrors on tight hosts)."""
+    fresh = {int(i) for i in doc_ids} - columns._row_of.keys()
+    return max(0, len(fresh) - len(columns._free))
+
+
 def preflight(collection, n_new: int, meta_bytes_new: int = 0) -> None:
     """Raise CapacityError when growing `collection` by n_new rows would
     exceed the host or device envelope.  Cheap no-op when no growth is
     needed.  Call BEFORE writing to the span log."""
     cols = collection.columns
-    need = cols.size + n_new  # upper bound: free-list rows may absorb some
+    need = cols.size + n_new
     new_cap = grown_capacity(cols.capacity, need)
     if new_cap <= cols.capacity:
         return
@@ -139,9 +150,15 @@ def preflight(collection, n_new: int, meta_bytes_new: int = 0) -> None:
     dims = collection.dimension_count
     slab = pallas_scan.supported() and \
         pallas_scan.lane_slab_supported(q, dims)
-    ilv = pallas_scan.supported() and pallas_scan.ilv_supported(new_cap)
-    lean = (slab and ilv and collection._mesh is None
+    ilv_possible = pallas_scan.supported() and \
+        pallas_scan.ilv_supported(new_cap)
+    lean = (slab and ilv_possible and collection._mesh is None
             and new_cap * code_row_dev > _LEAN_CODE_BYTES)
+    # mirror placement's actual gate: above the threshold the ilv operand
+    # exists only under lean (non-lean big placements — packed 4-bit,
+    # meshes — skip it), so don't bill a buffer that won't be built
+    ilv = ilv_possible and (lean or
+                            new_cap * code_row_dev <= _LEAN_CODE_BYTES)
     est = estimate(new_cap, code_row_host, code_row_dev,
                    cols.hash_words, meta_row, slab, ilv, lean)
 

@@ -466,8 +466,9 @@ class Collection:
                                            self.dimension_count)
             hcode = self.index.encode_np(np.float32(seen))[0]
         with self._lock:
-            if int(doc_id) not in self.columns:
-                capacity_mod.preflight(self, 1, len(metadata))
+            n_new = capacity_mod.new_rows_needed(self.columns, [doc_id])
+            if n_new:
+                capacity_mod.preflight(self, n_new, len(metadata))
             self.spanlog.write(str(doc_id), [bytes(metadata), packed])
             row = self.columns.put(int(doc_id), vector, bytes(metadata),
                                    codes=codes[0], norm=float(norms[0]))
@@ -510,8 +511,10 @@ class Collection:
         with self._lock:
             # fail a too-big ingest cleanly BEFORE any log write (the
             # reference's mmap never hits this; our resident columns do —
-            # core/capacity.py)
-            capacity_mod.preflight(self, n, sum(len(m) for m in metas))
+            # core/capacity.py); only genuinely NEW rows count as growth
+            capacity_mod.preflight(
+                self, capacity_mod.new_rows_needed(self.columns, doc_ids),
+                sum(len(m) for m in metas))
             self.spanlog.write_many_columns(ids_str, metas, packed)
             rows = self.columns.put_many(np.asarray(doc_ids, dtype=np.uint64),
                                          vectors, metas, codes=codes,
@@ -559,7 +562,9 @@ class Collection:
         ids_str = [str(int(i)) for i in doc_ids]
         metas = [bytes(m) for m in metadatas]
         with self._lock:
-            capacity_mod.preflight(self, n, sum(len(m) for m in metas))
+            capacity_mod.preflight(
+                self, capacity_mod.new_rows_needed(self.columns, doc_ids),
+                sum(len(m) for m in metas))
             self.spanlog.write_many_columns(ids_str, metas, packed)
             self.columns.put_many(np.asarray(doc_ids, dtype=np.uint64),
                                   None, metas, codes=codes, norms=norms)
@@ -1783,10 +1788,11 @@ class Collection:
         term of the serving-knee decomposition, tools_dev/r9b; reference
         analog rest.go:453-461, which re-unmarshals every result).
 
-        The memo is row-indexed and guarded by an IDENTITY check on the
-        bytes object, so a concurrent rewrite of the row between result
-        assembly and response encode can never validate the wrong bytes —
-        it just falls back to a direct json.loads of the snapshot."""
+        The memo is row-indexed; metadata WRITES reset the row's bit
+        (ColumnStore), and the bytes-identity check below additionally
+        guards the race of a rewrite landing between this validation and
+        the memo store — either way the wrong bytes can never be
+        memoized as valid."""
         md = result.metadata
         if not md:
             return False
@@ -1802,6 +1808,11 @@ class Collection:
         if row is not None and row < len(cols.meta_ok) and \
                 cols.metadata[row] is md:
             cols.meta_ok[row] = True
+            if cols.metadata[row] is not md:
+                # a rewrite raced between the identity check and the memo
+                # store: never leave True standing for bytes we didn't
+                # validate (the writer's own reset may have run first)
+                cols.meta_ok[row] = False
         return True
 
     def get_document_count(self) -> int:

@@ -48,11 +48,14 @@ class ColumnStore:
         self.valid = np.zeros((0,), dtype=bool)
         self.hashes = np.zeros((0, hash_words), dtype=np.uint32)
         self.metadata: list[bytes | None] = []
-        # REST raw-splice memo: meta_ok[row] means "metadata[row] was
-        # validated as JSON".  Guarded by an IDENTITY check on the bytes
-        # object at read time (Collection.metadata_json_ok), so rewrites
-        # never need to reset it — a stale True simply fails the identity
-        # test and revalidates.
+        # REST raw-splice memo: meta_ok[row] means "the bytes CURRENTLY in
+        # metadata[row] were validated as JSON".  Every metadata write
+        # resets the row's bit (put/put_many/set_metadata) — the read-side
+        # identity check alone is NOT enough, because a result assembled
+        # AFTER a rewrite carries the new bytes and would pass the
+        # identity test against a stale True (review finding r5).  The
+        # identity check still guards the narrower race of a rewrite
+        # BETWEEN validation and memoization.
         self.meta_ok = np.zeros((0,), dtype=bool)
         # incremental-upload support: rows touched since the last device sync
         self._dirty_rows: set[int] = set()
@@ -61,13 +64,11 @@ class ColumnStore:
     # -- capacity ----------------------------------------------------------
 
     def _grow(self, min_capacity: int) -> None:
-        new_cap = max(_INITIAL_CAPACITY, self.capacity)
-        while new_cap < min_capacity:
-            if new_cap >= _LINEAR_GROWTH_ABOVE:
-                new_cap = -(-(new_cap + new_cap // 4) //
-                            _GROWTH_ALIGN) * _GROWTH_ALIGN
-            else:
-                new_cap *= 2
+        # ONE sizing policy, shared with the capacity preflight so the
+        # two can never drift (capacity.grown_capacity holds the
+        # doubling / 25%-linear / 8192-align logic)
+        from .capacity import grown_capacity
+        new_cap = grown_capacity(self.capacity, min_capacity)
         if new_cap == self.capacity:
             return
 
@@ -113,6 +114,7 @@ class ColumnStore:
         self.ids[row] = doc_id
         self.valid[row] = True
         self.metadata[row] = metadata
+        self.meta_ok[row] = False  # memo invalid until re-validated
         self._dirty_rows.add(row)
         self.version += 1
         return row
@@ -161,6 +163,7 @@ class ColumnStore:
             dist_ops.db_row_stats(dev, self.quantization, self.dims)
         self.ids[rows] = np.asarray(doc_ids, dtype=np.uint64)
         self.valid[rows] = True
+        self.meta_ok[rows] = False  # memo invalid until re-validated
         for i, row in enumerate(rows):
             self.metadata[row] = metadatas[i]
         self._dirty_rows.update(int(r) for r in rows)
@@ -168,7 +171,9 @@ class ColumnStore:
         return rows
 
     def set_metadata(self, doc_id: int, metadata: bytes) -> None:
-        self.metadata[self._row_of[doc_id]] = metadata
+        row = self._row_of[doc_id]
+        self.metadata[row] = metadata
+        self.meta_ok[row] = False  # memo invalid until re-validated
         self.version += 1
 
     def set_hash(self, row: int, code_words: np.ndarray) -> None:

@@ -128,7 +128,8 @@ class SearchBatcher:
                 mode = None
         if mode is None:
             return coll.search(args)
-        cap = self.max_batch if mode == "knn" else MAX_BATCH_RADIUS
+        cap = self.max_batch if mode == "knn" \
+            else min(self.max_batch, MAX_BATCH_RADIUS)
 
         # batch_token, not id(coll): CPython reuses object addresses, so a
         # deleted collection's id() can alias a new one's and mix batches.

@@ -39,6 +39,7 @@ from typing import Optional
 
 from ..core.collection import (Collection, CollectionOptions, SearchArgs,
                                COSINE, EUCLIDEAN)
+from ..core import capacity as capacity_mod
 from .. import build_filter
 from . import config, embedding
 
@@ -162,7 +163,11 @@ class _Handler(BaseHTTPRequestHandler):
                 self.send_error(400, "Bad request header")
                 return False
             last = k.strip().lower()
-            d[last] = v.strip()
+            # FIRST occurrence wins, matching the stdlib email parser's
+            # Message.get (a duplicated Content-Length must not change
+            # request framing relative to the fallback parser — review
+            # finding r5)
+            d.setdefault(last, v.strip())
         self.headers = _FastHeaders(d)
         conn = (d.get("connection") or "").lower()
         if conn == "close":
@@ -404,9 +409,12 @@ class _Handler(BaseHTTPRequestHandler):
             coll.add_documents(ids, vecs, metas)
         except ValueError as exc:
             return self._error(str(exc), 400)
-        except MemoryError as exc:
+        except capacity_mod.CapacityError as exc:
             # capacity preflight (core/capacity.py): nothing was written —
-            # 507 Insufficient Storage with the actionable message
+            # 507 Insufficient Storage with the actionable message.  A
+            # bare MemoryError from deeper in the allocator deliberately
+            # stays on the generic 500 path: it carries no
+            # nothing-was-written guarantee
             return self._error(str(exc), 507)
         self._respond(201, {"message": "Records inserted successfully."})
 

@@ -88,6 +88,56 @@ def test_device_budget_check(tmp_path, monkeypatch):
     c.close()
 
 
+def test_update_batches_never_trip_preflight(tmp_path, monkeypatch):
+    """Re-ingesting EXISTING ids (and filling free-list rows) allocates
+    nothing, so it must pass even when the next growth rung would not fit
+    (review finding r5: n_new used to count every batch row)."""
+    c = make(tmp_path, n=100)
+    monkeypatch.setattr(cap, "host_available", lambda: 1)  # nothing fits
+    # pure update batch: same ids, new data
+    c.add_documents(list(range(100)), np.zeros((100, 8)),
+                    [b'{"u": 1}'] * 100)
+    assert c.get_document_count() == 100
+    # free-list reuse: remove then re-add different ids, same row count
+    c.remove_document(7)
+    c.add_document(5007, np.zeros(8), b"{}")
+    # packed path takes the same accounting
+    from syzgydb_tpu.ops import quantize as qz
+    packed = qz.pack_vectors(np.zeros((100, 8)), 8)
+    c.add_documents_packed(list(range(100)), packed, [b"{}"] * 100)
+    c.close()
+
+
+def test_meta_memo_reset_on_rewrite(tmp_path):
+    """A row rewritten with invalid metadata after its valid bytes were
+    memoized must NOT splice raw (review finding r5: the identity check
+    alone passed for post-rewrite results)."""
+    from syzgydb_tpu.core.collection import SearchResult
+    c = make(tmp_path, n=4)
+    r1 = c.search(SearchArgs(vector=np.zeros(8), k=1)).results[0]
+    assert c.metadata_json_ok(r1)  # memoizes the row
+    # rewrite the same id (same row) with NON-JSON metadata
+    c.add_document(r1.id, np.zeros(8), b"not json")
+    r2 = c.search(SearchArgs(vector=np.zeros(8), k=4))
+    bad = [r for r in r2.results if r.id == r1.id][0]
+    assert bad.metadata == b"not json"
+    assert not c.metadata_json_ok(bad)
+    # row reuse via remove + re-add must also revalidate
+    c.remove_document(r1.id)
+    c.add_document(9001, np.zeros(8), b"also not json")
+    res = SearchResult(9001, c.columns.metadata[c.columns._row_of[9001]],
+                       0.0)
+    assert not c.metadata_json_ok(res)
+    # update_document path
+    c.add_document(9002, np.zeros(8), b'{"ok": 1}')
+    r = SearchResult(9002, c.columns.metadata[c.columns._row_of[9002]], 0.0)
+    assert c.metadata_json_ok(r)
+    c.update_document(9002, b"nope")
+    r = SearchResult(9002, c.columns.metadata[c.columns._row_of[9002]], 0.0)
+    assert not c.metadata_json_ok(r)
+    c.close()
+
+
 def test_rest_insert_maps_capacity_error_to_507(tmp_path, monkeypatch):
     import threading
     from syzgydb_tpu.server import rest as rest_mod
