@@ -212,6 +212,31 @@ def test_filtered_search_path_expressions(server):
         assert {r["id"] for r in res["results"]} == want, flt
 
 
+def test_filtered_search_quantifiers(server):
+    """ANY/ALL quantifiers and whole-array equality through the full REST
+    stack (the r5 columnar vectorization)."""
+    make_coll(server, dims=4)
+    recs = [{"id": i, "vector": [i / 20, 0.1, 0.1, 0.1],
+             "metadata": {"items": [{"price": j + i} for j in range(i % 3)],
+                          "tags": ["red", "blue"] if i % 2 else ["green"]}}
+            for i in range(10)]
+    req(server, "POST", "/api/v1/collections/test/records", recs)
+    for flt, want in [
+        # row i's items hold prices [i .. i + i%3 - 1]
+        ("ANY(items, price > 7)", {8}),
+        ("ALL(items, price >= 4)", {0, 3, 4, 5, 6, 7, 8, 9}),  # [] is True
+        ("ANY(items[*], price == 5)", {5}),
+        ("tags == ['red', 'blue']", {1, 3, 5, 7, 9}),
+        ("tags != ['red', 'blue']", {0, 2, 4, 6, 8}),
+        ("NOT ANY(items, price > 0) AND tags == ['green']", {0, 6}),
+    ]:
+        code, res = req(server, "POST", "/api/v1/collections/test/search",
+                        {"vector": [0.0, 0.1, 0.1, 0.1], "k": 20,
+                         "filter": flt, "precision": "exact"})
+        assert code == 200, flt
+        assert {r["id"] for r in res["results"]} == want, flt
+
+
 def test_pagination_list_mode(server):
     """limit/offset matrix over the ID-ordered listing (rest_test.go:140-148)."""
     make_coll(server, dims=4)
