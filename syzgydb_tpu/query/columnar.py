@@ -34,7 +34,8 @@ shapes with numpy mask algebra over per-field columnar projections:
     Whole-array equality (`tags == ['red', 'blue']`) compares the CSR
     layout against the literal positionally with python's list-equality
     semantics (the per-row engine's _deep_equal defers to `a == b` for
-    lists, so bool==number holds INSIDE arrays).
+    lists, so bool==number holds INSIDE arrays).  Dynamic array indices
+    (`items[cursor]`) gather the CSR at each row's own index value.
 
 Error-semantics parity with query/compiler.py (which mirrors the Go
 compiler's eager evaluation): every node's (value, error) pair is tracked as
@@ -42,10 +43,10 @@ two masks; an error anywhere in the tree rejects the row, exactly like the
 exception path in build_filter.  Path extraction records per-row errors in
 FieldColumn.err (e.g. `.` on a missing nested key raises, while an
 out-of-bounds `[i]` yields nil — compiler.py:244-264).  Queries or field
-values outside the supported shapes (non-literal array indices,
-array-valued terminal values in scalar predicates, nested quantifiers)
-return None and the caller falls back to the per-row engine — semantics
-first, speed second.
+values outside the supported shapes (array-valued terminal values in
+scalar predicates, nested quantifiers, non-path dynamic indices) return
+None and the caller falls back to the per-row engine — semantics first,
+speed second.
 """
 
 from __future__ import annotations
@@ -225,6 +226,11 @@ def _collect_array_paths(node, out: list) -> None:
                 if p is not None:
                     out.append(p)
                 return
+        if node.operator in _EQ_OPS + _COMPARE_OPS:
+            for side in (node.left, node.right):
+                dyn = _dyn_index_of(side)
+                if dyn is not None:
+                    out.append(dyn[0])
         for side in (node.left, node.right):
             if side is not None:
                 _collect_array_paths(side, out)
@@ -267,6 +273,55 @@ def _path_of(node) -> Optional[tuple]:
             return base + (("idx", int(round(float(idx.value)))),)
         return None
     return None
+
+
+def _dyn_index_of(node) -> Optional[tuple]:
+    """(array_path, index_path) for a DYNAMIC array index `arr[expr]`
+    where arr is a path and expr is a path/param (literal indices are
+    plain paths via _path_of) — else None."""
+    if not (isinstance(node, ExpressionNode) and node.operator == "[]"):
+        return None
+    base = _path_of(node.left)
+    if base is None or isinstance(node.right, ValueNode):
+        return None
+    idx = _path_of(node.right)
+    if idx is None:
+        return None
+    return base, idx
+
+
+def _dyn_index_column(arr: ArrayColumn, idx: FieldColumn) -> FieldColumn:
+    """Vectorized `arr[i]` with a per-row index: per-row engine semantics
+    (compiler.py:255-264) — non-list value or non-number index errors,
+    out-of-bounds yields nil, otherwise the element projects like any
+    scalar terminal (complex elements flip .scalar, bailing the query)."""
+    n = len(arr.is_list)
+    col = FieldColumn(n)
+    # is_num already excludes bools (bool indices error per _is_number)
+    col.err = arr.err | ~arr.is_list | idx.err | ~idx.is_num
+    with np.errstate(invalid="ignore"):
+        i = np.round(idx.nums).astype(np.int64)
+    lens = arr.lengths
+    ok = ~col.err & (i >= 0) & (i < lens)
+    pos = np.clip(arr.starts[:-1] + i, 0, max(len(arr.kinds) - 1, 0))
+    rows = np.flatnonzero(ok)
+    if len(rows):
+        p = pos[rows]
+        k = arr.kinds[p]
+        col.present[rows] = True
+        col.is_num[rows] = k == _K_NUM
+        col.is_bool[rows] = k == _K_BOOL
+        col.is_str[rows] = k == _K_STR
+        col.is_none[rows] = k == _K_NULL
+        col.nums[rows] = arr.nums[p]
+        col.strs[rows] = np.where(k == _K_STR, arr.strs[p], None)
+        # present must mirror "value is not nil": explicit-null elements
+        # DO exist (k == _K_NULL keeps present), but complex elements
+        # poison vectorization like any non-scalar terminal
+        if (k == _K_COMPLEX).any():
+            col.scalar = False
+    # rows with ok False and no err: out-of-bounds -> nil (absent)
+    return col
 
 
 def _is_trivial(path: tuple) -> bool:
@@ -312,7 +367,13 @@ def referenced_paths(node) -> Optional[set]:
                     continue
                 p = _path_of(side)
                 if p is None:
-                    return None
+                    dyn = _dyn_index_of(side)
+                    if dyn is None:
+                        return None
+                    # dynamic `arr[i]`: the INDEX path projects normally;
+                    # the array CSR projects lazily (_dyn_col)
+                    out.add(dyn[1])
+                    continue
                 out.add(p)
             return out or None  # literal-vs-literal: fall back
         if op in _STR_OPS:
@@ -350,14 +411,19 @@ def referenced_paths(node) -> Optional[set]:
     return None
 
 
-def _operand(node, cols):
+def _operand(node, ctx):
     """("lit", value) | ("col", FieldColumn) | (None, None)."""
     if isinstance(node, ValueNode):
         return "lit", node.value
     p = _path_of(node)
-    if p is None:
-        return None, None
-    return "col", cols[_col_key(p)]
+    if p is not None:
+        return "col", ctx.cols[_col_key(p)]
+    dyn = _dyn_index_of(node)
+    if dyn is not None and ctx.engine is not None:
+        col = ctx.engine._dyn_col(dyn, ctx)
+        if col is not None:
+            return "col", col
+    return None, None
 
 
 def _eq_mask(col: FieldColumn, lit) -> np.ndarray:
@@ -471,8 +537,8 @@ def _vectorize(node, ctx: _Ctx) -> Optional[tuple]:
                 if op == "!=":
                     val = ~val
                 return val, err
-            lk, lval = _operand(node.left, cols)
-            rk, rval = _operand(node.right, cols)
+            lk, lval = _operand(node.left, ctx)
+            rk, rval = _operand(node.right, ctx)
             if lk is None or rk is None:
                 return None
             if lk == "col" and rk == "col":
@@ -485,8 +551,8 @@ def _vectorize(node, ctx: _Ctx) -> Optional[tuple]:
             return val, err
 
         if op in _COMPARE_OPS:
-            lk, lval = _operand(node.left, cols)
-            rk, rval = _operand(node.right, cols)
+            lk, lval = _operand(node.left, ctx)
+            rk, rval = _operand(node.right, ctx)
             if lk is None or rk is None:
                 return None
             if lk == "col" and rk == "col":
@@ -862,6 +928,31 @@ class ColumnarFilterEngine:
             arr.rowidx = np.repeat(np.arange(n, dtype=np.int64),
                                    arr.lengths)
             self._cols[("__arr__", p)] = arr
+
+    def _dyn_col(self, dyn: tuple, ctx) -> Optional[FieldColumn]:
+        """Derived column for a dynamic array index `arr[i]` (cached per
+        generation): the array's CSR projection gathered at each row's own
+        index value.  None when the array projection overflowed or the
+        element values are non-scalar (caller falls back)."""
+        apath, ipath = dyn
+        key = ("__dynidx__", apath, ipath)
+        col = self._cols.get(key)
+        if col is not None:
+            return col if isinstance(col, FieldColumn) else None
+        arr = self._project_array(apath, ctx.columns)
+        if arr is None:
+            self._cols[key] = False
+            return None
+        idx = ctx.cols.get(_col_key(ipath))
+        if idx is None:
+            self._cols[key] = False
+            return None
+        col = _dyn_index_column(arr, idx)
+        if not col.scalar:
+            self._cols[key] = False
+            return None
+        self._cols[key] = col
+        return col
 
     def _elem_cols(self, apath: tuple, arr: ArrayColumn,
                    cpaths: set) -> dict:

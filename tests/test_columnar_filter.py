@@ -41,11 +41,14 @@ DOCS = [
      "name": "zoe", "expected": "zoe", "price": 7},
     {"user": {"name": None}, "tags": {"not": "array"}, "minage": 25,
      "age": 30},
-    # quantifier / whole-array-equality docs
+    # quantifier / whole-array-equality / dynamic-index docs
     {"items": [{"price": 9.0, "name": "x"}, {"price": 0.5, "nil": None}],
-     "tags": ["red", "blue"], "flags": [True, 0]},
-    {"items": [], "tags": ["red"], "flags": [1, False], "age": 30},
-    {"nested": [[1], [2]], "items": [{"price": "str"}], "tags": [None, 2]},
+     "tags": ["red", "blue"], "flags": [True, 0], "idx": 1, "zero": 0,
+     "bad": "x", "big": 99},
+    {"items": [], "tags": ["red"], "flags": [1, False], "age": 30,
+     "idx": 0, "zero": 0, "big": 5},
+    {"nested": [[1], [2]], "items": [{"price": "str"}], "tags": [None, 2],
+     "idx": 1.0, "bad": True, "big": -1},
 ]
 METAS = [json.dumps(d).encode() for d in DOCS] + [b"not json"]
 
@@ -130,6 +133,15 @@ QUERIES = [
     "ANY(items, price >= 2.5) OR age == 30",
     "ALL(items, price > 0) AND age EXISTS",
     "ANY(items, LENGTH(name) == 1)",
+    # dynamic array indices: the CSR gathered at each row's index value
+    "items[age] == 1",
+    "tags[idx] == 'red'",
+    "tags[idx] == 'blue'",
+    "tags[bad] == 'red'",      # non-numeric index errors the row
+    "tags[big] == null",       # out-of-bounds -> nil
+    "tags[zero] != 'red'",
+    "tags[idx] > 'a'",
+    "flags[idx] == 0",
     # whole-array equality: python list semantics inside arrays
     "tags == ['red', 'blue']",
     "tags != ['red', 'blue']",
@@ -164,13 +176,13 @@ def test_vectorized_matches_per_row_oracle(query, engine_kind, monkeypatch):
 
 
 @pytest.mark.parametrize("query", [
-    "items[age] == 1",             # non-literal array index
     "1 == 1",                      # literal-vs-literal
     "name MATCHES pattern",        # non-literal regex pattern
     "ANY(items, ANY(tags, x == 1))",  # nested quantifier
     "ANY(nested, x == [1])",       # array equality inside a quantifier
     "[1, 2] == [1, 2]",            # array-vs-array literal
     "tags == [age]",               # non-literal array element
+    "items[zero].price == 1",      # dotted path on a dynamic index
 ])
 def test_unsupported_shapes_fall_back(query):
     engine = columnar.ColumnarFilterEngine()
