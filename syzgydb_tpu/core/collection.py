@@ -1031,7 +1031,12 @@ class Collection:
         member post-filters to its radius (reference accept-reset
         semantics, collection.go:598-604, at one dispatch for the group —
         previously every concurrent radius request paid its own ~33 ms
-        tunnel round trip, the exact pathology the kNN batcher removes)."""
+        tunnel round trip, the exact pathology the kNN batcher removes).
+
+        Like the kNN path, the device DISPATCH runs under the collection
+        lock and the result FETCH with it released (escalation
+        re-dispatches re-acquire it briefly and re-read device state), so
+        radius traffic overlaps with mutations and other searches."""
         if not args_list:
             return []
         t0 = time.perf_counter()
@@ -1060,17 +1065,21 @@ class Collection:
             radii = np.concatenate(
                 [radii, np.repeat(radii[:1], bucket - b0)])
         with self._lock:
-            out = self._radius_many_locked(a0, qvecs, radii, n_real=b0)
+            fin = self._radius_many_async(a0, qvecs, radii, n_real=b0)
+        out = fin() if callable(fin) else fin
         dt = (time.perf_counter() - t0) * 1000.0
         for r in out:
             r.search_time_ms = dt
         return out
 
-    def _radius_many_locked(self, args: SearchArgs, qvecs: np.ndarray,
-                            radii: np.ndarray, n_real: int
-                            ) -> list[SearchResults]:
-        """(Q, D)-batched generalization of _radius_search; returns results
-        for the first n_real queries (the rest are bucket pads)."""
+    def _radius_many_async(self, args: SearchArgs, qvecs: np.ndarray,
+                           radii: np.ndarray, n_real: int):
+        """(Q, D)-batched radius search, split into a DISPATCH phase
+        (caller holds the lock) and a finish() callable that fetches with
+        the lock RELEASED; escalation rounds re-acquire it and re-read
+        device state (a donated scatter sync may have replaced the
+        dispatched buffers).  Returns results for the first n_real
+        queries directly for the host path, else the finish callable."""
         n_records = len(self.columns)
         if n_records == 0:
             return [SearchResults([], 0.0) for _ in range(n_real)]
@@ -1089,40 +1098,60 @@ class Collection:
         queries = jnp.asarray(np.float32(qvecs))
         dev = self._device_state()
         unfiltered = args.filter is None and not args.filter_query
-        valid = dev["valid"] if unfiltered else jnp.asarray(mask)
+
+        def cur_valid(dev_now):
+            if unfiltered:
+                return dev_now["valid"]
+            m, _ = self._filter_mask(args)
+            return jnp.asarray(m)
+
+        valid = cur_valid(dev)
 
         if use_index:
             budget = min(max(self.options.search_budget,
                              4 * max(args.k, 1)), self.columns.capacity)
             qcode = jnp.asarray(self.index.encode_np(np.float32(qvecs)))
             cap = min(n_passing, self.columns.capacity)
-            b = budget
-            while True:
+
+            def ann_dispatch(dev_now, valid_now, b):
                 if self._mesh is not None:
                     from ..parallel import search as psearch
                     shards = self._mesh.shape["data"]
-                    dist, rows, nsc = psearch.sharded_ann_topk(
-                        self._mesh, qcode, queries, dev["codes"],
-                        dev["norms"], dev["hashes"], valid,
+                    return psearch.sharded_ann_topk(
+                        self._mesh, qcode, queries, dev_now["codes"],
+                        dev_now["norms"], dev_now["hashes"], valid_now,
                         bits=self.quantization, metric=self.metric, k=b,
                         local_budget=max(1, b // shards),
                         words=self.index.words, with_counts=True)
-                else:
-                    _, cand = hamming.hamming_candidates(
-                        qcode, dev["hashes"], valid, b, self.index.words)
-                    dist, rows, nsc = self._ann_rerank(
-                        queries, dev, valid, cand, b)
-                dist_np, rows_np, cnt = self._fetch_results(dist, rows, nsc)
-                if b >= cap or all(
-                        self._radius_done(dist_np[i], b, radii[i], 0.0)
-                        for i in range(n_real)):
-                    break
-                b = min(b * 4, cap)
-            searched = min(b, n_passing)
-            return [self._radius_results_np(
-                dist_np[i], rows_np[i], radii[i],
-                int(cnt[i]) if cnt is not None else searched, n_records)
-                for i in range(n_real)]
+                _, cand = hamming.hamming_candidates(
+                    qcode, dev_now["hashes"], valid_now, b,
+                    self.index.words)
+                return self._ann_rerank(queries, dev_now, valid_now,
+                                        cand, b)
+
+            b = budget
+            dist, rows, nsc = ann_dispatch(dev, valid, b)
+
+            def finish_ann() -> list[SearchResults]:
+                bb, d, r, c = b, dist, rows, nsc
+                while True:
+                    dist_np, rows_np, cnt = self._fetch_results(d, r, c)
+                    if bb >= cap or all(
+                            self._radius_done(dist_np[i], bb, radii[i], 0.0)
+                            for i in range(n_real)):
+                        break
+                    bb = min(bb * 4, cap)
+                    with self._lock:  # escalation re-dispatch
+                        dev2 = self._device_state()
+                        d, r, c = ann_dispatch(dev2, cur_valid(dev2), bb)
+                searched = min(bb, n_passing)
+                with self._lock:  # result assembly reads host columns
+                    return [self._radius_results_np(
+                        dist_np[i], rows_np[i], float(radii[i]),
+                        int(cnt[i]) if cnt is not None else searched,
+                        n_records) for i in range(n_real)]
+
+            return self._leased_finish(finish_ann)
 
         # exhaustive: shared bounded top-k with escalation (one device
         # program per iteration serves the whole group)
@@ -1130,38 +1159,59 @@ class Collection:
         exact = precision == "exact"
         eps = self._F32_EPS_REL * np.maximum(1.0, radii) if exact \
             else np.zeros_like(radii)
-        kk = min(1024, n_passing)
-        tmargin = self._seg_margin_hint
-        first_fail = None
-        while True:
-            dist, rows, ties, s_used, nseg = self._exact_topk_device(
-                queries, dev, valid, kk, exact, tie_margin=tmargin)
-            if ties is not None and s_used < nseg:
-                tie_np = np.asarray(ties)
-                if first_fail is None:
-                    first_fail = 1.0 - float(tie_np[:n_real].mean())
-                if int(tie_np.min()) == 0:
-                    tmargin = self._escalate_margin(tmargin)
-                    continue
-                self._note_margin(tmargin, first_fail, kk=kk,
-                                  n_real=n_real)
-            dist_np, rows_np, _ = self._fetch_results(dist, rows)
-            if kk >= n_passing or all(
-                    self._radius_done(dist_np[i], kk, radii[i], eps[i])
-                    for i in range(n_real)):
-                break
-            kk = min(kk * 4, n_passing)
-        out = []
-        for i in range(n_real):
-            if exact:
-                rows_i = rows_np[i][np.isfinite(dist_np[i])]
-                out.append(self._radius_results_f64(
-                    qvecs[i], rows_i, float(radii[i]), searched, n_records))
-            else:
-                out.append(self._radius_results_np(
-                    dist_np[i], rows_np[i], float(radii[i]), searched,
-                    n_records))
-        return out
+        kk0 = min(1024, n_passing)
+        tmargin0 = self._seg_margin_hint
+        dispatched = self._exact_topk_device(queries, dev, valid, kk0,
+                                             exact, tie_margin=tmargin0)
+
+        def finish_exh() -> list[SearchResults]:
+            kk, tm = kk0, tmargin0
+            dist, rows, ties, s_used, nseg = dispatched
+            first_fail = None
+            while True:
+                dist_np, rows_np, tie_np = self._fetch_results(dist, rows,
+                                                               ties)
+                if ties is not None and s_used < nseg:
+                    if first_fail is None:
+                        first_fail = 1.0 - float(tie_np[:n_real].mean())
+                    if int(tie_np.min()) == 0:
+                        with self._lock:  # margin escalation re-dispatch
+                            tm = self._escalate_margin(tm)
+                            dev2 = self._device_state()
+                            dist, rows, ties, s_used, nseg = \
+                                self._exact_topk_device(
+                                    queries, dev2, cur_valid(dev2), kk,
+                                    exact, tie_margin=tm)
+                        continue
+                    with self._lock:
+                        self._note_margin(tm, first_fail, kk=kk,
+                                          n_real=n_real)
+                if kk >= n_passing or all(
+                        self._radius_done(dist_np[i], kk, radii[i], eps[i])
+                        for i in range(n_real)):
+                    break
+                kk = min(kk * 4, n_passing)
+                with self._lock:  # k escalation re-dispatch
+                    dev2 = self._device_state()
+                    dist, rows, ties, s_used, nseg = \
+                        self._exact_topk_device(queries, dev2,
+                                                cur_valid(dev2), kk,
+                                                exact, tie_margin=tm)
+            out = []
+            with self._lock:  # result assembly reads host columns
+                for i in range(n_real):
+                    if exact:
+                        rows_i = rows_np[i][np.isfinite(dist_np[i])]
+                        out.append(self._radius_results_f64(
+                            qvecs[i], rows_i, float(radii[i]), searched,
+                            n_records))
+                    else:
+                        out.append(self._radius_results_np(
+                            dist_np[i], rows_np[i], float(radii[i]),
+                            searched, n_records))
+            return out
+
+        return self._leased_finish(finish_exh)
 
     @staticmethod
     def _radius_done(dist_row: np.ndarray, kk: int, radius: float,
@@ -1183,10 +1233,10 @@ class Collection:
         return SearchResults(results, self._pct(searched, n_records))
 
     def _search_locked(self, args: SearchArgs):
-        """Dispatch one search under the caller's lock.  kNN device
-        searches return a finish() CALLABLE (fetch outside the lock —
-        see search()); list/radius modes return the SearchResults
-        directly."""
+        """Dispatch one search under the caller's lock.  kNN and radius
+        device searches return a finish() CALLABLE (fetch outside the
+        lock — see search()); list mode and host scans return the
+        SearchResults directly."""
         n_records = len(self.columns)
 
         # mode (a): list all in ID order (collection.go:633-668)
@@ -1613,11 +1663,15 @@ class Collection:
         return [SearchResults(r, pct) for r in out]
 
     def _radius_search(self, args: SearchArgs, qvec: np.ndarray,
-                       n_records: int) -> SearchResults:
+                       n_records: int):
         """Single-query radius search: the Q=1 case of the batched
-        escalation loop (_radius_many_locked)."""
-        return self._radius_many_locked(
-            args, qvec[None, :], np.array([float(args.radius)]), n_real=1)[0]
+        escalation loop.  Returns SearchResults (host path) or a finish()
+        callable (device paths — fetch runs without the caller's lock)."""
+        out = self._radius_many_async(
+            args, qvec[None, :], np.array([float(args.radius)]), n_real=1)
+        if callable(out):
+            return lambda: out()[0]
+        return out[0]
 
     def _radius_results_f64(self, qvec: np.ndarray, rows_np: np.ndarray,
                             radius: float, searched: int,

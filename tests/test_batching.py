@@ -396,6 +396,67 @@ def test_dispatch_fetch_overlap(tmp_path, rng, monkeypatch):
     c.close()
 
 
+def test_radius_dispatch_fetch_overlap(tmp_path, rng, monkeypatch):
+    """Radius groups get the same lock discipline as kNN (r5): the fetch
+    runs with the collection lock released, so a concurrent MUTATION must
+    complete inside the radius fetch window instead of waiting it out."""
+    import time
+
+    from syzgydb_tpu.core import collection as coll_mod
+    monkeypatch.setattr(coll_mod, "HOST_SCAN_MAX_ELEMS", 0)  # device path
+    c, _ = make_coll(tmp_path, rng, n=512, dims=16)
+
+    events = []
+    ev_lock = threading.Lock()
+
+    def note(tag):
+        with ev_lock:
+            events.append((tag, time.monotonic()))
+
+    orig_fetch = Collection._fetch_results
+
+    def slow_fetch(dist, rows, counts=None):
+        note("fetch_start")
+        time.sleep(0.3)  # simulated tunnel RTT
+        out = orig_fetch(dist, rows, counts)
+        note("fetch_end")
+        return out
+
+    monkeypatch.setattr(Collection, "_fetch_results",
+                        staticmethod(slow_fetch))
+    errs = []
+
+    def radius_group():
+        try:
+            qs = rng.uniform(-1, 1, size=(4, 16))
+            c.radius_many([SearchArgs(vector=q, radius=0.5,
+                                      precision="high") for q in qs])
+        except BaseException as exc:  # pragma: no cover
+            errs.append(exc)
+
+    def mutate():
+        try:
+            time.sleep(0.1)  # land inside the radius fetch window
+            c.add_document(9000, np.zeros(16), b"{}")
+            note("mutation_done")
+        except BaseException as exc:  # pragma: no cover
+            errs.append(exc)
+
+    ta = threading.Thread(target=radius_group)
+    tb = threading.Thread(target=mutate)
+    ta.start()
+    tb.start()
+    ta.join()
+    tb.join()
+    assert not errs, errs
+    fetch_ends = [t for tag, t in events if tag == "fetch_end"]
+    done = [t for tag, t in events if tag == "mutation_done"]
+    assert done and fetch_ends, events
+    # the mutation finished while the radius fetch was still sleeping
+    assert done[0] < min(fetch_ends), events
+    c.close()
+
+
 def test_batcher_groups_overlap(tmp_path, rng, monkeypatch):
     """Same property end-to-end through the SearchBatcher: a second group
     forms and dispatches while the first group's fetch is in flight."""
