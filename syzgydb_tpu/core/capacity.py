@@ -122,7 +122,11 @@ def new_rows_needed(columns, doc_ids) -> int:
     so pure update/upsert batches never trip the preflight (review
     finding r5: treating every batch row as growth turned re-ingests of
     existing ids into spurious CapacityErrors on tight hosts)."""
-    fresh = {int(i) for i in doc_ids} - columns._row_of.keys()
+    # iterate the BATCH, not the store: a set-difference against the full
+    # id->row key view measured ~25 ms/M rows per ingest batch
+    # (tools_dev/r11_ingest_scaling.py) — O(batch) dict probes instead
+    row_of = columns._row_of
+    fresh = {int(i) for i in doc_ids if int(i) not in row_of}
     return max(0, len(fresh) - len(columns._free))
 
 

@@ -114,6 +114,12 @@ class SpanLog:
         self._index: dict[str, _Entry] = {}
         self._max_seq = 0
         self._garbage = 0
+        # live-record byte total, maintained incrementally at every index
+        # mutation: _maybe_compact runs on EVERY write batch, and summing
+        # the index there was an O(records) pass that dominated streaming
+        # ingest at 10M rows (645 ms of the measured 645 ms/500-doc batch,
+        # tools_dev/r11_ingest_scaling.py)
+        self._live_bytes = _HDR.size
         self._closed = False
         # background compaction: mutations must never stall behind an
         # O(file) rewrite (VERDICT r2: the inline compact held the span-log
@@ -156,6 +162,7 @@ class SpanLog:
                     self._garbage += length
                 else:
                     self._index[rec_id] = _Entry(seq, off, length, length)
+                    self._live_bytes += length
             return
         pos = _HDR.size
         best: dict[str, tuple[int, int, int, bool]] = {}  # id -> (seq, off, len, dead)
@@ -192,6 +199,7 @@ class SpanLog:
                 self._garbage += length
             else:
                 self._index[rec_id] = _Entry(seq, off, length, length)
+                self._live_bytes += length
 
     # -- primitives --------------------------------------------------------
 
@@ -213,9 +221,12 @@ class SpanLog:
     def write(self, rec_id: str, streams: list[bytes]) -> None:
         with self._lock:
             old = self._index.get(rec_id)
-            self._index[rec_id] = self._append(0, rec_id, streams)
+            entry = self._append(0, rec_id, streams)
+            self._index[rec_id] = entry
+            self._live_bytes += entry.length
             if old is not None:
                 self._garbage += old.length
+                self._live_bytes -= old.length
             self._maybe_compact()
 
     def write_many_columns(self, rec_ids: list[str], metas: list[bytes],
@@ -259,9 +270,11 @@ class SpanLog:
                 old = self._index.get(rec_id)
                 if old is not None:
                     self._garbage += old.length
+                    self._live_bytes -= old.length
                 self._index[rec_id] = _Entry(self._max_seq,
                                              offset + int(offs[i]),
                                              int(lens[i]), int(lens[i]))
+                self._live_bytes += int(lens[i])
             self._f.write(buf)
             self._f.flush()
             if self.sync:
@@ -284,9 +297,11 @@ class SpanLog:
                     old = self._index.get(rec_id)
                     if old is not None:
                         self._garbage += old.length
+                        self._live_bytes -= old.length
                     self._index[rec_id] = _Entry(self._max_seq,
                                                  offset + int(offs[i]),
                                                  int(lens[i]), int(lens[i]))
+                    self._live_bytes += int(lens[i])
                 self._f.write(buf)
                 self._f.flush()
                 if self.sync:
@@ -302,8 +317,10 @@ class SpanLog:
                 old = self._index.get(rec_id)
                 if old is not None:
                     self._garbage += old.length
+                    self._live_bytes -= old.length
                 self._index[rec_id] = _Entry(self._max_seq, offset, len(rec),
                                              len(rec))
+                self._live_bytes += len(rec)
                 offset += len(rec)
                 chunks.append(rec)
             self._f.write(b"".join(chunks))
@@ -329,6 +346,7 @@ class SpanLog:
             entry = self._index.pop(rec_id, None)
             if entry is None:
                 raise KeyError(rec_id)
+            self._live_bytes -= entry.length
             tomb = self._append(_FLAG_TOMBSTONE, rec_id, [])
             self._garbage += entry.length + tomb.length
             self._maybe_compact()
@@ -428,7 +446,10 @@ class SpanLog:
     # -- compaction --------------------------------------------------------
 
     def _maybe_compact(self) -> None:
-        live = sum(e.length for e in self._index.values()) + _HDR.size
+        # _live_bytes is maintained incrementally (see __init__): this
+        # runs on every write batch, and an O(records) sum here measured
+        # 645 ms/batch at 10M rows — the config5 streaming collapse
+        live = self._live_bytes
         if self._garbage >= max(live, self.compact_min_garbage):
             self._start_background_compact()
 
@@ -522,6 +543,9 @@ class SpanLog:
                         self._f = open(self.path, "a+b")
                         self._index = new_index
                         self._garbage = stale
+                        # O(live) once per compaction (already O(file))
+                        self._live_bytes = _HDR.size + sum(
+                            e.length for e in new_index.values())
             finally:
                 os.close(rfd)
                 try:  # leftover tmp from an abort path

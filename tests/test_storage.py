@@ -137,12 +137,21 @@ def test_batch_operations_shadow_model(tmp_path):
             else:  # delete
                 log.remove(key)
                 del shadow[key]
+        # the incremental live-byte counter (O(1) _maybe_compact) must
+        # track the O(records) oracle through every mutation kind
+        assert log._live_bytes == _live_bytes_oracle(log)
         log.close()
         log = SpanLog(p)
+        assert log._live_bytes == _live_bytes_oracle(log)  # recovery path
         assert set(log.ids()) == set(shadow.keys())
         for k, v in shadow.items():
             assert log.read(k) == [v]
     log.close()
+
+
+def _live_bytes_oracle(log: SpanLog) -> int:
+    from syzgydb_tpu.core.storage import _HDR
+    return _HDR.size + sum(e.length for e in log._index.values())
 
 
 def test_stats(tmp_path):
@@ -211,6 +220,7 @@ def test_background_compaction_with_concurrent_mutations(tmp_path):
     # everything the shadow says is live must survive swap + reopen
     for key, val in shadow.items():
         assert log.read(key) == [val]
+    assert log._live_bytes == _live_bytes_oracle(log)  # compaction path
     log.close()
     log2 = SpanLog(p)
     assert {k for k in log2.ids()} == set(shadow)
