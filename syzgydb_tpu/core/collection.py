@@ -49,6 +49,7 @@ from ..index import hamming
 from ..ops import distance as dist_ops
 from . import capacity as capacity_mod
 from ..ops import quantize as qz
+from ..utils.locks import FairRLock
 from ..utils.rng import MyRandom, my_random
 
 EUCLIDEAN = 0
@@ -328,7 +329,9 @@ class Collection:
             # too, but leave a pre-existing file untouched
             validate_options(options)
 
-            self._lock = threading.RLock()
+            # fair FIFO lock: CPython's RLock lets a tight mutation loop
+            # starve concurrent searches indefinitely (utils/locks.py)
+            self._lock = FairRLock()
             self.index = hamming.SignHashIndex(
                 options.dimension_count, _METRIC_NAME[options.distance_method],
                 MyRandom(options.index_seed), options.index_tables,

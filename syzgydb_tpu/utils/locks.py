@@ -1,0 +1,65 @@
+"""Fair (FIFO) reentrant lock.
+
+CPython's Lock/RLock are not fair: a thread that releases and immediately
+reacquires usually wins against threads already blocked in acquire(),
+because the releaser keeps running while waiters must first be rescheduled.
+A tight mutation loop (the config5 streaming mutator: ~70 lock-acquiring
+span-log ops per iteration at ~20k ops/s after the O(1)-compaction fix)
+therefore starves concurrent readers essentially forever — measured 2.17
+QPS at 100k rows on the CPU backend while the same workload interleaved
+fairly reaches the collection's native query rate.
+
+FairRLock hands the lock to waiters in strict arrival order via a ticket
+queue on a Condition.  Reentrant like RLock.  Per-op overhead is a few
+microseconds — negligible against the millisecond-scale critical sections
+it guards (Collection mutations and search dispatch).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import deque
+
+
+class FairRLock:
+    """Reentrant lock with strict FIFO handoff between threads."""
+
+    def __init__(self) -> None:
+        self._cv = threading.Condition()
+        self._owner: int | None = None
+        self._count = 0
+        self._queue: deque[object] = deque()
+
+    def acquire(self) -> bool:
+        me = threading.get_ident()
+        with self._cv:
+            if self._owner == me:
+                self._count += 1
+                return True
+            ticket = object()
+            self._queue.append(ticket)
+            while self._owner is not None or self._queue[0] is not ticket:
+                self._cv.wait()
+            self._queue.popleft()
+            self._owner = me
+            self._count = 1
+            return True
+
+    def release(self) -> None:
+        me = threading.get_ident()
+        with self._cv:
+            if self._owner != me:
+                raise RuntimeError("cannot release un-acquired FairRLock")
+            self._count -= 1
+            if self._count == 0:
+                self._owner = None
+                # all waiters wake; only the queue head proceeds.  O(waiters)
+                # per release is fine at serving thread counts (<= dozens).
+                self._cv.notify_all()
+
+    def __enter__(self) -> "FairRLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()

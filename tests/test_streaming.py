@@ -250,3 +250,84 @@ def test_inflight_fetch_never_sees_recycled_row(tmp_path, rng):
     c.add_documents([10_000_001], rng.uniform(-1, 1, (1, d)), [b"{}"])
     assert c.columns._row_of[10_000_001] == row5
     c.close()
+
+
+def test_fair_lock_unit():
+    """FairRLock: FIFO handoff, reentrancy, and error on foreign release."""
+    import pytest
+    from syzgydb_tpu.utils.locks import FairRLock
+    lk = FairRLock()
+    with lk:
+        with lk:  # reentrant
+            pass
+    # deterministic FIFO handoff: with B already queued, the releasing
+    # thread's immediate re-acquire must go BEHIND B (the exact shape of
+    # the starvation bug: CPython's RLock lets the releaser win)
+    import time
+    order = []
+    lk.acquire()
+
+    def b():
+        with lk:
+            order.append("b")
+
+    tb = threading.Thread(target=b)
+    tb.start()
+    for _ in range(1000):
+        with lk._cv:
+            queued = len(lk._queue)
+        if queued:
+            break
+        time.sleep(0.001)
+    assert queued == 1
+    lk.release()
+    with lk:  # must wait for B even though B hasn't been scheduled yet
+        order.append("main")
+    tb.join()
+    assert order == ["b", "main"]
+    with pytest.raises(RuntimeError):
+        lk.release()
+
+
+def test_reader_not_starved_by_tight_mutation_loop(tmp_path, rng):
+    """A free-running mutator (the config5 shape: bulk insert + singular
+    remove/update, ~70 lock ops per iteration) must not starve concurrent
+    searches: with CPython's unfair RLock the reader measured 2.17 QPS at
+    19k mutations/s (r5 probe); the FairRLock interleaves them FIFO."""
+    d = 16
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "fair.dat"), dimension_count=d, quantization=8,
+        create_and_overwrite=True, index_seed=3))
+    n0 = 2000
+    c.add_documents(list(range(n0)), rng.uniform(-1, 1, (n0, d)),
+                    [b"{}"] * n0)
+    q = rng.uniform(-1, 1, d)
+    c.search(SearchArgs(vector=q, k=5))  # warm
+    stop = threading.Event()
+    queries = [0]
+
+    def mutator():
+        m_rng = np.random.default_rng(50)
+        nid = n0
+        while not stop.is_set():
+            c.add_documents(list(range(nid, nid + 100)),
+                            m_rng.uniform(-1, 1, (100, d)), [b"{}"] * 100)
+            for doc in m_rng.integers(0, n0, 20):
+                try:
+                    c.remove_document(int(doc))
+                except KeyError:
+                    pass
+            nid += 100
+
+    th = threading.Thread(target=mutator)
+    th.start()
+    import time
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 2.0:
+        c.search(SearchArgs(vector=q, k=5))
+        queries[0] += 1
+    stop.set()
+    th.join()
+    c.close()
+    # unfair RLock: ~0-4 queries in 2s; fair lock: hundreds on CPU
+    assert queries[0] >= 20, f"reader starved: {queries[0]} queries in 2s"
