@@ -144,10 +144,15 @@ def preflight(collection, n_new: int, meta_bytes_new: int = 0) -> None:
     code_row_host = cols.codes.shape[1] * cols.codes.dtype.itemsize
     code_row_dev = cols.codes.shape[1] * (4 if q == 64
                                           else cols.codes.dtype.itemsize)
-    # live metadata average, blended with the incoming batch's
-    live_meta = sum(len(m) for m in cols.metadata if m is not None)
-    n_meta = len(cols) + max(n_new, 1)
-    meta_row = (live_meta + meta_bytes_new) // max(n_meta, 1)
+    # live metadata average, blended with the incoming batch's; with
+    # out-of-core metadata nothing is resident (and iterating the lazy
+    # column would read the whole span log)
+    if cols.metadata_resident:
+        live_meta = sum(len(m) for m in cols.metadata if m is not None)
+        n_meta = len(cols) + max(n_new, 1)
+        meta_row = (live_meta + meta_bytes_new) // max(n_meta, 1)
+    else:
+        meta_row = 0
 
     from ..ops import pallas_scan
     from .collection import _LEAN_CODE_BYTES

@@ -93,6 +93,11 @@ class CollectionOptions:
     index_bits_per_table: int = hamming.DEFAULT_BITS_PER_TABLE
     search_budget: int = DEFAULT_SEARCH_BUDGET
     index_seed: int = 0  # 0 = derive from global RNG at creation
+    # out-of-core metadata: keep no metadata bytes resident — reads fetch
+    # from the span log on demand (the reference's mmap envelope for
+    # metadata-heavy collections, spanfile.go:241-262).  Codes stay
+    # resident (search is HBM-bound by design, SURVEY.md §7).
+    metadata_on_demand: bool = False
 
     def to_json(self) -> bytes:
         return json.dumps({
@@ -104,6 +109,7 @@ class CollectionOptions:
             "index_bits_per_table": self.index_bits_per_table,
             "search_budget": self.search_budget,
             "index_seed": self.index_seed,
+            "metadata_on_demand": self.metadata_on_demand,
         }).encode()
 
     @staticmethod
@@ -117,7 +123,7 @@ class CollectionOptions:
             quantization=d.get("quantization", opts.quantization),
         )
         for f in ("index_tables", "index_bits_per_table", "search_budget",
-                  "index_seed"):
+                  "index_seed", "metadata_on_demand"):
             if f in d:
                 setattr(out, f, d[f])
         return out
@@ -337,9 +343,15 @@ class Collection:
                 MyRandom(options.index_seed), options.index_tables,
                 options.index_bits_per_table)
             from .columns import ColumnStore
+            # out-of-core metadata: reads fetch from the span log; every
+            # mutation path writes the log before the columns, so the log
+            # is always current when a read could observe the row
+            fetch = (lambda did: self.spanlog.read(str(did))[0]) \
+                if options.metadata_on_demand else None
             self.columns = ColumnStore(options.dimension_count,
                                        options.quantization,
-                                       hash_words=self.index.words)
+                                       hash_words=self.index.words,
+                                       metadata_fetch=fetch)
         except Exception:
             self.spanlog.close()
             if not existed:
@@ -402,7 +414,8 @@ class Collection:
     def _replay(self) -> None:
         """Rebuild columnar store + index from the span log (stack 3.1 analog:
         collection.go:297-311 — the index is derived data, never persisted)."""
-        bulk = self.spanlog.bulk_rows()
+        resident = self.columns.metadata_resident
+        bulk = self.spanlog.bulk_rows(want_metas=resident)
         if bulk is not None:
             rec_ids, metas, packed = bulk
             ids = [int(r) for r in rec_ids]
@@ -412,9 +425,12 @@ class Collection:
                 if rec_id == "":
                     continue
                 ids.append(int(rec_id))
-                metas.append(bytes(streams[0]))
+                if resident:
+                    metas.append(bytes(streams[0]))
                 blobs.append(np.frombuffer(streams[1], dtype=np.uint8))
             packed = np.stack(blobs) if ids else None
+        if not resident:
+            metas = [b""] * len(ids)  # lazy column ignores writes
         if ids:
             # a reopen that cannot fit is the "create" side of the capacity
             # preflight: fail with the actionable error, not an OOM kill
@@ -1854,6 +1870,15 @@ class Collection:
         if not md:
             return False
         cols = self.columns
+        if not cols.metadata_resident:
+            # out-of-core metadata: the memo's bytes-identity guard cannot
+            # hold (every read returns fresh bytes from the span log) —
+            # validate per result, never memoize
+            try:
+                json.loads(md)
+                return True
+            except Exception:
+                return False
         row = cols._row_of.get(result.id)  # GIL-atomic dict read
         if row is not None and row < len(cols.meta_ok) and \
                 cols.meta_ok[row] and cols.metadata[row] is md:

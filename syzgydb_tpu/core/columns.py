@@ -25,8 +25,45 @@ _LINEAR_GROWTH_ABOVE = 1 << 22
 _GROWTH_ALIGN = 8192
 
 
+class _LazyMetadata:
+    """List-like metadata column that keeps NOTHING resident: reads fetch
+    the bytes from the span log by doc id (out-of-core metadata mode — the
+    analog of the reference serving record reads from the mmapped span
+    file on demand, spanfile.go:241-262/513, so collections whose metadata
+    exceeds host RAM still work for CRUD/list/filter workloads).
+
+    Writes are no-ops by design: every Collection mutation path writes the
+    span log BEFORE touching the columns, so the log is always the
+    authoritative byte source by the time a read could happen (all reads
+    and writes run under the collection lock; background log compaction
+    preserves bytes exactly)."""
+
+    def __init__(self, store: "ColumnStore", fetch):
+        self._store = store
+        self._fetch = fetch  # doc_id -> bytes (raises KeyError when gone)
+
+    def __getitem__(self, row: int):
+        st = self._store
+        if row >= st.size or not st.valid[row]:
+            return None
+        try:
+            return self._fetch(int(st.ids[row]))
+        except KeyError:
+            return None  # removed under an active snapshot lease
+
+    def __setitem__(self, row: int, value) -> None:
+        pass  # the span log is the store
+
+    def extend(self, items) -> None:
+        pass
+
+    def __len__(self) -> int:
+        return self._store.capacity
+
+
 class ColumnStore:
-    def __init__(self, dims: int, quantization: int, hash_words: int = 0):
+    def __init__(self, dims: int, quantization: int, hash_words: int = 0,
+                 metadata_fetch=None):
         self.dims = dims
         self.quantization = quantization
         self.hash_words = hash_words
@@ -47,7 +84,11 @@ class ColumnStore:
         self.ids = np.zeros((0,), dtype=np.uint64)
         self.valid = np.zeros((0,), dtype=bool)
         self.hashes = np.zeros((0, hash_words), dtype=np.uint32)
-        self.metadata: list[bytes | None] = []
+        # resident list of bytes, or the lazy span-log view (out-of-core
+        # metadata mode): all readers index it the same way either way
+        self.metadata_resident = metadata_fetch is None
+        self.metadata = [] if metadata_fetch is None \
+            else _LazyMetadata(self, metadata_fetch)
         # REST raw-splice memo: meta_ok[row] means "the bytes CURRENTLY in
         # metadata[row] were validated as JSON".  Every metadata write
         # resets the row's bit (put/put_many/set_metadata) — the read-side

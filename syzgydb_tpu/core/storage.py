@@ -375,10 +375,13 @@ class SpanLog:
             self._f.seek(0, os.SEEK_END)
             return self._f.tell(), self.record_count()
 
-    def bulk_rows(self):
+    def bulk_rows(self, want_metas: bool = True):
         """All live two-stream records decoded in one vectorized pass:
         (rec_ids, stream0 list[bytes], stream1 (N, B) uint8 matrix) in
-        iterate() order, skipping the options record "".
+        iterate() order, skipping the options record "".  want_metas=False
+        skips the per-record stream-0 copies (out-of-core metadata replay:
+        the bytes stay on disk and are fetched on demand) — the whole-file
+        image read below is still one O(file) transient.
 
         The reopen-replay fast path: stream spans are computed with numpy
         byte gathers over the file image (the record layout is fixed:
@@ -423,7 +426,8 @@ class SpanLog:
         for s in range(0, n, step):
             vec[s:s + step] = arr[voff[s:s + step, None] + cols]
         metas = [image[o:o + l]
-                 for o, l in zip(moff.tolist(), mlen.tolist())]
+                 for o, l in zip(moff.tolist(), mlen.tolist())] \
+            if want_metas else None
         return [rid for rid, _ in entries], metas, vec
 
     def iterate(self, sorted_ids: bool = False) -> Iterator[tuple[str, list[bytes]]]:

@@ -296,6 +296,8 @@ class _Handler(BaseHTTPRequestHandler):
                          "index_bits_per_table"):
                 if knob in req:
                     setattr(opts, knob, int(req[knob]))
+            if req.get("metadata_on_demand"):
+                opts.metadata_on_demand = True  # out-of-core metadata
             try:
                 coll = Collection(opts)
             except ValueError as exc:
