@@ -45,69 +45,111 @@ def main():
         queries = make_vectors(rng, 8, d)
         c.search(SearchArgs(vector=queries[0], k=k))  # warm
 
-        stop = threading.Event()
-        counts = {"insert": 0, "delete": 0, "update": 0, "query": 0}
-        errors = []
+        # churn-rate sweep: one window per target mutation rate (ops/s of
+        # insert+delete+update; 0 = free-running).  The mutator became so
+        # fast after the r5 O(1)-compaction fix that a free-running window
+        # measures mutation THROUGHPUT (2.5k ops/s at 10M, saturating the
+        # single host core) rather than query capability under realistic
+        # churn — the r3/r4 comparison point was ~19 mutations/s.
+        rates = [float(r) for r in
+                 os.environ.get("SYZGY_MUT_RATES", "0").split(",")]
+        ops_per_iter = 570  # 500 insert + 50 delete + 20 update
+        sweep = []
+        next_id = [n0]
 
-        def mutator():
-            m_rng = np.random.default_rng(50)
-            next_id = n0
-            try:
-                while not stop.is_set():
-                    c.add_documents(
-                        list(range(next_id, next_id + 500)),
-                        make_vectors(m_rng, 500, d), [b"{}"] * 500)
-                    counts["insert"] += 500
-                    for doc_id in m_rng.integers(0, n0, 50):
-                        try:
-                            c.remove_document(int(doc_id))
-                            counts["delete"] += 1
-                        except KeyError:
-                            pass
-                    for doc_id in m_rng.integers(n0 // 2, n0, 20):
-                        try:
-                            c.update_document(int(doc_id), b'{"u": 1}')
-                            counts["update"] += 1
-                        except KeyError:
-                            pass
-                    next_id += 500
-            except Exception as exc:  # pragma: no cover
-                errors.append(exc)
+        for rate in rates:
+            stop = threading.Event()
+            counts = {"insert": 0, "delete": 0, "update": 0, "query": 0}
+            errors = []
+            lat = []
 
-        lat = []
+            def mutator(rate=rate, counts=counts, errors=errors,
+                        stop=stop):
+                m_rng = np.random.default_rng(50 + int(rate))
+                t_start = time.perf_counter()
+                iters = 0
+                try:
+                    while not stop.is_set():
+                        if rate > 0:
+                            due = t_start + iters * ops_per_iter / rate
+                            while not stop.is_set() and \
+                                    time.perf_counter() < due:
+                                time.sleep(0.005)
+                            if stop.is_set():
+                                break
+                        nid = next_id[0]
+                        c.add_documents(
+                            list(range(nid, nid + 500)),
+                            make_vectors(m_rng, 500, d), [b"{}"] * 500)
+                        counts["insert"] += 500
+                        for doc_id in m_rng.integers(0, n0, 50):
+                            try:
+                                c.remove_document(int(doc_id))
+                                counts["delete"] += 1
+                            except KeyError:
+                                pass
+                        for doc_id in m_rng.integers(n0 // 2, n0, 20):
+                            try:
+                                c.update_document(int(doc_id), b'{"u": 1}')
+                                counts["update"] += 1
+                            except KeyError:
+                                pass
+                        next_id[0] += 500
+                        iters += 1
+                except Exception as exc:  # pragma: no cover
+                    errors.append(exc)
 
-        def reader():
-            r_rng = np.random.default_rng(51)
-            try:
-                while not stop.is_set():
-                    q = queries[r_rng.integers(0, len(queries))]
-                    res = c.search(SearchArgs(vector=q, k=k))
-                    lat.append(res.search_time_ms)
-                    counts["query"] += 1
-            except Exception as exc:  # pragma: no cover
-                errors.append(exc)
+            def reader(counts=counts, errors=errors, lat=lat, stop=stop):
+                r_rng = np.random.default_rng(51)
+                try:
+                    while not stop.is_set():
+                        q = queries[r_rng.integers(0, len(queries))]
+                        res = c.search(SearchArgs(vector=q, k=k))
+                        lat.append(res.search_time_ms)
+                        counts["query"] += 1
+                except Exception as exc:  # pragma: no cover
+                    errors.append(exc)
 
-        threads = [threading.Thread(target=mutator),
-                   threading.Thread(target=reader)]
-        for th in threads:
-            th.start()
-        time.sleep(duration_s)
-        stop.set()
-        for th in threads:
-            th.join()
+            threads = [threading.Thread(target=mutator),
+                       threading.Thread(target=reader)]
+            for th in threads:
+                th.start()
+            time.sleep(duration_s)
+            stop.set()
+            for th in threads:
+                th.join()
+            assert not errors, errors
+            sweep.append({
+                "target_mut_per_s": rate,
+                "qps": round(counts["query"] / duration_s, 2),
+                "median_query_ms": round(float(np.median(lat)), 1)
+                if lat else None,
+                "p90_query_ms": round(float(np.percentile(lat, 90)), 1)
+                if lat else None,
+                "mutations_per_s": round(
+                    (counts["insert"] + counts["delete"] + counts["update"])
+                    / duration_s, 1),
+                "counts": counts,
+            })
+            log(f"rate={rate}: {sweep[-1]['qps']} QPS, "
+                f"median {sweep[-1]['median_query_ms']} ms, "
+                f"{sweep[-1]['mutations_per_s']} mut/s")
         c.close()
-        assert not errors, errors
 
+    # headline value: the window nearest the r3/r4 comparison point
+    # (~19 mutations/s) when swept; otherwise the single window's QPS
+    pick = min(sweep, key=lambda s: abs((s["target_mut_per_s"] or
+                                         s["mutations_per_s"]) - 19.0)) \
+        if len(sweep) > 1 else sweep[0]
     emit({
         "metric": "config5_streaming_concurrent_qps",
-        "value": round(counts["query"] / duration_s, 2),
+        "value": pick["qps"],
         "unit": "queries/s",
         "n_initial": n0,
-        "median_query_ms": round(float(np.median(lat)), 1) if lat else None,
-        "mutations_per_s": round(
-            (counts["insert"] + counts["delete"] + counts["update"])
-            / duration_s, 1),
-        "counts": counts,
+        "median_query_ms": pick["median_query_ms"],
+        "mutations_per_s": pick["mutations_per_s"],
+        "counts": pick["counts"],
+        "sweep": sweep,
     })
 
 
