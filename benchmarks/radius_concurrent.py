@@ -78,7 +78,12 @@ def main():
     from syzgydb_tpu import Collection, CollectionOptions, COSINE
     from syzgydb_tpu.server.rest import Server, make_http_server
 
-    n = max(5000, int(100_000 * scale()))
+    # default 100k; SYZGY_RADIUS_N overrides (at 100k the TPU radius
+    # dispatch is RTT-bound and 16 clients already pipeline, so batching
+    # measured only 1.04x there — at 1M+ device compute dominates and the
+    # 16->1 dispatch coalescing shows)
+    n = int(os.environ.get("SYZGY_RADIUS_N", 0)) or \
+        max(5000, int(100_000 * scale()))
     d = 128
     clients = 16
     per_client = int(os.environ.get("SYZGY_PER_CLIENT", "8"))

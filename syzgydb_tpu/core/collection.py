@@ -343,10 +343,11 @@ class Collection:
                 MyRandom(options.index_seed), options.index_tables,
                 options.index_bits_per_table)
             from .columns import ColumnStore
-            # out-of-core metadata: reads fetch from the span log; every
+            # out-of-core metadata: reads fetch stream 0 from the span log
+            # via bounded preads (never decoding the vector stream); every
             # mutation path writes the log before the columns, so the log
             # is always current when a read could observe the row
-            fetch = (lambda did: self.spanlog.read(str(did))[0]) \
+            fetch = (lambda did: self.spanlog.read_stream0(str(did))) \
                 if options.metadata_on_demand else None
             self.columns = ColumnStore(options.dimension_count,
                                        options.quantization,

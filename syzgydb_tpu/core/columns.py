@@ -44,6 +44,10 @@ class _LazyMetadata:
 
     def __getitem__(self, row: int):
         st = self._store
+        if row >= st.capacity:
+            # real bound, not None: the legacy __getitem__ iteration
+            # protocol (list(col), `for m in col`) must terminate
+            raise IndexError(row)
         if row >= st.size or not st.valid[row]:
             return None
         try:

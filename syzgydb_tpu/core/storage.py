@@ -341,6 +341,29 @@ class SpanLog:
             assert rid == rec_id
             return streams
 
+    def read_stream0(self, rec_id: str) -> bytes:
+        """Stream 0 (metadata) only, via bounded preads — the out-of-core
+        metadata hot path must not read and decode the record's packed
+        vector stream just to return the metadata bytes.  Layout (see
+        _encode_body): 8B record header, u64 seq, u8 flags, u16 id_len,
+        id, u8 nstreams, u32 s0_len, s0 bytes, ..."""
+        with self._lock:
+            entry = self._index.get(rec_id)
+            if entry is None:
+                raise KeyError(rec_id)
+            self._f.flush()
+            fd = self._f.fileno()
+            head = os.pread(fd, min(entry.length, 4096), entry.offset)
+            (id_len,) = struct.unpack_from("<H", head, 17)
+            p0 = 20 + id_len  # past header+seq+flags+id_len+id+nstreams
+            (m_len,) = struct.unpack_from("<I", head, p0)
+            end = p0 + 4 + m_len
+            if end <= len(head):
+                return head[p0 + 4:end]
+            more = os.pread(fd, end - len(head),
+                            entry.offset + len(head))
+            return head[p0 + 4:] + more
+
     def remove(self, rec_id: str) -> None:
         with self._lock:
             entry = self._index.pop(rec_id, None)
@@ -375,13 +398,15 @@ class SpanLog:
             self._f.seek(0, os.SEEK_END)
             return self._f.tell(), self.record_count()
 
-    def bulk_rows(self, want_metas: bool = True):
+    def bulk_rows(self, want_metas: bool = True,
+                  chunk_bytes: int = 64 << 20):
         """All live two-stream records decoded in one vectorized pass:
         (rec_ids, stream0 list[bytes], stream1 (N, B) uint8 matrix) in
         iterate() order, skipping the options record "".  want_metas=False
-        skips the per-record stream-0 copies (out-of-core metadata replay:
-        the bytes stay on disk and are fetched on demand) — the whole-file
-        image read below is still one O(file) transient.
+        additionally bounds the transient: the file is processed in ~64 MB
+        chunks instead of one whole-file image (out-of-core metadata
+        replay — a collection whose metadata exceeds host RAM must reopen
+        without ever holding it all).
 
         The reopen-replay fast path: stream spans are computed with numpy
         byte gathers over the file image (the record layout is fixed:
@@ -396,39 +421,86 @@ class SpanLog:
                        if rid != ""]
             if not entries:
                 return [], [], None
-            self._f.seek(0)
-            image = self._f.read()
-        arr = np.frombuffer(image, np.uint8)
-        offs = np.array([e.offset for _, e in entries], np.int64)
+            if want_metas:
+                self._f.seek(0)
+                image = self._f.read()
+            else:
+                self._f.flush()
+                fd = self._f.fileno()
 
-        def u32(at):
-            return (arr[at].astype(np.int64)
-                    | arr[at + 1].astype(np.int64) << 8
-                    | arr[at + 2].astype(np.int64) << 16
-                    | arr[at + 3].astype(np.int64) << 24)
+        def decode_chunk(arr, offs, vec, rows):
+            """Gather the vector spans of the records at `offs` (relative
+            to `arr`) into vec[rows]; returns False on non-uniform shape."""
+            def u32(at):
+                return (arr[at].astype(np.int64)
+                        | arr[at + 1].astype(np.int64) << 8
+                        | arr[at + 2].astype(np.int64) << 16
+                        | arr[at + 3].astype(np.int64) << 24)
 
-        idl = arr[offs + 17].astype(np.int64) \
-            | arr[offs + 18].astype(np.int64) << 8
-        if not (arr[offs + 19 + idl] == 2).all():
-            return None  # nstreams != 2 somewhere
-        p0 = offs + 20 + idl
-        mlen = u32(p0)
-        moff = p0 + 4
-        vlen = u32(moff + mlen)
-        voff = moff + mlen + 4
-        if not (vlen == vlen[0]).all():
-            return None
-        width = int(vlen[0])
+            idl = arr[offs + 17].astype(np.int64) \
+                | arr[offs + 18].astype(np.int64) << 8
+            if not (arr[offs + 19 + idl] == 2).all():
+                return None  # nstreams != 2 somewhere
+            p0 = offs + 20 + idl
+            mlen = u32(p0)
+            moff = p0 + 4
+            vlen = u32(moff + mlen)
+            voff = moff + mlen + 4
+            if not (vlen == (vec.shape[1] if vec is not None
+                             else vlen[0])).all():
+                return None
+            if vec is None:
+                vec = np.empty((n, int(vlen[0])), np.uint8)
+            cols = np.arange(vec.shape[1], dtype=np.int64)
+            step = 16384
+            for s in range(0, len(offs), step):
+                vec[rows[s:s + step]] = arr[voff[s:s + step, None] + cols]
+            return vec, moff, mlen
+
         n = len(entries)
-        vec = np.empty((n, width), np.uint8)
-        cols = np.arange(width, dtype=np.int64)
-        step = 16384
-        for s in range(0, n, step):
-            vec[s:s + step] = arr[voff[s:s + step, None] + cols]
-        metas = [image[o:o + l]
-                 for o, l in zip(moff.tolist(), mlen.tolist())] \
-            if want_metas else None
-        return [rid for rid, _ in entries], metas, vec
+        if want_metas:
+            arr = np.frombuffer(image, np.uint8)
+            offs = np.array([e.offset for _, e in entries], np.int64)
+            out = decode_chunk(arr, offs, None, np.arange(n))
+            if out is None:
+                return None
+            vec, moff, mlen = out
+            metas = [image[o:o + l]
+                     for o, l in zip(moff.tolist(), mlen.tolist())]
+            return [rid for rid, _ in entries], metas, vec
+
+        # streamed: records sorted by offset, grouped into chunks that
+        # cover whole records (chunk boundary extends to the last record's
+        # end), so peak transient = one chunk
+        order = sorted(range(n), key=lambda i: entries[i][1].offset)
+        vec = None
+        chunk_target = chunk_bytes
+        i = 0
+        while i < n:
+            j = i
+            start = entries[order[i]][1].offset
+            end = start
+            while j < n:
+                e = entries[order[j]][1]
+                if e.offset + e.length - start > chunk_target and j > i:
+                    break
+                end = max(end, e.offset + e.length)
+                j += 1
+            buf = os.pread(fd, end - start, start)
+            arr = np.frombuffer(buf, np.uint8)
+            rows = np.array(order[i:j], np.int64)
+            offs = np.array([entries[k][1].offset - start
+                             for k in order[i:j]], np.int64)
+            if vec is None:
+                out = decode_chunk(arr, offs, None, rows)
+                if out is None:
+                    return None
+                vec = out[0]
+            else:
+                if decode_chunk(arr, offs, vec, rows) is None:
+                    return None
+            i = j
+        return [rid for rid, _ in entries], None, vec
 
     def iterate(self, sorted_ids: bool = False) -> Iterator[tuple[str, list[bytes]]]:
         """Yield (id, streams) for live records.

@@ -109,6 +109,8 @@ class FieldColumn:
 # fragment; past this the memory and the per-element python projection
 # passes stop being worth it vs one per-row fallback query.
 _ARR_CAP = 16_000_000
+# out-of-core metadata: rows per bounded native-projection chunk
+_OOC_PROJECT_CHUNK = 65536
 
 # element kind codes in ArrayColumn.kinds
 _K_NUM, _K_STR, _K_BOOL, _K_NULL, _K_COMPLEX = 1, 2, 3, 4, 5
@@ -1043,11 +1045,40 @@ class ColumnarFilterEngine:
             return False
         n = columns.size
         live = columns.valid[:n]
-        docs = [columns.metadata[r] if live[r] else None for r in range(n)]
-        out = jp_extract(docs, fields)
-        if out is None:
-            return False
-        kinds, nums, strs, flags = out
+        if getattr(columns, "metadata_resident", True):
+            docs = [columns.metadata[r] if live[r] else None
+                    for r in range(n)]
+            out = jp_extract(docs, fields)
+            if out is None:
+                return False
+            kinds, nums, strs, flags = out
+        else:
+            # out-of-core metadata: never hold every row's bytes at once —
+            # fetch + project in bounded chunks (the mode exists because
+            # the full metadata may exceed host RAM)
+            kinds = nums = strs = flags = None
+            chunk = _OOC_PROJECT_CHUNK
+            for s in range(0, n, chunk):
+                e = min(n, s + chunk)
+                docs = [columns.metadata[r] if live[r] else None
+                        for r in range(s, e)]
+                part = jp_extract(docs, fields)
+                if part is None:
+                    return False
+                if kinds is None:
+                    kinds = np.empty((n,) + part[0].shape[1:],
+                                     part[0].dtype)
+                    nums = np.empty((n,) + part[1].shape[1:],
+                                    part[1].dtype)
+                    strs = np.empty((n,) + part[2].shape[1:], object)
+                    flags = np.empty((n,) + part[3].shape[1:],
+                                     part[3].dtype)
+                kinds[s:e], nums[s:e], strs[s:e], flags[s:e] = part
+            if kinds is None:  # n == 0
+                out = jp_extract([], fields)
+                if out is None:
+                    return False
+                kinds, nums, strs, flags = out
 
         build_ok = "" not in self._cols
         json_ok = self._cols.get("") or FieldColumn(n)

@@ -38,8 +38,15 @@ class FairRLock:
                 return True
             ticket = object()
             self._queue.append(ticket)
-            while self._owner is not None or self._queue[0] is not ticket:
-                self._cv.wait()
+            try:
+                while self._owner is not None or self._queue[0] is not ticket:
+                    self._cv.wait()
+            except BaseException:
+                # e.g. KeyboardInterrupt inside cv.wait: an orphaned ticket
+                # at the queue head would deadlock every later acquirer
+                self._queue.remove(ticket)
+                self._cv.notify_all()
+                raise
             self._queue.popleft()
             self._owner = me
             self._count = 1

@@ -147,3 +147,129 @@ def test_rest_create_accepts_flag(tmp_path, monkeypatch):
         httpd.shutdown()
         for c in srv.collections.values():
             c.close()
+
+
+def test_lazy_metadata_iteration_terminates(tmp_path, rng):
+    _, lazy, vecs, metas = make_pair(tmp_path, rng, n=10)
+    got = list(lazy.columns.metadata)
+    assert len(got) == lazy.columns.capacity
+    live = [m for m in got if m is not None]
+    assert sorted(live) == sorted(metas)
+    lazy.close()
+
+
+def test_read_stream0_matches_full_read(tmp_path):
+    from syzgydb_tpu.core.storage import SpanLog
+    p = str(tmp_path / "s0.dat")
+    log = SpanLog(p)
+    small = b'{"k": 1}'
+    big = b'{"blob": "' + b"y" * 10_000 + b'"}'  # spills past the 4KB pread
+    log.write("1", [small, b"\x01\x02\x03"])
+    log.write("2", [big, b"\x04" * 400])
+    assert log.read_stream0("1") == small == log.read("1")[0]
+    assert log.read_stream0("2") == big == log.read("2")[0]
+    log.write("1", [b'{"k": 2}', b"\x05"])  # superseding write
+    assert log.read_stream0("1") == b'{"k": 2}'
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        log.read_stream0("missing")
+    log.close()
+
+
+def test_bulk_rows_streamed_parity(tmp_path, rng):
+    """want_metas=False (bounded chunks, pread) must produce the same
+    ids/vectors as the whole-image path, including multi-chunk splits."""
+    from syzgydb_tpu.core.storage import SpanLog
+    p = str(tmp_path / "bk.dat")
+    log = SpanLog(p)
+    n = 64
+    vals = [bytes([i] * 24) for i in range(n)]
+    for i in range(n):
+        log.write(str(i), [b'{"i": %d}' % i, vals[i]])
+    ids_a, metas_a, vec_a = log.bulk_rows()
+    ids_b, metas_b, vec_b = log.bulk_rows(want_metas=False,
+                                          chunk_bytes=256)  # many chunks
+    assert metas_b is None
+    assert dict(zip(ids_a, map(bytes, vec_a))) == \
+        dict(zip(ids_b, map(bytes, vec_b)))
+    log.close()
+
+
+def test_out_of_core_reopen_uses_streamed_replay(tmp_path, rng,
+                                                 monkeypatch):
+    """Reopen of a lazy collection must not read the whole file image."""
+    from syzgydb_tpu.core import storage as st_mod
+    _, lazy, vecs, metas = make_pair(tmp_path, rng, n=120)
+    path = lazy.options.name
+    lazy.close()
+    seen = {}
+    orig = st_mod.SpanLog.bulk_rows
+
+    def spy(self, want_metas=True, chunk_bytes=64 << 20):
+        seen["want_metas"] = want_metas
+        return orig(self, want_metas, chunk_bytes)
+
+    monkeypatch.setattr(st_mod.SpanLog, "bulk_rows", spy)
+    c = Collection(CollectionOptions(name=path, dimension_count=16,
+                                     quantization=8))
+    assert seen["want_metas"] is False
+    assert c.search(SearchArgs(vector=vecs[7], k=1)).results[0].id == 7
+    c.close()
+
+
+def test_native_projection_chunked_when_lazy(tmp_path, rng, monkeypatch):
+    """Filters on out-of-core collections fetch metadata in bounded
+    chunks; results must match the resident engine."""
+    from syzgydb_tpu.query import columnar
+    monkeypatch.setattr(columnar, "_OOC_PROJECT_CHUNK", 16)
+    res, lazy, vecs, metas = make_pair(tmp_path, rng)
+    for fq in ('tag == "even"', "i >= 42 AND i < 77"):
+        args = SearchArgs(vector=vecs[0], k=8, filter_query=fq)
+        a = [r.id for r in res.search(args).results]
+        b = [r.id for r in lazy.search(args).results]
+        assert a == b
+    res.close()
+    lazy.close()
+
+
+def test_fair_lock_acquire_exception_cleans_ticket():
+    """An exception inside the blocked wait must not leave an orphaned
+    ticket deadlocking later acquirers."""
+    import threading
+    from syzgydb_tpu.utils.locks import FairRLock
+    lk = FairRLock()
+    lk.acquire()  # main holds
+
+    boom = {"n": 0}
+    orig_wait = lk._cv.wait
+
+    def exploding_wait(timeout=None):
+        boom["n"] += 1
+        raise RuntimeError("interrupted")
+
+    lk._cv.wait = exploding_wait
+    err = []
+
+    def b():
+        try:
+            lk.acquire()
+        except RuntimeError as e:
+            err.append(e)
+
+    t = threading.Thread(target=b)
+    t.start()
+    t.join(5)
+    assert err and boom["n"] == 1
+    lk._cv.wait = orig_wait
+    assert not lk._queue  # ticket cleaned up
+    lk.release()
+    got = []
+
+    def c():
+        with lk:
+            got.append(True)
+
+    t2 = threading.Thread(target=c)
+    t2.start()
+    t2.join(5)
+    assert got == [True]  # no deadlock
