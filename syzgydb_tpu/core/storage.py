@@ -126,6 +126,7 @@ class SpanLog:
         # lock inside the collection lock for minutes at 10M-row scale)
         self._compact_mutex = threading.Lock()  # one compaction at a time
         self._compact_thread: threading.Thread | None = None
+        self._compact_wanted = False  # set under _lock; consumed by worker
         self._compact_hook = None  # test seam: called once per copied record
         new = not os.path.exists(path) or os.path.getsize(path) == 0
         self._f = open(path, "a+b")
@@ -530,8 +531,14 @@ class SpanLog:
             self._start_background_compact()
 
     def _start_background_compact(self) -> None:
-        t = self._compact_thread
-        if (t is not None and t.is_alive()) or self._closed:
+        # Caller holds _lock.  The wanted flag + self-detaching worker close
+        # a missed-trigger race: with a bare is_alive() check, writes landing
+        # after the worker's swap but before its exit were skipped ("thread
+        # alive") yet never re-armed — garbage then sat uncompacted until the
+        # next write (observed as a test flake under single-core GIL
+        # contention, where that window spans many writes).
+        self._compact_wanted = True
+        if self._compact_thread is not None or self._closed:
             return
         t = threading.Thread(
             target=self._background_compact, daemon=True,
@@ -540,10 +547,20 @@ class SpanLog:
         t.start()
 
     def _background_compact(self) -> None:
-        try:
-            self.compact()
-        except Exception:
-            log.exception("background compaction of %s failed", self.path)
+        while True:
+            with self._lock:
+                if self._closed or not self._compact_wanted:
+                    self._compact_thread = None  # detach under _lock: a
+                    return  # concurrent writer now starts a fresh worker
+                self._compact_wanted = False
+            try:
+                self.compact()
+            except Exception:
+                log.exception("background compaction of %s failed",
+                              self.path)
+                with self._lock:
+                    self._compact_thread = None
+                return  # next triggering write re-arms; don't spin on error
 
     def compact(self) -> None:
         """Rewrite live records into a fresh log; atomic rename over original.
@@ -635,7 +652,7 @@ class SpanLog:
         # section takes the lock, so joining under it would deadlock
         with self._lock:
             self._closed = True
-        t = self._compact_thread
+            t = self._compact_thread
         if t is not None and t.is_alive():
             t.join(timeout=60.0)
         with self._lock:

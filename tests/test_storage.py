@@ -258,6 +258,51 @@ def test_background_compaction_triggered_by_garbage(tmp_path):
     log.close()
 
 
+def test_compaction_rearms_for_writes_during_worker_exit(tmp_path):
+    """Writes landing after a compaction's swap but while the worker thread
+    is still alive must still get compacted.  With the old bare is_alive()
+    skip they were silently dropped and nothing re-armed (the missed-trigger
+    race behind the test_background_compaction flake under GIL contention);
+    the wanted-flag protocol guarantees the worker's exit-path re-check
+    sees them."""
+    import threading
+    import time as _t
+
+    p = str(tmp_path / "log.dat")
+    log = SpanLog(p, compact_min_garbage=1024)
+    payload = b"x" * 256
+    rec = len(payload) + 64
+    gate = threading.Event()
+    first_done = threading.Event()
+    orig = log.compact
+
+    def slow_exit_compact():
+        log.compact = orig  # later runs (the re-arm) behave normally
+        orig()
+        first_done.set()
+        gate.wait(30.0)  # swap complete; worker stays alive in-window
+
+    log.compact = slow_exit_compact
+    for _ in range(20):
+        log.write("k", [payload])  # triggers the first compaction
+    assert first_done.wait(30.0), "first compaction never ran"
+    # the race window: worker alive, its work already finished
+    for _ in range(20):
+        log.write("k", [payload])
+    gate.set()
+    deadline = _t.monotonic() + 60.0
+    while _t.monotonic() < deadline:
+        size, n = log.stats()
+        if size < 6 * rec:
+            break
+        _t.sleep(0.01)
+    size, n = log.stats()
+    assert n == 1
+    assert size < 6 * rec, size
+    assert log.read("k") == [payload]
+    log.close()
+
+
 def test_compaction_tombstones_removed_during_copy(tmp_path):
     """An id removed WHILE its snapshot copy already landed in the new file
     must not resurrect after a reopen (the tombstone-superseding path)."""
