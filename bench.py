@@ -44,6 +44,21 @@ def main() -> None:
     from syzgydb_tpu.utils import xla_cache
     xla_cache.enable()
 
+    # tunnel-mode fingerprint for the output JSON: dependent-chain RTT on a
+    # tiny program (~33 ms/step healthy, 90-100 ms in the common degraded
+    # mode, seconds in the bad episodes — CLAUDE.md platform notes).  A
+    # depressed headline is then attributable from the artifact alone.
+    _rx = jnp.ones((256, 256))
+    _rf = jax.jit(lambda a: a @ a + 1.0)
+    jax.block_until_ready(_rf(_rx))
+    _t0 = time.perf_counter()
+    _ry = _rx
+    for _ in range(10):
+        _ry = _rf(_ry)
+    float(_ry[0, 0])
+    tunnel_rtt_ms = (time.perf_counter() - _t0) * 100.0
+    _log(f"bench: tunnel RTT {tunnel_rtt_ms:.1f} ms/step")
+
     from syzgydb_tpu.index.hamming import SignHashIndex
     from syzgydb_tpu.ops import distance as dist_ops
     from syzgydb_tpu.ops import pallas_scan
@@ -284,6 +299,7 @@ def main() -> None:
         "qps_high_precision": round(qps_high, 2),
         "qps_median": round(qps_median, 2),
         "qps_blocks": qps_blocks,
+        "tunnel_rtt_ms": round(tunnel_rtt_ms, 1),
         "recall_high_precision": round(recall_high, 4),
         "provably_exact_rate": round(ok_rate, 4),
         "qps_exact_scan": round(qps_exact, 2),
