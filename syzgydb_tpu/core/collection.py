@@ -698,12 +698,20 @@ class Collection:
                     self._dev["slab"] = psearch.sharded_lane_slab(
                         self._mesh, codes_dev)
                 # per-shard ilv operand for the r3.7 fused surface (same
-                # probed-widths + memory gate as the single-device path)
+                # probed-widths gate as the single-device path).  The
+                # memory gate is PER-SHARD: each device holds only its own
+                # rows' codes/slab/ilv, and sharded_ilv_codes relayouts
+                # inside shard_map, so the transient is per-shard too — a
+                # 10M collection over 8 data shards (~480 MB/device) stays
+                # on the fused kernel where the single-device path must go
+                # lean.  (Collection meshes pin feature=1, use_mesh above.)
+                per_shard_bytes = (codes_dev.size *
+                                   codes_dev.dtype.itemsize
+                                   ) // self._mesh.shape["data"]
                 if pallas_scan.supported() and psearch.ilv_ok_mesh(
                         self._mesh, self.quantization,
                         self.columns.capacity) and \
-                        codes_dev.size * codes_dev.dtype.itemsize <= \
-                        _LEAN_CODE_BYTES:
+                        per_shard_bytes <= _LEAN_CODE_BYTES:
                     self._dev["ilv"] = psearch.sharded_ilv_codes(
                         self._mesh, codes_dev)
             elif self._lean_ok(codes_np):
@@ -1306,7 +1314,8 @@ class Collection:
                 self._mesh, queries, dev["codes"], dev["norms"], valid,
                 dev.get("slab"), dev.get("ilv"),
                 bits=self.quantization, metric=self.metric, k=kk,
-                exact=exact, seg_margin=margin, with_ties=True)
+                exact=exact, seg_margin=margin, with_ties=True,
+                kernel_interpret=self._kernel_interpret)
             if len(out) == 2:  # non-fused sharded path: full-surface top-k
                 return out[0], out[1], None, 0, 0
             dist, rows, ties = out

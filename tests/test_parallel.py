@@ -265,3 +265,59 @@ def test_sharded_ann_kernel_path_parity(rng):
         assert set(np.asarray(r_ker)[q].tolist()) == \
             set(np.asarray(r_xla)[q].tolist())
     assert all(int(r) % 7 != 0 for r in np.asarray(r_ker).ravel())
+
+
+def test_mesh_ilv_memory_gate_is_per_shard(tmp_path, rng, monkeypatch):
+    """The ilv-operand memory gate applies PER SHARD under a mesh: a
+    collection whose TOTAL codes exceed _LEAN_CODE_BYTES but whose
+    per-shard slice fits keeps the fused ilv surface (each device holds
+    only its own rows, and sharded_ilv_codes relayouts inside shard_map
+    so the transient is per-shard too).  Single-device placements of the
+    same size go lean instead — tests/test_lean.py.  Closes the r4
+    deferred note's "the 2 GB gate still drops the mesh ilv operand"."""
+    from syzgydb_tpu import Collection, CollectionOptions, SearchArgs
+    from syzgydb_tpu.core import collection as coll_mod
+    from syzgydb_tpu.ops import pallas_scan
+    from syzgydb_tpu.ops import quantize as qz
+
+    monkeypatch.setattr(coll_mod, "HOST_SCAN_MAX_ELEMS", 0)  # force device
+    monkeypatch.setattr(pallas_scan, "supported", lambda: True)
+    monkeypatch.setattr(Collection, "_kernel_interpret", True)
+
+    data, d, bits = 2, 128, 8
+    n = data * 128 * psearch._SEG  # 8192: minimal ilv_ok_mesh capacity
+    total_bytes = n * d            # int8 codes
+    # cap between per-shard (total/2) and total: old total-bytes gate
+    # dropped ilv here; the per-shard gate must keep it
+    monkeypatch.setattr(coll_mod, "_LEAN_CODE_BYTES", total_bytes - 1)
+
+    c = Collection(CollectionOptions(
+        name=str(tmp_path / "ps.dat"), dimension_count=d, quantization=bits,
+        create_and_overwrite=True, index_seed=7))
+    vecs = rng.uniform(-1, 1, size=(n, d))
+    c.add_documents(list(range(n)), vecs, [b"{}"] * n)
+    mesh = mesh_mod.make_mesh(mesh_mod.MeshConfig(data=data, feature=1),
+                              jax.devices()[:data])
+    c.use_mesh(mesh)
+    assert psearch.ilv_ok_mesh(mesh, bits, c.columns.capacity)
+
+    q = rng.uniform(-1, 1, size=d)
+    got = [r.id for r in c.search(
+        SearchArgs(vector=q, k=10, precision="high")).results]
+    assert "ilv" in c._dev, "per-shard gate must keep the fused surface"
+
+    seen = qz.quantization_roundtrip(vecs, bits)
+    dist = np.sqrt(((seen - q) ** 2).sum(axis=1))
+    want = set(np.argsort(dist, kind="stable")[:10].tolist())
+    assert set(got) == want
+
+    # a mutation must ride the scatter path and rebuild the mesh ilv
+    c.add_documents([0], vecs[:1] * 0.5, [b"{}"])
+    got2 = [r.id for r in c.search(
+        SearchArgs(vector=q, k=10, precision="high")).results]
+    assert c.sync_stats["scatter"] >= 1 and "ilv" in c._dev
+    seen[0] = qz.quantization_roundtrip(vecs[:1] * 0.5, bits)[0]
+    dist = np.sqrt(((seen - q) ** 2).sum(axis=1))
+    want2 = set(np.argsort(dist, kind="stable")[:10].tolist())
+    assert set(got2) == want2
+    c.close()
