@@ -1921,8 +1921,15 @@ class Collection:
         With raw=True, yields the (m, B) uint8 storage rows instead of f64
         vectors (tools/dump.py turns discrete-alphabet codes into
         pre-rendered text).  Falls back to per-record reads for mixed
-        logs."""
-        bulk = self.spanlog.bulk_rows()
+        logs.
+
+        Out-of-core metadata collections must export at bounded RSS too
+        (review finding r5): want_metas=True materializes the whole file
+        image plus every metadata bytes — so here the codes ride the
+        streamed want_metas=False path (same as the reopen replay,
+        collection.py:419) and each chunk's metadata is pread on demand."""
+        resident = self.columns.metadata_resident
+        bulk = self.spanlog.bulk_rows(want_metas=resident)
         if bulk is None:  # mixed record shapes
             for doc_id in self.get_all_ids():
                 try:
@@ -1945,9 +1952,23 @@ class Collection:
         order = np.argsort(ids, kind="stable")
         for s in range(0, len(order), chunk):
             sel = order[s:s + chunk]
+            if resident:
+                chunk_metas = [metas[i] for i in sel.tolist()]
+            else:
+                chunk_metas, kept = [], []
+                for i in sel.tolist():
+                    try:
+                        chunk_metas.append(
+                            self.spanlog.read_stream0(rec_ids[i]))
+                        kept.append(i)
+                    except KeyError:
+                        continue  # removed concurrently
+                if not kept:
+                    continue
+                sel = np.array(kept, dtype=np.int64)
             rows = packed[sel] if raw else qz.unpack_vectors(
                 packed[sel], self.dimension_count, self.quantization)
-            yield ids[sel].tolist(), rows, [metas[i] for i in sel.tolist()]
+            yield ids[sel].tolist(), rows, chunk_metas
 
     def compute_average_distance(self, samples: int = 100) -> float:
         with self._lock:

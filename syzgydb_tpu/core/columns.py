@@ -208,9 +208,14 @@ class ColumnStore:
             dist_ops.db_row_stats(dev, self.quantization, self.dims)
         self.ids[rows] = np.asarray(doc_ids, dtype=np.uint64)
         self.valid[rows] = True
-        self.meta_ok[rows] = False  # memo invalid until re-validated
         for i, row in enumerate(rows):
             self.metadata[row] = metadatas[i]
+        # memo reset must FOLLOW the bytes install (as in put/set_metadata):
+        # reset-first reopens the stale-True race — a reader that validated
+        # the old bytes after our reset would memoize True, its identity
+        # re-check would still pass (bytes not yet swapped), and the new
+        # unvalidated bytes would then be spliced verbatim by the REST layer
+        self.meta_ok[rows] = False
         self._dirty_rows.update(int(r) for r in rows)
         self.version += 1
         return rows

@@ -144,6 +144,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.close_connection = version == "HTTP/1.0"
         d: dict[str, str] = {}
         last = None
+        last_stored = False
         while True:
             h = self.rfile.readline(65537)
             if len(h) > 65536:
@@ -156,7 +157,12 @@ class _Handler(BaseHTTPRequestHandler):
                 return False
             s = h.decode("iso-8859-1")
             if s[:1] in (" ", "\t") and last is not None:
-                d[last] += " " + s.strip()  # obs-fold continuation
+                # obs-fold continuation — but only onto a header we kept:
+                # a fold after a DISCARDED duplicate belongs to that
+                # duplicate's value and must be discarded with it, not
+                # appended to the first occurrence (review finding r5)
+                if last_stored:
+                    d[last] += " " + s.strip()
                 continue
             k, sep, v = s.partition(":")
             if not sep:
@@ -167,7 +173,9 @@ class _Handler(BaseHTTPRequestHandler):
             # Message.get (a duplicated Content-Length must not change
             # request framing relative to the fallback parser — review
             # finding r5)
-            d.setdefault(last, v.strip())
+            last_stored = last not in d
+            if last_stored:
+                d[last] = v.strip()
         self.headers = _FastHeaders(d)
         conn = (d.get("connection") or "").lower()
         if conn == "close":

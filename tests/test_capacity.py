@@ -160,3 +160,35 @@ def test_rest_insert_maps_capacity_error_to_507(tmp_path, monkeypatch):
         httpd.shutdown()
         for c in srv.collections.values():
             c.close()
+
+
+def test_put_many_installs_bytes_before_memo_reset(tmp_path):
+    """Write-ordering pin (review finding r5): the memo reset must FOLLOW
+    the metadata bytes install, as in put/set_metadata.  Reset-first
+    reopens the stale-True race — a reader that validated the old bytes
+    after the reset would memoize True, pass its identity re-check
+    (bytes not yet swapped), and the new unvalidated bytes would then be
+    spliced verbatim into REST responses."""
+    c = make(tmp_path, n=8)
+    cols = c.columns
+    events = []
+
+    class TraceList(list):
+        def __setitem__(self, i, v):
+            events.append("md")
+            super().__setitem__(i, v)
+
+    class TraceOk(np.ndarray):
+        def __setitem__(self, idx, v):
+            events.append("ok")
+            super().__setitem__(idx, v)
+
+    cols.metadata = TraceList(cols.metadata)
+    cols.meta_ok = cols.meta_ok.view(TraceOk)
+    ids = np.array([1, 2, 3], dtype=np.uint64)  # existing rows: no grow
+    cols.put_many(ids, np.zeros((3, 8)), [b"{}"] * 3)
+    ok_pos = [i for i, e in enumerate(events) if e == "ok"]
+    md_pos = [i for i, e in enumerate(events) if e == "md"]
+    assert md_pos and ok_pos, events
+    assert min(ok_pos) > max(md_pos), events  # bytes first, reset last
+    c.close()

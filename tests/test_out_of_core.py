@@ -273,3 +273,31 @@ def test_fair_lock_acquire_exception_cleans_ticket():
     t2.start()
     t2.join(5)
     assert got == [True]  # no deadlock
+
+
+def test_export_streams_metadata_not_resident(tmp_path, rng):
+    """Export of a metadata_on_demand collection must run at bounded RSS
+    (review finding r5): the codes ride the streamed want_metas=False
+    bulk_rows path and metadata is pread per chunk — never the
+    whole-file-image want_metas=True path whose transient is exactly what
+    the mode exists to avoid.  Output stays byte-identical to the
+    resident collection's export."""
+    import io
+    from syzgydb_tpu.tools.dump import export_json
+
+    res, lazy, vecs, metas = make_pair(tmp_path, rng, n=120)
+    calls = []
+    orig = lazy.spanlog.bulk_rows
+    lazy.spanlog.bulk_rows = lambda want_metas=True, **kw: (
+        calls.append(want_metas) or orig(want_metas=want_metas, **kw))
+    for compact in (False, True):
+        a, b = io.StringIO(), io.StringIO()
+        export_json(res, a, compact=compact)
+        export_json(lazy, b, compact=compact)
+        # identical except the collection header (name/metadata_on_demand)
+        a_recs = a.getvalue().split('"records"')[1]
+        b_recs = b.getvalue().split('"records"')[1]
+        assert a_recs == b_recs
+    assert calls and all(c is False for c in calls)
+    res.close()
+    lazy.close()

@@ -544,3 +544,27 @@ def test_use_mesh_auto_shards_collections(tmp_path, rng, monkeypatch):
         for c in srv.collections.values():
             if c is not None:
                 c.close()
+
+
+def test_fast_parser_discards_fold_after_duplicate_header():
+    """Obs-fold continuation after a DISCARDED duplicate header must be
+    discarded with it — the stdlib email parser folds it into the second
+    occurrence, whose value .get() never returns (first wins).  The old
+    fast parser appended it to the FIRST occurrence, yielding a value no
+    stdlib-parsed request would produce (review finding r5)."""
+    import io
+
+    def parse(header_blob: bytes):
+        h = object.__new__(rest_mod._Handler)
+        h.raw_requestline = b"GET /x HTTP/1.1\r\n"
+        h.rfile = io.BytesIO(header_blob)
+        assert h.parse_request()
+        return h.headers
+
+    hd = parse(b"X-A: 1\r\nX-A: 2\r\n\tcont\r\n\r\n")
+    assert hd.get("X-A") == "1"  # stdlib parity: no " cont" appended
+
+    # folds onto a KEPT header still work
+    hd = parse(b"X-B: a\r\n  b\r\nX-C: z\r\n\r\n")
+    assert hd.get("X-B") == "a b"
+    assert hd.get("x-c") == "z"
