@@ -51,13 +51,40 @@ def main() -> None:
     _rx = jnp.ones((256, 256))
     _rf = jax.jit(lambda a: a @ a + 1.0)
     jax.block_until_ready(_rf(_rx))
-    _t0 = time.perf_counter()
-    _ry = _rx
-    for _ in range(10):
-        _ry = _rf(_ry)
-    float(_ry[0, 0])
-    tunnel_rtt_ms = (time.perf_counter() - _t0) * 100.0
+
+    def probe_rtt() -> float:
+        t0 = time.perf_counter()
+        ry = _rx
+        for _ in range(10):
+            ry = _rf(ry)
+        float(ry[0, 0])
+        return (time.perf_counter() - t0) * 100.0
+
+    tunnel_rtt_ms = probe_rtt()
     _log(f"bench: tunnel RTT {tunnel_rtt_ms:.1f} ms/step")
+
+    # Catastrophic episodes (tens of seconds/step were measured on
+    # Aug 19) make the full measurement plan run for hours — the capture
+    # process would be killed before emitting its JSON line.  Wait a
+    # bounded window for the mode to lift, then fall back to a REDUCED
+    # but honest capture (fewer reps/blocks, rtt recorded) so one line
+    # is always produced.
+    import os
+    _CATASTROPHIC_MS = 1000.0
+    wait_budget = float(os.environ.get("SYZGY_BENCH_WAIT_S", "600"))
+    _tw = time.perf_counter()
+    while tunnel_rtt_ms > _CATASTROPHIC_MS and \
+            time.perf_counter() - _tw < wait_budget:
+        _log(f"bench: tunnel catastrophically degraded "
+             f"({tunnel_rtt_ms:.0f} ms/step) — waiting 180s for the mode "
+             "to lift")
+        time.sleep(180)
+        tunnel_rtt_ms = probe_rtt()
+        _log(f"bench: tunnel RTT {tunnel_rtt_ms:.1f} ms/step")
+    catastrophic = tunnel_rtt_ms > _CATASTROPHIC_MS
+    if catastrophic:
+        _log("bench: proceeding with the REDUCED capture plan "
+             "(degraded_capture=true in the output)")
 
     from syzgydb_tpu.index.hamming import SignHashIndex
     from syzgydb_tpu.ops import distance as dist_ops
@@ -194,8 +221,15 @@ def main() -> None:
             len(set(truth[i].tolist()) & set(aidx[i].tolist())) / k
             for i in range(nq)]))
 
+    # reduced plan under a catastrophic tunnel: every stage still runs
+    # (schema unchanged) but with the minimum reps that produce a timing
+    _REPS = 2 if catastrophic else 10
+    _BLOCKS = 2 if catastrophic else 5
+    _REPS_SMALL = 1 if catastrophic else 5
+
     _log("bench: timing high-precision scan (batch 1024)")
-    t_blocks = timeit_blocks(lambda: high_step(qdev))
+    t_blocks = timeit_blocks(lambda: high_step(qdev), reps=_REPS,
+                             blocks=_BLOCKS)
     t_high = min(t_blocks)
     # The single-tenant tunnel reclaims dead clients' HBM slowly: after
     # process churn the device can sit in a ~10-100x degraded mode for
@@ -204,13 +238,18 @@ def main() -> None:
     # the same best-of methodology the host baseline uses, for the same
     # reason (a contended measurement is not the system's speed).
     _HEALTHY_HIGH_S = 0.025
-    for _attempt in range(4):
+    for _attempt in range(0 if catastrophic else 4):
         if t_high <= _HEALTHY_HIGH_S:
             break
         _log(f"bench: degraded platform ({t_high*1000:.0f} ms/batch vs "
              "~15.5 healthy) — waiting 90s for the tunnel to recover, "
              "then re-measuring")
         time.sleep(90)
+        if probe_rtt() > _CATASTROPHIC_MS:
+            # the mode got WORSE mid-capture: a reps=50 block would run
+            # for the better part of an hour — keep what we have
+            _log("bench: tunnel now catastrophic — stopping retries")
+            break
         # longer blocks amortize a degraded per-dispatch RTT (measured
         # r3.7: RTT can sit at ~1.8s while compute throughput stays
         # healthy — 36.5 TFLOP/s on a raw matmul during the same episode)
@@ -230,14 +269,15 @@ def main() -> None:
     _log("bench: timing bf16 exhaustive pipeline (batch 1024)")
     t_exact = timeit(lambda: (
         dist_ops.top_k_smallest(dist_ops.score_block(
-            qdev, codes, norms, valid, bits, metric, exact=False), k)), 5)
+            qdev, codes, norms, valid, bits, metric, exact=False), k)),
+        _REPS_SMALL)
     qps_exact = q_big / t_exact
 
     # ANN budget sweep at batch 64 (the single-RPC serving shape)
     sweep = []
     for budget in (512, 1024, 2048, 8192):
         _log(f"bench: timing ann budget={budget}")
-        t = timeit(lambda: ann_step(qann, qcodes, budget))
+        t = timeit(lambda: ann_step(qann, qcodes, budget), reps=_REPS)
         _, aidx = ann_step(qann, qcodes, budget)
         sweep.append({"budget": budget, "qps": q_ann / t,
                       "recall": recall_of(np.asarray(aidx), q_ann)})
@@ -254,7 +294,7 @@ def main() -> None:
     for q_n in (256, 1024):
         _log(f"bench: timing ann batch={q_n} budget=512")
         qd, qc = qdev[:q_n], qc_all[:q_n]
-        t = timeit(lambda: ann_step(qd, qc, 512), reps=5)
+        t = timeit(lambda: ann_step(qd, qc, 512), reps=_REPS_SMALL)
         crossover.append({"batch": q_n, "budget": 512, "qps": q_n / t})
     # ...and the exhaustive side of the same crossover (r3.7: the router's
     # predicted flip sits between batch 64 and 256 — these rows pin it)
@@ -262,7 +302,7 @@ def main() -> None:
     for q_n in (64, 256):
         _log(f"bench: timing high batch={q_n}")
         qd = qdev[:q_n]
-        t = timeit(lambda: high_step(qd), reps=5)
+        t = timeit(lambda: high_step(qd), reps=_REPS_SMALL)
         high_small.append({"batch": q_n, "qps": q_n / t})
 
     # host NumPy/BLAS baseline on a 100k subsample, scaled to 1M
@@ -300,6 +340,7 @@ def main() -> None:
         "qps_median": round(qps_median, 2),
         "qps_blocks": qps_blocks,
         "tunnel_rtt_ms": round(tunnel_rtt_ms, 1),
+        "degraded_capture": catastrophic,
         "recall_high_precision": round(recall_high, 4),
         "provably_exact_rate": round(ok_rate, 4),
         "qps_exact_scan": round(qps_exact, 2),
