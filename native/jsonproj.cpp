@@ -60,6 +60,45 @@ inline bool is_json_number(const uint8_t* p, size_t n) {
     return i == n;
 }
 
+// json.loads(bytes) UTF-8-decodes the WHOLE document before parsing, so
+// invalid byte sequences anywhere — including strings/keys this parser
+// skips — reject the doc in python; such rows must ride the fallback
+// (review finding r5, confirmed divergence).
+inline bool valid_utf8(const uint8_t* p, const uint8_t* end) {
+    while (p < end) {
+        uint8_t b = *p;
+        if (b < 0x80) {
+            ++p;
+            continue;
+        }
+        int n;
+        uint32_t cp;
+        if ((b & 0xE0) == 0xC0) {
+            n = 1;
+            cp = b & 0x1F;
+        } else if ((b & 0xF0) == 0xE0) {
+            n = 2;
+            cp = b & 0x0F;
+        } else if ((b & 0xF8) == 0xF0) {
+            n = 3;
+            cp = b & 0x07;
+        } else {
+            return false;
+        }
+        if (end - p <= n) return false;
+        for (int i = 1; i <= n; ++i) {
+            if ((p[i] & 0xC0) != 0x80) return false;
+            cp = (cp << 6) | (p[i] & 0x3F);
+        }
+        if (n == 1 && cp < 0x80) return false;  // overlong
+        if (n == 2 && (cp < 0x800 || (cp >= 0xD800 && cp <= 0xDFFF)))
+            return false;  // overlong / surrogate
+        if (n == 3 && (cp < 0x10000 || cp > 0x10FFFF)) return false;
+        p += n + 1;
+    }
+    return true;
+}
+
 inline void skip_ws(Cursor& c) {
     while (c.p < c.end && (*c.p == ' ' || *c.p == '\t' || *c.p == '\n' ||
                            *c.p == '\r'))
@@ -79,8 +118,28 @@ inline bool scan_string(Cursor& c, const uint8_t** out, uint32_t* len,
         uint8_t ch = *c.p;
         if (ch < 0x20) return false;  // raw control char: json.loads rejects
         if (ch == '\\') {
+            // only legal JSON escapes: an invalid one (e.g. \x) must fail
+            // the parse so the row takes the python fallback — json.loads
+            // rejects the whole doc even when the string is skipped
+            // (review finding r5, confirmed divergence)
             esc = true;
-            c.p += 2;  // skip escaped char (\uXXXX handled by fallback)
+            if (c.p + 1 >= c.end) return false;
+            uint8_t nx = c.p[1];
+            if (nx == 'u') {
+                if (c.end - c.p < 6) return false;
+                for (int i = 2; i < 6; ++i) {
+                    uint8_t h = c.p[i];
+                    if (!((h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') ||
+                          (h >= 'A' && h <= 'F')))
+                        return false;
+                }
+                c.p += 6;
+            } else if (nx == '"' || nx == '\\' || nx == '/' || nx == 'b' ||
+                       nx == 'f' || nx == 'n' || nx == 'r' || nx == 't') {
+                c.p += 2;
+            } else {
+                return false;
+            }
             continue;
         }
         if (ch == '"') {
@@ -178,6 +237,10 @@ void jp_extract(const uint8_t* data, const uint64_t* starts,
         memset(k, 0, nf);
 
         Cursor c{data + starts[r], data + starts[r] + lens[r]};
+        if (!valid_utf8(c.p, c.end)) {
+            row_flags[r] = 1;  // json.loads(bytes) rejects non-UTF-8 docs
+            continue;
+        }
         skip_ws(c);
         if (c.p >= c.end) {
             row_flags[r] = 1;  // empty: python decides (it rejects)

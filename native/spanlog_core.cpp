@@ -30,7 +30,6 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 static uint32_t crc_tab[8][256];
-static bool crc_init_done = false;
 
 static void crc_init() {
     for (uint32_t i = 0; i < 256; i++) {
@@ -43,11 +42,16 @@ static void crc_init() {
         for (int s = 1; s < 8; s++)
             crc_tab[s][i] =
                 crc_tab[0][crc_tab[s - 1][i] & 0xFF] ^ (crc_tab[s - 1][i] >> 8);
-    crc_init_done = true;
 }
 
+// Eager init at dlopen (single-threaded) — the old lazy check raced: a
+// thread could observe the done flag before the table stores were
+// visible and encode a whole batch with wrong CRCs, silently discarded
+// as "corrupt" at the next reopen (review finding r5).
+static const bool crc_tables_ready = (crc_init(), true);
+
 static uint32_t crc32_ieee(const uint8_t* p, size_t n, uint32_t crc = 0) {
-    if (!crc_init_done) crc_init();
+    (void)crc_tables_ready;
     crc = ~crc;
     while (n >= 8) {
         uint32_t lo;

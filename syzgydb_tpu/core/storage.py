@@ -176,6 +176,15 @@ class SpanLog:
                 body = data[pos + _REC_HDR.size:end - 4]
                 (crc,) = struct.unpack_from("<I", data, end - 4)
                 ok = zlib.crc32(body) == crc
+            if ok:
+                try:
+                    # a CRC-colliding malformed body (too short, or a
+                    # non-UTF-8 id) must resync like any other corruption,
+                    # not crash the open — the recover-from-arbitrary-
+                    # corruption invariant (review finding r5)
+                    seq, flags, rec_id, _ = _decode_body(body)
+                except Exception:
+                    ok = False
             if not ok:
                 # corrupted/truncated: resync on next record magic
                 nxt = data.find(REC_MAGIC, pos + 1)
@@ -185,7 +194,6 @@ class SpanLog:
                     break
                 pos = nxt
                 continue
-            seq, flags, rec_id, _ = _decode_body(body)
             prev = best.get(rec_id)
             if prev is None or seq > prev[0]:
                 if prev is not None:
@@ -266,20 +274,26 @@ class SpanLog:
                 self.write_many(fallback_items())
                 return
             buf, offs, lens = native
-            for i, rec_id in enumerate(rec_ids):
-                self._max_seq += 1
-                old = self._index.get(rec_id)
-                if old is not None:
-                    self._garbage += old.length
-                    self._live_bytes -= old.length
-                self._index[rec_id] = _Entry(self._max_seq,
-                                             offset + int(offs[i]),
-                                             int(lens[i]), int(lens[i]))
-                self._live_bytes += int(lens[i])
+            # write + flush BEFORE mutating the index: an I/O failure
+            # (ENOSPC) must not leave phantom entries pointing past EOF
+            # (review finding r5).  _max_seq advances with the encode's
+            # baked-in seqs either way, so a retry after a partial durable
+            # write always supersedes it.
+            self._max_seq += len(rec_ids)
             self._f.write(buf)
             self._f.flush()
             if self.sync:
                 os.fsync(self._f.fileno())
+            seq0 = self._max_seq - len(rec_ids)
+            for i, rec_id in enumerate(rec_ids):
+                old = self._index.get(rec_id)
+                if old is not None:
+                    self._garbage += old.length
+                    self._live_bytes -= old.length
+                self._index[rec_id] = _Entry(seq0 + 1 + i,
+                                             offset + int(offs[i]),
+                                             int(lens[i]), int(lens[i]))
+                self._live_bytes += int(lens[i])
             self._maybe_compact()
 
     def write_many(self, items: list[tuple[str, list[bytes]]]) -> None:
@@ -293,41 +307,47 @@ class SpanLog:
                                           [s for _, s in items])
             if native is not None:
                 buf, offs, lens = native
-                for i, (rec_id, _) in enumerate(items):
-                    self._max_seq += 1
-                    old = self._index.get(rec_id)
-                    if old is not None:
-                        self._garbage += old.length
-                        self._live_bytes -= old.length
-                    self._index[rec_id] = _Entry(self._max_seq,
-                                                 offset + int(offs[i]),
-                                                 int(lens[i]), int(lens[i]))
-                    self._live_bytes += int(lens[i])
+                # write before index install (ENOSPC must not leave
+                # phantom entries — review finding r5, see
+                # write_many_columns)
+                self._max_seq += len(items)
                 self._f.write(buf)
                 self._f.flush()
                 if self.sync:
                     os.fsync(self._f.fileno())
+                seq0 = self._max_seq - len(items)
+                for i, (rec_id, _) in enumerate(items):
+                    old = self._index.get(rec_id)
+                    if old is not None:
+                        self._garbage += old.length
+                        self._live_bytes -= old.length
+                    self._index[rec_id] = _Entry(seq0 + 1 + i,
+                                                 offset + int(offs[i]),
+                                                 int(lens[i]), int(lens[i]))
+                    self._live_bytes += int(lens[i])
                 self._maybe_compact()
                 return
             chunks = []
+            pending = []  # (rec_id, seq, offset, length) — install after IO
             for rec_id, streams in items:
                 self._max_seq += 1
                 body = _encode_body(self._max_seq, 0, rec_id, streams)
                 rec = _REC_HDR.pack(REC_MAGIC, len(body)) + body + struct.pack(
                     "<I", zlib.crc32(body))
-                old = self._index.get(rec_id)
-                if old is not None:
-                    self._garbage += old.length
-                    self._live_bytes -= old.length
-                self._index[rec_id] = _Entry(self._max_seq, offset, len(rec),
-                                             len(rec))
-                self._live_bytes += len(rec)
+                pending.append((rec_id, self._max_seq, offset, len(rec)))
                 offset += len(rec)
                 chunks.append(rec)
             self._f.write(b"".join(chunks))
             self._f.flush()
             if self.sync:
                 os.fsync(self._f.fileno())
+            for rec_id, seq, off, length in pending:
+                old = self._index.get(rec_id)
+                if old is not None:
+                    self._garbage += old.length
+                    self._live_bytes -= old.length
+                self._index[rec_id] = _Entry(seq, off, length, length)
+                self._live_bytes += length
             self._maybe_compact()
 
     def read(self, rec_id: str) -> list[bytes]:
@@ -357,6 +377,12 @@ class SpanLog:
             head = os.pread(fd, min(entry.length, 4096), entry.offset)
             (id_len,) = struct.unpack_from("<H", head, 17)
             p0 = 20 + id_len  # past header+seq+flags+id_len+id+nstreams
+            if p0 + 4 > len(head):
+                # id longer than the fixed head read (pathological but
+                # legal): extend to cover the stream-0 length field
+                # (review finding r5 — struct.error crashed the read)
+                head += os.pread(fd, min(entry.length, p0 + 4) - len(head),
+                                 entry.offset + len(head))
             (m_len,) = struct.unpack_from("<I", head, p0)
             end = p0 + 4 + m_len
             if end <= len(head):
@@ -367,11 +393,15 @@ class SpanLog:
 
     def remove(self, rec_id: str) -> None:
         with self._lock:
-            entry = self._index.pop(rec_id, None)
+            entry = self._index.get(rec_id)
             if entry is None:
                 raise KeyError(rec_id)
-            self._live_bytes -= entry.length
+            # append the tombstone BEFORE dropping the index entry: a
+            # failed write must not make the record vanish from memory
+            # while staying live on disk (review finding r5)
             tomb = self._append(_FLAG_TOMBSTONE, rec_id, [])
+            del self._index[rec_id]
+            self._live_bytes -= entry.length
             self._garbage += entry.length + tomb.length
             self._maybe_compact()
 
@@ -427,7 +457,15 @@ class SpanLog:
                 image = self._f.read()
             else:
                 self._f.flush()
-                fd = self._f.fileno()
+                # dup() pins the CURRENT open file description: if a
+                # background compaction swaps the log mid-stream
+                # (close + os.replace + reopen), the borrowed fileno()
+                # would be reused by the NEW file and the remaining preads
+                # would silently read the compacted file at stale snapshot
+                # offsets (review finding r5).  The dup'd fd keeps the old
+                # inode alive — appends never disturb captured offsets, so
+                # it stays a consistent snapshot for `entries`.
+                fd = os.dup(self._f.fileno())
 
         def decode_chunk(arr, offs, vec, rows):
             """Gather the vector spans of the records at `offs` (relative
@@ -473,35 +511,38 @@ class SpanLog:
         # streamed: records sorted by offset, grouped into chunks that
         # cover whole records (chunk boundary extends to the last record's
         # end), so peak transient = one chunk
-        order = sorted(range(n), key=lambda i: entries[i][1].offset)
-        vec = None
-        chunk_target = chunk_bytes
-        i = 0
-        while i < n:
-            j = i
-            start = entries[order[i]][1].offset
-            end = start
-            while j < n:
-                e = entries[order[j]][1]
-                if e.offset + e.length - start > chunk_target and j > i:
-                    break
-                end = max(end, e.offset + e.length)
-                j += 1
-            buf = os.pread(fd, end - start, start)
-            arr = np.frombuffer(buf, np.uint8)
-            rows = np.array(order[i:j], np.int64)
-            offs = np.array([entries[k][1].offset - start
-                             for k in order[i:j]], np.int64)
-            if vec is None:
-                out = decode_chunk(arr, offs, None, rows)
-                if out is None:
-                    return None
-                vec = out[0]
-            else:
-                if decode_chunk(arr, offs, vec, rows) is None:
-                    return None
-            i = j
-        return [rid for rid, _ in entries], None, vec
+        try:
+            order = sorted(range(n), key=lambda i: entries[i][1].offset)
+            vec = None
+            chunk_target = chunk_bytes
+            i = 0
+            while i < n:
+                j = i
+                start = entries[order[i]][1].offset
+                end = start
+                while j < n:
+                    e = entries[order[j]][1]
+                    if e.offset + e.length - start > chunk_target and j > i:
+                        break
+                    end = max(end, e.offset + e.length)
+                    j += 1
+                buf = os.pread(fd, end - start, start)
+                arr = np.frombuffer(buf, np.uint8)
+                rows = np.array(order[i:j], np.int64)
+                offs = np.array([entries[k][1].offset - start
+                                 for k in order[i:j]], np.int64)
+                if vec is None:
+                    out = decode_chunk(arr, offs, None, rows)
+                    if out is None:
+                        return None
+                    vec = out[0]
+                else:
+                    if decode_chunk(arr, offs, vec, rows) is None:
+                        return None
+                i = j
+            return [rid for rid, _ in entries], None, vec
+        finally:
+            os.close(fd)
 
     def iterate(self, sorted_ids: bool = False) -> Iterator[tuple[str, list[bytes]]]:
         """Yield (id, streams) for live records.

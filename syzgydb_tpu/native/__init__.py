@@ -20,17 +20,30 @@ _SRC_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _lib = None
 
 
-def _try_build() -> None:
-    src = os.path.join(_SRC_DIR, "spanlog_core.cpp")
+def _build_lib(src_name: str, lib_path: str) -> None:
+    """Compile to a unique temp path then os.replace into place: a
+    concurrent or timed-out build must never leave a partial .so that
+    os.path.exists() then treats as final, permanently disabling the
+    accelerator (review finding r5)."""
+    src = os.path.join(_SRC_DIR, src_name)
     if not os.path.exists(src):
         return
+    tmp = f"{lib_path}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-D_GNU_SOURCE",
-             src, "-o", _LIB_PATH],
+             src, "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, lib_path)
     except Exception:
-        pass
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def _try_build() -> None:
+    _build_lib("spanlog_core.cpp", _LIB_PATH)
 
 
 def get_lib():
@@ -73,6 +86,27 @@ def _as_u8p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+def _fields_fit(id_lens: np.ndarray, nstreams: int,
+                stream_lens64: np.ndarray) -> bool:
+    """The record format holds u16 id_len / u8 nstreams / u32 lengths;
+    the C encoder would silently truncate oversized values into
+    CRC-valid but semantically corrupt records (confirmed: a 70000-byte
+    id wrote id_len 4464 and reopened as garbage — review finding r5).
+    Oversized inputs take the python path, which raises struct.error."""
+    if nstreams > 0xFF:
+        return False
+    if id_lens.size and int(id_lens.max()) > 0xFFFF:
+        return False
+    if stream_lens64.size:
+        if int(stream_lens64.max()) > 0xFFFFFFFF:
+            return False
+        body = 12 + id_lens.astype(np.int64) + \
+            (stream_lens64 + 4).sum(axis=1)
+        if int(body.max()) > 0xFFFFFFFF:
+            return False
+    return True
+
+
 def encode_batch(first_seq: int, flags: int, rec_ids: list[bytes],
                  streams_per_record: list[list[bytes]]):
     """-> (buffer bytes, offsets np.uint64, lengths np.uint64) or None if the
@@ -89,9 +123,12 @@ def encode_batch(first_seq: int, flags: int, rec_ids: list[bytes],
     ids_cat = np.frombuffer(b"".join(rec_ids), dtype=np.uint8) \
         if any(rec_ids) else np.zeros(0, np.uint8)
     id_lens = np.array([len(r) for r in rec_ids], dtype=np.uint32)
-    stream_lens = np.array(
+    stream_lens64 = np.array(
         [len(s) for rec in streams_per_record for s in rec],
-        dtype=np.uint32).reshape(n, max(nstreams, 1))
+        dtype=np.int64).reshape(n, max(nstreams, 1))
+    if not _fields_fit(id_lens, nstreams, stream_lens64):
+        return None  # python fallback raises struct.error loudly
+    stream_lens = stream_lens64.astype(np.uint32)
     payload = b"".join(s for rec in streams_per_record for s in rec)
     payload_arr = np.frombuffer(payload, dtype=np.uint8) if payload \
         else np.zeros(0, np.uint8)
@@ -131,6 +168,9 @@ def encode_batch_split(first_seq: int, flags: int, rec_ids: list[bytes],
     ids_cat = np.frombuffer(b"".join(rec_ids), dtype=np.uint8) \
         if any(rec_ids) else np.zeros(0, np.uint8)
     id_lens = np.array([len(r) for r in rec_ids], dtype=np.uint32)
+    if not _fields_fit(id_lens, nstreams,
+                       np.asarray(stream_lens, dtype=np.int64)):
+        return None  # python fallback raises struct.error loudly
     stream_lens = np.ascontiguousarray(stream_lens, dtype=np.uint32)
 
     bufs = []
@@ -189,10 +229,15 @@ def scan(data: bytes):
         # scan instead of silently truncating recovery (ADVICE r1)
         return None
     out = []
-    for i in range(int(count)):
-        s, l = int(id_offs[i]), int(id_lens[i])
-        out.append((int(offsets[i]), int(lengths[i]), int(seqs[i]),
-                    int(flags[i]), data[s:s + l].decode("utf-8")))
+    try:
+        for i in range(int(count)):
+            s, l = int(id_offs[i]), int(id_lens[i])
+            out.append((int(offsets[i]), int(lengths[i]), int(seqs[i]),
+                        int(flags[i]), data[s:s + l].decode("utf-8")))
+    except UnicodeDecodeError:
+        # a CRC-colliding corrupt entry with a non-UTF-8 id: fall back to
+        # the python scan, which skip-and-resyncs it (review finding r5)
+        return None
     return out
 
 
@@ -205,16 +250,7 @@ _jp = None
 
 
 def _try_build_jp() -> None:
-    src = os.path.join(_SRC_DIR, "jsonproj.cpp")
-    if not os.path.exists(src):
-        return
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-D_GNU_SOURCE",
-             src, "-o", _JP_PATH],
-            check=True, capture_output=True, timeout=120)
-    except Exception:
-        pass
+    _build_lib("jsonproj.cpp", _JP_PATH)
 
 
 def get_jsonproj():

@@ -243,6 +243,14 @@ def test_native_projection_matches_python():
         b'{"dup": 1, "dup": "two"}',  # last wins
         b'  {"ws": 1}  ',
         b'{"age": 1} trailing',       # both reject
+        # review finding r5 (confirmed divergences): json.loads rejects the
+        # WHOLE doc on an invalid escape or non-UTF-8 bytes even inside
+        # strings the projector skips
+        b'{"age": 1, "junk": "\\x"}',       # invalid escape, skipped string
+        b'{"age": 2, "junk": "\xff\xfe"}',  # invalid UTF-8, skipped string
+        b'{"age": 3, "\xff\xfe": 1}',       # invalid UTF-8 key
+        b'{"age": 4, "k": "\\u12ZZ"}',      # malformed \\u escape
+        b'{"age": 5, "junk": "\\/ok\\u00e9"}',  # legal escapes still pass
     ]
     fields = ["age", "name", "esc", "dup", "ws", "z"]
     cols = FakeColumns(tricky)

@@ -412,3 +412,123 @@ def test_bulk_rows_mixed_shapes_fall_back(tmp_path):
     s2.write("1", [b"{}", b"abcd", b"extra"])  # 3 streams
     assert s2.bulk_rows() is None
     s.close(); s2.close()
+
+
+def test_oversized_fields_rejected_loudly(tmp_path):
+    """The native encoder's u16 id_len would silently truncate a 70000-byte
+    id into a CRC-valid but corrupt record (review finding r5, confirmed);
+    oversized fields must instead take the python path, which raises."""
+    log = SpanLog(str(tmp_path / "log.dat"))
+    with pytest.raises(Exception):
+        log.write_many([("i" * 70000, [b"meta", b"vec"])])
+    # nothing half-written: the log is still consistent
+    log.write("ok", [b"m", b"v"])
+    assert log.read("ok") == [b"m", b"v"]
+    log.close()
+    log2 = SpanLog(str(tmp_path / "log.dat"))
+    assert log2.read("ok") == [b"m", b"v"]
+    assert len(log2) == 1
+    log2.close()
+
+
+def test_read_stream0_long_id(tmp_path):
+    """Ids longer than the fixed 4096-byte head pread must not crash the
+    metadata-only read (review finding r5, confirmed struct.error)."""
+    log = SpanLog(str(tmp_path / "log.dat"))
+    long_id = "j" * 5000
+    log.write(long_id, [b"METABYTES", b"\x00" * 100])
+    assert log.read_stream0(long_id) == b"METABYTES"
+    log.close()
+
+
+def test_recover_skips_crc_colliding_malformed_record(tmp_path):
+    """A corrupt region that passes CRC (adversarial or 1-in-2^32) with a
+    too-short body or a non-UTF-8 id must resync like any other corruption
+    — not crash the open (review finding r5)."""
+    import struct
+    import zlib
+    from syzgydb_tpu.core import storage as st
+
+    p = str(tmp_path / "log.dat")
+    log = SpanLog(p)
+    log.write("keep", [b"m", b"v"])
+    log.close()
+    # append two CRC-VALID but malformed records: a 3-byte body (too short
+    # to hold seq+flags+id_len) and one whose id bytes are invalid UTF-8
+    with open(p, "ab") as f:
+        body = b"\x01\x02\x03"
+        f.write(st._REC_HDR.pack(st.REC_MAGIC, len(body)) + body +
+                struct.pack("<I", zlib.crc32(body)))
+        bad_id = b"\xff\xfe"
+        body = struct.pack("<QBH", 99, 0, len(bad_id)) + bad_id + b"\x00"
+        f.write(st._REC_HDR.pack(st.REC_MAGIC, len(body)) + body +
+                struct.pack("<I", zlib.crc32(body)))
+    log2 = SpanLog(p)  # must not raise
+    assert log2.read("keep") == [b"m", b"v"]
+    assert len(log2) == 1
+    log2.close()
+
+
+def test_failed_write_leaves_no_phantom_entries(tmp_path):
+    """An I/O failure mid-batch (ENOSPC) must not leave index entries
+    pointing past EOF (review finding r5): write/flush happen BEFORE the
+    index install on every bulk path."""
+    log = SpanLog(str(tmp_path / "log.dat"))
+    log.write_many([("1", [b"m1", b"v1"])])
+    real_write = log._f.write
+
+    def failing_write(buf):
+        raise OSError(28, "No space left on device")
+
+    log._f.write = failing_write
+    with pytest.raises(OSError):
+        log.write_many([("2", [b"m2", b"v2"]), ("1", [b"m1x", b"v1x"])])
+    log._f.write = real_write
+    # the failed batch is invisible; the old record is intact
+    assert "2" not in log
+    assert log.read("1") == [b"m1", b"v1"]
+    # remove() must also append the tombstone before dropping the entry
+    log._f.write = failing_write
+    with pytest.raises(OSError):
+        log.remove("1")
+    log._f.write = real_write
+    assert log.read("1") == [b"m1", b"v1"]  # still present after failure
+    log.close()
+
+
+def test_bulk_rows_streamed_survives_concurrent_compact(tmp_path,
+                                                        monkeypatch):
+    """The streamed bulk_rows path snapshots index entries, then preads
+    OUTSIDE the lock; a background compaction swapping the file mid-stream
+    must not redirect the reads to the new file at stale offsets (review
+    finding r5 — the dup'd fd pins the old inode)."""
+    import os as os_mod
+    from syzgydb_tpu.core import storage as st
+
+    log = SpanLog(str(tmp_path / "log.dat"))
+    n, width = 64, 16
+    rows = np.arange(n * width, dtype=np.uint8).reshape(n, width)
+    items = [(str(i), [b"M%03d" % i, rows[i].tobytes()]) for i in range(n)]
+    log.write_many(items)
+    # rewrite half the records so compaction has garbage to drop and
+    # every surviving record MOVES to a new offset in the compacted file
+    log.write_many([(str(i), [b"M%03d" % i, rows[i].tobytes()])
+                    for i in range(0, n, 2)])
+
+    fired = []
+    real_pread = os_mod.pread
+
+    def pread_then_compact(fd, nbytes, off):
+        if not fired:
+            fired.append(1)
+            log.compact()  # swap the log under the in-flight stream
+        return real_pread(fd, nbytes, off)
+
+    monkeypatch.setattr(st.os, "pread", pread_then_compact)
+    out = log.bulk_rows(want_metas=False, chunk_bytes=1)
+    monkeypatch.undo()
+    assert fired and out is not None
+    rec_ids, _, vec = out
+    got = {rid: vec[i].tobytes() for i, rid in enumerate(rec_ids)}
+    assert got == {str(i): rows[i].tobytes() for i in range(n)}
+    log.close()
