@@ -108,13 +108,6 @@ def _encode_codes_jit(codes, planes, offsets, *, bits: int, dims: int):
     return _encode_device(vecs, planes, offsets)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
-
-
 def hamming_candidates(qcodes: jnp.ndarray, db_hashes: jnp.ndarray,
                        valid: jnp.ndarray, budget: int, words: int):
     """Top-`budget` rows by Hamming distance of packed sketches.
@@ -167,8 +160,12 @@ def _hamming_candidates_xla(qcodes: jnp.ndarray, db_hashes: jnp.ndarray,
         vals, idx = jax.lax.approx_min_k(ham.astype(jnp.float32), budget,
                                          recall_target=0.95)
         return vals.astype(jnp.int32), idx
-    neg, idx = jax.lax.top_k(-ham, budget)
-    return -neg, idx
+    # indices-only: every production caller discards the values, and a live
+    # top_k VALUES output makes the TPU lowering abandon its cheap
+    # indices-only form (CLAUDE.md r3 fact; review finding r5).  Probes
+    # that want distances can gather them from `ham` with the indices.
+    _, idx = jax.lax.top_k(-ham, budget)
+    return None, idx
 
 
 # NOTE (r2, tools_dev/segrerank_probe.py): replacing the per-row candidate
@@ -209,17 +206,29 @@ def rerank_topk(queries: jnp.ndarray, codes: jnp.ndarray, norms: jnp.ndarray,
     cnorms = jnp.take(norms, cand, axis=0)        # (Q, C)
     cvalid = jnp.take(valid, cand, axis=0)        # (Q, C)
     if bits in (32, 64):
+        # HIGHEST: the default TPU matmul is one bf16 pass on BOTH
+        # operands (~2^-9 rel err on the codes) — "exact distances on
+        # gathered candidates" must not ride it for wide codes (CLAUDE.md
+        # invariant; review finding r5; matches the fused path's rerank)
         dots = jnp.einsum("qd,qcd->qc", queries, ccodes.astype(jnp.float32),
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
     elif bits == 4:
         dots = dist_ops.packed4_dots_batched(queries, ccodes)
     else:
         scale, offset = qz.affine_constants(bits)
-        cast = dist_ops.fast_dot_dtype() if bits == 8 else jnp.float32
-        raw = jnp.einsum("qd,qcd->qc", queries.astype(cast)
-                         if bits == 8 else queries,
-                         ccodes.astype(cast),
-                         preferred_element_type=jnp.float32)
+        if bits == 8:
+            # 8-bit integer codes are bf16-exact: the fast dot is sound
+            cast = dist_ops.fast_dot_dtype()
+            raw = jnp.einsum("qd,qcd->qc", queries.astype(cast),
+                             ccodes.astype(cast),
+                             preferred_element_type=jnp.float32)
+        else:
+            # 16-bit codes exceed bf16's 8 significand bits: HIGHEST
+            raw = jnp.einsum("qd,qcd->qc", queries,
+                             ccodes.astype(jnp.float32),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
         qsum = jnp.sum(queries, axis=-1, keepdims=True)
         dots = scale * raw + offset * qsum
     if metric == "euclidean":

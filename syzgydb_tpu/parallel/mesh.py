@@ -34,9 +34,14 @@ def make_mesh(config: MeshConfig = MeshConfig(),
     n = len(devices)
     feature = max(1, config.feature)
     data = config.data if config.data > 0 else n // feature
-    if data * feature > n:
+    # data >= 1 guard: feature > n used to compute data = n//feature = 0,
+    # which slipped past the product check and built an empty mesh that
+    # failed far downstream (ZeroDivisionError in pad_rows — review
+    # finding r5)
+    if data < 1 or data * feature > n:
         raise ValueError(
-            f"mesh {data}x{feature} needs {data * feature} devices, have {n}")
+            f"mesh {data}x{feature} needs {max(data, 1) * feature} devices,"
+            f" have {n}")
     dev_array = np.array(devices[: data * feature]).reshape(data, feature)
     return Mesh(dev_array, (DATA_AXIS, FEATURE_AXIS))
 

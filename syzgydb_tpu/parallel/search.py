@@ -42,6 +42,12 @@ def _local_dots(queries, codes, bits, precision, accurate: bool = False):
             dist_ops.fast_dot_dtype() == jnp.bfloat16
     else:
         use_bf16x2 = False
+    if precision is None and bits > 8:
+        # wide codes must never ride the default matmul — on TPU it is ONE
+        # bf16 pass on BOTH operands (~2^-9 rel err on the CODES, unbounded
+        # by any flag delta).  Mirrors segment_min_scan_xla's choice
+        # (ops/pallas_scan.py); CLAUDE.md invariant, review finding r5.
+        precision = jax.lax.Precision.HIGH
     if bits in (32, 64):
         raw = jax.lax.dot_general(
             queries, codes.astype(jnp.float32), dimension_numbers=dn,
@@ -147,13 +153,9 @@ def default_mesh_seg_margin(has_ilv: bool, n_queries: int,
     arguments are kept so callers already thread the inputs that split
     will need (they are intentionally unused today)."""
     return DEFAULT_SEG_MARGIN
-# surface error bound, relative (matches ops/pallas_scan._SURFACE_EPS_REL;
-# the local surface uses the same accurate-dots construction)
-_SURF_EPS_REL = 1e-4
-
-
 def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin,
-                       slab_l=None, ilv_l=None, kernel_interpret=False):
+                       slab_l=None, ilv_l=None, kernel_interpret=False,
+                       surf_eps=None):
     """Per-device segment-min scan: surrogate surface -> top segments ->
     contiguous gather -> HIGHEST-precision recompute -> local top-k.
 
@@ -173,19 +175,25 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin,
     nq = q.shape[0]
     nseg = n_local // _SEG
     qn2 = jax.lax.psum(jnp.sum(q * q, axis=-1, keepdims=True), FEATURE_AXIS)
-    if ilv_l is not None and not exact:
+    if ilv_l is not None:
         # r3.7 fused matmul+min kernel: the (Q, N_local) surface never
         # materializes.  Requires the full feature dim on this shard
         # (ilv_ok_mesh); its bf16-dot surface error is bounded per query
-        # below (dq_rel), like the single-chip path's
+        # below (dq_rel), like the single-chip path's.  The caller gates
+        # the operand on pallas_scan.will_use_ilv, so exact mode reaches
+        # here only under interpret — and then it must actually RUN the
+        # exact kernel (review finding r5: the old `and not exact` gate
+        # silently rode the XLA surface, false parity coverage)
         from ..ops import pallas_scan
         qpad = (-nq) % 8
         qk = jnp.concatenate([q, jnp.zeros((qpad, q.shape[1]), q.dtype)]) \
             if qpad else q
         segmins = pallas_scan.segment_min_scan_ilv(
             qk, ilv_l, nrm, v.astype(jnp.float32), bits=bits, metric=metric,
-            seg=_SEG, exact=False, interpret=kernel_interpret)[:nq]
-        ilv_surface = True
+            seg=_SEG, exact=exact, interpret=kernel_interpret)[:nq]
+        # the exact kernel's minima are f32-exact (in-kernel hi/lo or
+        # bf16x2 splits): no query-rounding / code-split delta terms
+        ilv_surface = not exact
     else:
         precision = jax.lax.Precision.HIGHEST if exact else None
         dots = _local_dots(q, c, bits, precision, accurate=True)
@@ -267,9 +275,16 @@ def _local_segmin_topk(q, c, nrm, v, bits, metric, exact, k, seg_margin,
     # the ilv surface requires feature=1 and dq_rel is 0 otherwise
     from ..ops import pallas_scan as _ps
     dc = _ps._CODE_SPLIT_REL if (ilv_surface and bits in (32, 64)) else 0.0
+    # eps must scale with the FULL dimension (accumulation + psum run
+    # over all feature shards): the old fixed 1e-4 undercut
+    # surface_accum_eps(dims) past 671 dims — an unsound flag cushion at
+    # the 768-d config (review finding r5).  The caller passes it
+    # statically; the q.shape[1] fallback is exact when feature == 1.
+    eps = surf_eps if surf_eps is not None \
+        else _ps.surface_accum_eps(q.shape[1])
     delta = _ps.surface_delta(dq_rel, qn2[:, 0], nrm, v, bits=bits,
                               metric=metric, dims=q.shape[1],
-                              eps=_SURF_EPS_REL, dc_rel=dc)
+                              eps=eps, dc_rel=dc)
     # NO half-ulp factors (r4/ADVICE r3): BOTH mesh surfaces store f32
     # minima end-to-end — the accurate-dots XLA surface and the ilv kernel
     # — so bf16 storage rounding never happens here.  On unit-norm corpora
@@ -443,7 +458,8 @@ def sharded_exact_topk(mesh: Mesh, queries, codes, norms, valid, slab=None,
                 q, c, nrm, v, bits, metric, exact, k, seg_margin,
                 slab_l=rest[0] if use_slab else None,
                 ilv_l=rest[-1] if use_ilv else None,
-                kernel_interpret=kernel_interpret)
+                kernel_interpret=kernel_interpret,
+                surf_eps=pallas_scan.surface_accum_eps(queries.shape[1]))
         else:
             dist = _local_distances(q, c, nrm, v, bits, metric, exact)
             kk = min(k, dist.shape[1])
@@ -520,6 +536,7 @@ def sharded_ann_topk(mesh: Mesh, qcodes, queries, codes, norms, hashes, valid,
     kernel_interpret runs it in Pallas interpret mode so CPU-mesh tests can
     pin parity without TPU hardware.
     """
+    _check_packed4(mesh, queries, bits)  # same guard as its siblings
 
     def local(qc, q, c, nrm, h, v):
         n_local = c.shape[0]
@@ -546,8 +563,12 @@ def sharded_ann_topk(mesh: Mesh, qcodes, queries, codes, norms, hashes, valid,
         cnorms = jnp.take(nrm, cand, axis=0)
         cvalid = jnp.take(v, cand, axis=0)
         if bits in (32, 64):
+            # HIGHEST: wide codes must not ride the default one-bf16-pass
+            # matmul on the "exact rerank" surface (CLAUDE.md invariant;
+            # review finding r5 — mirrors index/hamming.rerank_topk)
             raw = jnp.einsum("qd,qbd->qb", q, ccodes.astype(jnp.float32),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
             dots = jax.lax.psum(raw, FEATURE_AXIS)
         else:
             from ..ops import distance as dist_ops
@@ -563,13 +584,17 @@ def sharded_ann_topk(mesh: Mesh, qcodes, queries, codes, norms, hashes, valid,
                     "qd,qbd->qb", qo.astype(cast4),
                     low[..., : qo.shape[1]].astype(cast4),
                     preferred_element_type=jnp.float32)
-            else:
-                cast = dist_ops.fast_dot_dtype() if bits == 8 \
-                    else jnp.float32
-                raw = jnp.einsum("qd,qbd->qb",
-                                 q.astype(cast) if bits == 8 else q,
+            elif bits == 8:
+                cast = dist_ops.fast_dot_dtype()  # int8 codes: bf16-exact
+                raw = jnp.einsum("qd,qbd->qb", q.astype(cast),
                                  ccodes.astype(cast),
                                  preferred_element_type=jnp.float32)
+            else:
+                # 16-bit codes exceed bf16's significand: HIGHEST
+                raw = jnp.einsum("qd,qbd->qb", q,
+                                 ccodes.astype(jnp.float32),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
             raw = jax.lax.psum(raw, FEATURE_AXIS)
             qsum = jax.lax.psum(jnp.sum(q, axis=-1, keepdims=True),
                                 FEATURE_AXIS)

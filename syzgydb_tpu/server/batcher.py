@@ -163,6 +163,14 @@ class SearchBatcher:
                 lt = group.leader_thread
                 if lt is not None and not lt.is_alive() and \
                         not group.done.is_set():
+                    # retire the zombie so subsequent requests start a
+                    # fresh group instead of joining this one and failing
+                    # for a full member-cap's worth of traffic (review
+                    # finding r5)
+                    with self._lock:
+                        group.closed = True
+                        if self._groups.get(key) is group:
+                            del self._groups[key]
                     raise RuntimeError(
                         "search batch leader thread died before dispatch")
                 if time.monotonic() >= deadline:

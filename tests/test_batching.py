@@ -583,3 +583,33 @@ def test_rest_http11_keepalive_reuse(tmp_path, rng):
     finally:
         httpd.shutdown()
         c.close()
+
+
+def test_dead_leader_group_is_retired(tmp_path, rng):
+    """A follower that detects a dead leader must retire the zombie group
+    so later requests start fresh instead of joining it and failing for a
+    full member-cap's worth of traffic (review finding r5)."""
+    import time
+    from syzgydb_tpu.server import batcher as b_mod
+
+    c, vecs = make_coll(tmp_path, rng, n=64)
+    batcher = SearchBatcher(window_s=0.005)
+    dead = threading.Thread(target=lambda: None)
+    dead.start()
+    dead.join()
+    key = (c.batch_token, "knn", 3, "medium", "")
+    zombie = b_mod._Group()
+    zombie.leader_thread = dead
+    with batcher._lock:
+        batcher._groups[key] = zombie
+
+    args = SearchArgs(vector=vecs[0], k=3, precision="medium")
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="leader thread died"):
+        batcher.search(c, args)
+    assert time.monotonic() - t0 < 5.0  # detected in ~1s, not the timeout
+    with batcher._lock:  # the zombie is gone
+        assert batcher._groups.get(key) is not zombie
+    res = batcher.search(c, args)  # fresh group: serves normally
+    assert [r.id for r in res.results]
+    c.close()

@@ -321,3 +321,82 @@ def test_mesh_ilv_memory_gate_is_per_shard(tmp_path, rng, monkeypatch):
     want2 = set(np.argsort(dist, kind="stable")[:10].tolist())
     assert set(got2) == want2
     c.close()
+
+
+def test_make_mesh_feature_exceeding_devices_raises():
+    """feature > device count used to compute data = 0 and build an empty
+    mesh that failed far downstream (review finding r5)."""
+    with pytest.raises(ValueError, match="devices"):
+        mesh_mod.make_mesh(mesh_mod.MeshConfig(feature=16))
+
+
+def test_sharded_ann_packed4_alignment_guard(rng):
+    """sharded_ann_topk validates 4-bit feature alignment like its
+    siblings (review finding r5): dim % (2*feature) != 0 must raise the
+    explicit error, not an opaque shard_map divisibility failure."""
+    m = mesh_mod.make_mesh(mesh_mod.MeshConfig(data=2, feature=2),
+                           jax.devices()[:4])
+    d = 18  # d % (2*2) != 0
+    db, codes, norms, valid, queries = _setup(rng, n=512, d=d, bits=4)
+    index = SignHashIndex(d, "euclidean", MyRandom(5))
+    hashes = index.encode_batch(np.float32(db))
+    qcodes = index.encode_np(queries)
+    with pytest.raises(ValueError, match="4-bit"):
+        psearch.sharded_ann_topk(
+            m, jnp.asarray(qcodes), jnp.asarray(queries),
+            jnp.asarray(codes), jnp.asarray(norms), jnp.asarray(hashes),
+            jnp.asarray(valid), bits=4, metric="euclidean", k=5,
+            local_budget=64, words=index.words)
+
+
+def test_mesh_exact_interpret_runs_ilv_kernel(rng, monkeypatch):
+    """will_use_ilv says exact+interpret rides the kernel; the mesh local
+    path used to silently take the XLA surface instead (review finding
+    r5 — false parity coverage).  Pin that segment_min_scan_ilv actually
+    runs with exact=True and the results still match the oracle."""
+    from syzgydb_tpu.ops import pallas_scan
+
+    m = mesh_mod.make_mesh(mesh_mod.MeshConfig(data=2, feature=1),
+                           jax.devices()[:2])
+    n, d, bits, k = 2 * 128 * 64, 32, 8, 5  # ilv_ok_mesh alignment
+    db, codes, norms, valid, queries = _setup(rng, n=n, d=d, bits=bits)
+    ilv = psearch.sharded_ilv_codes(m, jnp.asarray(codes))
+
+    calls = []
+    real = pallas_scan.segment_min_scan_ilv
+
+    def spy(*a, **kw):
+        calls.append(kw.get("exact"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pallas_scan, "segment_min_scan_ilv", spy)
+    dist, rows, ok = psearch.sharded_exact_topk(
+        m, jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(norms),
+        jnp.asarray(valid), None, ilv, bits=bits, metric="euclidean", k=k,
+        exact=True, with_ties=True, kernel_interpret=True)
+    assert calls == [True]  # the exact kernel ran, in exact mode
+    ref = dist_ops.score_block(jnp.asarray(queries), jnp.asarray(codes),
+                               jnp.asarray(norms), jnp.asarray(valid),
+                               bits, "euclidean", exact=True)
+    rd, ri = dist_ops.top_k_smallest(ref, k)
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(rd), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(ri))
+
+
+def test_rerank_wide_codes_use_highest_precision():
+    """'Exact distances on gathered candidates' must not ride the TPU
+    default one-bf16-pass matmul for >8-bit codes (review finding r5):
+    pin the HIGHEST precision attribute in the lowered jaxpr."""
+    from syzgydb_tpu.index import hamming
+
+    d, n, c = 16, 64, 8
+    for bits in (16, 32):
+        codes = qz.codes_to_device_repr(
+            np.random.default_rng(0).uniform(-1, 1, (n, d)), bits)
+        jaxpr = jax.make_jaxpr(
+            lambda q, cd, nr, v, ca: hamming.rerank_topk(
+                q, cd, nr, v, ca, bits, "cosine", 3))(
+            jnp.zeros((2, d), jnp.float32), jnp.asarray(codes),
+            jnp.ones(n, jnp.float32), jnp.ones(n, bool),
+            jnp.zeros((2, c), jnp.int32))
+        assert "HIGHEST" in str(jaxpr).upper(), bits
