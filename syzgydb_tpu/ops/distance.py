@@ -321,6 +321,14 @@ def code_dots_accurate(queries: jnp.ndarray, codes: jnp.ndarray,
 def _code_matmul(queries: jnp.ndarray, codes: jnp.ndarray, bits: int,
                  precision) -> jnp.ndarray:
     """(Q, D) f32 x (N, D|P) codes -> (Q, N) f32 dot(q, dequant(v))."""
+    if precision is None and bits > 8:
+        # wide codes must never ride the default matmul — on TPU it is ONE
+        # bf16 pass on BOTH operands (~2^-9 rel err on the codes, unbounded
+        # by any flag delta).  This is the shared primitive under
+        # score_block's non-fused fallback, which used to miss the guard
+        # segment_min_scan_xla / rerank_topk apply (CLAUDE.md invariant;
+        # review finding r5).  4/8-bit integer codes are bf16-exact.
+        precision = jax.lax.Precision.HIGH
     if bits in (32, 64):
         return jax.lax.dot_general(
             queries, codes,

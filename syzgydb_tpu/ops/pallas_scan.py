@@ -54,10 +54,13 @@ DEFAULT_BLOCK_N = 4096
 DEFAULT_SEG = 32
 MAX_FUSED_K = 128
 # large-k dispatches (radius escalation asks for up to 1024) may still
-# ride the fused path when the candidate-gather working set stays small:
-# Q*(k+margin)*seg rows.  2^16 row-slots * seg(64) * D(384) ~= 1.6 GB of
-# gather at the headline dims — the per-query radius case (Q<=8) uses a
-# tiny fraction of that; big batched k stays on the two-dispatch path.
+# ride the fused path when the candidate-gather working set stays small.
+# The real gather is Q*(k+margin+1)*seg rows (seg = DEFAULT_SEG = 32, and
+# margin rides on top of k), so the budget below is the Q*k TERM only —
+# a deliberate underestimate tolerated because the shapes that pass it
+# (per-query radius, Q<=8) leave ~10x headroom even at margin 64, while
+# big batched k stays on the two-dispatch path.  2^16 Q*k slots * seg(32)
+# * D(384) ~= 0.8 GB of int8 gather at the headline dims.
 _FUSED_K_BUDGET = 1 << 16
 
 
@@ -297,8 +300,13 @@ def _surface_kernel(q_ref, codes_ref, norms_ref, valid_ref, out_ref,
         lo = t * sub
         codes = codes_ref[lo:lo + sub, :]                    # (sub, D|P)
         if bits == 4:
-            h = ((codes >> 4).astype(jnp.int32) - 8).astype(cast)
-            low = ((codes & 0xF).astype(jnp.int32) - 8).astype(cast)
+            # widen BEFORE shifting: sub-word (uint8) shift ops crash the
+            # remote Mosaic compile helper with a detail-free HTTP 500
+            # (CLAUDE.md r7j; same pattern as the ilv kernel's unpack —
+            # review finding r5)
+            c32 = codes.astype(jnp.int32)
+            h = ((c32 >> 4) - 8).astype(cast)
+            low = ((c32 & 0xF) - 8).astype(cast)
             raw = jax.lax.dot_general(
                 qe, h, dimension_numbers=dn,
                 preferred_element_type=jnp.float32, precision=prec)
@@ -592,6 +600,11 @@ def score_surface(queries, codes, norms, valid, *, bits: int, metric: str,
     n, w = codes.shape
     q, d = queries.shape
     assert n % block_n == 0, (n, block_n)
+    # the kernel iterates whole _SUBTILE steps: a block_n > _SUBTILE that
+    # is not a multiple of it would silently leave the trailing rows'
+    # output columns as uninitialized VMEM (review finding r5)
+    assert block_n <= _SUBTILE or block_n % _SUBTILE == 0, \
+        (block_n, _SUBTILE)
     out_t = jnp.float32 if exact else jnp.bfloat16
     grid_spec = pl.GridSpec(
         grid=(n // block_n,),
@@ -884,11 +897,12 @@ def fused_scan_topk(queries, codes, norms, valid, slab=None, codes_ilv=None,
     N must be a multiple of block_n (the column store pads capacity;
     padding rows carry valid=False).  (k, Q) must satisfy fused_k_ok —
     the serving bound, or small-batch large-k within the gather budget
-    (the radius-escalation shape).  `surface` picks the
-    segment-minima producer: "xla" (default, fused epilogue) or "pallas"
-    (ops kernel above); `codes_ilv` (optional, from make_ilv_codes at the
-    same seg) overrides both with the fused matmul+min kernel that never
-    materializes the (Q, N) surface.  `slab` (optional, from make_lane_slab
+    (the radius-escalation shape).  `surface` must be "xla" (the fused
+    epilogue; the r2 "pallas"/"kernel" producers were superseded by the
+    ilv kernel and archived to tools_dev/superseded_kernels.py);
+    `codes_ilv` (optional, from make_ilv_codes at the same seg) overrides
+    it with the fused matmul+min kernel that never materializes the
+    (Q, N) surface.  `slab` (optional, from make_lane_slab
     at the same seg) routes the rerank through the tile-aligned lane path
     — ~2.7x faster candidate gathers on TPU, identical results.
 

@@ -69,3 +69,23 @@ def test_top_k_smallest(rng):
         want = np.sort(d[row])[:5]
         np.testing.assert_allclose(vals[row], want, rtol=1e-6)
         np.testing.assert_allclose(d[row][idx[row]], vals[row], rtol=1e-6)
+
+
+def test_code_matmul_wide_codes_never_default_precision():
+    """score_block's non-fused fallback serves precision='high' results;
+    >8-bit codes must not ride the TPU default one-bf16-pass matmul
+    (CLAUDE.md invariant; review finding r5).  Pin via jaxpr — CPU
+    matmuls are exact, so numerics tests can't catch it."""
+    import jax
+
+    d, n = 16, 64
+    for bits in (16, 32, 64):
+        codes = qz.codes_to_device_repr(
+            np.random.default_rng(0).uniform(-1, 1, (n, d)), bits)
+        norms = dist_ops.db_row_stats(codes, bits, d)
+        jaxpr = str(jax.make_jaxpr(
+            lambda q, c, nr, v: dist_ops.score_block(q, c, nr, v, bits,
+                                                 "cosine", exact=False))(
+            jnp.zeros((2, d), jnp.float32), jnp.asarray(codes),
+            jnp.asarray(norms), jnp.ones(n, bool)))
+        assert "HIGH" in jaxpr.upper(), bits  # HIGH or HIGHEST, never None
